@@ -1,13 +1,135 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every key in `queries` is one operator from SURVEY.md §2; `oracleSql`
+  * holds the DuckDB-equivalent SQL (same column names, same ORDER BY,
+  * fixed-point casts on float aggregates) for the hash-match gate.
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing"      -> (Analytics.q1Pricing _),
+    "q3_shipping"     -> (Analytics.q3Shipping _),
+    "q5_local"        -> (Analytics.q5Local _),
+    "q_topk_window"   -> (Analytics.topkWindow _),
+    "q_events_funnel" -> (Analytics.eventsFunnel _),
+    "q_sessionize"    -> (Analytics.sessionize _),
+    "q_asof_join"     -> (Analytics.asofJoin _),
+    "q_events_window" -> (Analytics.eventsWindowed _),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q1_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(sum(l_quantity)*100, 0) AS BIGINT) AS sum_qty,
+        |  CAST(round(sum(l_extendedprice)*100, 0) AS BIGINT) AS sum_base_price,
+        |  CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS sum_disc_price,
+        |  CAST(round(sum(l_extendedprice*(1-l_discount)*(1+l_tax))*100, 0) AS BIGINT) AS sum_charge,
+        |  CAST(round(avg(l_quantity)*100, 0) AS BIGINT) AS avg_qty,
+        |  CAST(round(avg(l_extendedprice)*100, 0) AS BIGINT) AS avg_price,
+        |  CAST(round(avg(l_discount)*10000, 0) AS BIGINT) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_shipping" ->
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |  CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_local" ->
+      """SELECT n_name,
+        |  CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS revenue
+        |FROM lineitem
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey AND c_nationkey = s_nationkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
+    "q_topk_window" ->
+      """WITH per_part AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS revenue
+        |  FROM lineitem GROUP BY l_suppkey, l_partkey),
+        |ranked AS (
+        |  SELECT *, row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY revenue DESC, l_partkey) AS rank
+        |  FROM per_part)
+        |SELECT l_suppkey, l_partkey, revenue, CAST(rank AS INTEGER) AS rank
+        |FROM ranked WHERE rank <= 3
+        |ORDER BY l_suppkey, rank""".stripMargin,
+    "q_events_funnel" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(round(sum(value)*100, 0) AS BIGINT) AS total_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_sessionize" ->
+      """WITH ev AS (
+        |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),
+        |gaps AS (
+        |  SELECT user_id, ts, event_id, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_session
+        |  FROM ev
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sid AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
+        |  FROM gaps)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
+        |  CAST(round(sum(value)*100, 0) AS BIGINT) AS session_value
+        |FROM sid GROUP BY user_id, session_seq
+        |ORDER BY user_id, session_seq""".stripMargin,
+    "q_asof_join" ->
+      """WITH uni AS (
+        |  SELECT user_id % 15 AS k, CAST(ts AS TIMESTAMP) - INTERVAL 25 YEAR AS t, event_id,
+        |    NULL::BIGINT AS o_orderkey_in, NULL::DOUBLE AS o_totalprice_in,
+        |    1 AS is_event
+        |  FROM events
+        |  UNION ALL
+        |  SELECT o_custkey % 15 AS k, o_orderdate AS t, NULL::BIGINT AS event_id,
+        |    o_orderkey AS o_orderkey_in, o_totalprice AS o_totalprice_in,
+        |    0 AS is_event
+        |  FROM orders),
+        |carried AS (
+        |  SELECT *,
+        |    last_value(o_orderkey_in IGNORE NULLS) OVER w AS o_orderkey,
+        |    last_value(o_totalprice_in IGNORE NULLS) OVER w AS o_totalprice
+        |  FROM uni
+        |  WINDOW w AS (PARTITION BY k
+        |    ORDER BY t, is_event, o_orderkey_in ASC NULLS LAST
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, k, o_orderkey,
+        |  CAST(round(o_totalprice*100, 0) AS BIGINT) AS price_cents
+        |FROM carried WHERE is_event = 1
+        |ORDER BY event_id""".stripMargin,
+    "q_events_window" ->
+      """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n,
+        |  CAST(round(sum(value)*100, 0) AS BIGINT) AS v
+        |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+  )
 }

@@ -1,0 +1,168 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Core analytic queries over the star schema.
+  *
+  * These are the throughput headliners: full-scan aggregation, selective
+  * multi-way joins (dimensions always broadcast), window top-k, and the
+  * time-ordered operators (sessionize, as-of) built as single-shuffle
+  * window plans rather than row-explosion joins.
+  *
+  * Money aggregates are emitted as fixed-point BIGINT (cents) so the
+  * DuckDB oracle compares integers, not floats.
+  */
+object Analytics {
+
+  private def cents(c: org.apache.spark.sql.Column, scale: Int = 100) =
+    round(c * scale, 0).cast("long")
+
+  /** TPC-H Q1-style pricing summary: one full scan, 4-group agg. */
+  def q1Pricing(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    li.groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        cents(sum(col("l_quantity"))).as("sum_qty"),
+        cents(sum(col("l_extendedprice"))).as("sum_base_price"),
+        cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
+        cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
+        cents(avg(col("l_quantity"))).as("avg_qty"),
+        cents(avg(col("l_extendedprice"))).as("avg_price"),
+        round(avg(col("l_discount")) * 10000, 0).cast("long").as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style: top unshipped-order revenue. Dims broadcast. */
+  def q3Shipping(spark: SparkSession, sfDir: String): DataFrame = {
+    val cust = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") < lit("1998-03-15").cast("timestamp"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+        li("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** TPC-H Q5-style: revenue by nation inside one region+date window. */
+  def q5Local(spark: SparkSession, sfDir: String): DataFrame = {
+    val region = Tables.region(spark, sfDir).filter(col("r_name") === "ASIA")
+    val nation = Tables.nation(spark, sfDir)
+    val cust = Tables.customer(spark, sfDir)
+    val ord = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+    val li = Tables.lineitem(spark, sfDir)
+    val supp = Tables.supplier(spark, sfDir)
+
+    li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+      .join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** Window top-k: top 3 parts per supplier by revenue. */
+  def topkWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val perPart = li.groupBy(col("l_suppkey"), col("l_partkey"))
+      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("revenue").desc, col("l_partkey"))
+    perPart.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .orderBy(col("l_suppkey"), col("rank"))
+  }
+
+  /** Event funnel: per-type volume, reach, and value. */
+  def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        cents(sum(col("value"))).as("total_value"))
+      .orderBy(col("event_type"))
+
+  /** Sessionization (30-min inactivity gap): one shuffle on user_id,
+    * session bounds via running sum over the gap indicator. */
+  def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val withGap = ev
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          col("ts") > col("prev_ts") + expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+    val withSid = withGap.withColumn("session_seq",
+      sum(col("new_session")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withSid.groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
+        cents(sum(col("value"))).as("session_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  /** As-of join: each event picks the latest order (keyed by
+    * o_custkey % 15 = user_id) with o_orderdate <= ts - 25 years.
+    *
+    * Built as the scalable union+window plan (one shuffle on the key,
+    * no row explosion): tag both sides, sort by (key, time), carry the
+    * last-seen order forward with last_value(ignoreNulls).
+    */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(
+        (col("user_id") % 15).as("k"),
+        (col("ts") - expr("INTERVAL 25 YEARS")).as("t"),
+        col("event_id"),
+        lit(null).cast("long").as("o_orderkey_in"),
+        lit(null).cast("double").as("o_totalprice_in"),
+        lit(1).as("is_event"))
+    val ord = Tables.orders(spark, sfDir)
+      .select(
+        (col("o_custkey") % 15).as("k"),
+        col("o_orderdate").as("t"),
+        lit(null).cast("long").as("event_id"),
+        col("o_orderkey").as("o_orderkey_in"),
+        col("o_totalprice").as("o_totalprice_in"),
+        lit(0).as("is_event"))
+    // Orders sort before events at identical timestamps (is_event asc) so an
+    // order with o_orderdate == t is visible to the event, matching <=.
+    val w = Window.partitionBy(col("k"))
+      .orderBy(col("t"), col("is_event"), col("o_orderkey_in").asc_nulls_last)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    ev.unionByName(ord)
+      .withColumn("o_orderkey", last(col("o_orderkey_in"), ignoreNulls = true).over(w))
+      .withColumn("o_totalprice", last(col("o_totalprice_in"), ignoreNulls = true).over(w))
+      .filter(col("is_event") === 1)
+      .select(col("event_id"), col("k"), col("o_orderkey"),
+        cents(col("o_totalprice")).as("price_cents"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Tumbling 1-hour event aggregation (batch mirror of the streaming path). */
+  def eventsWindowed(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("v"))
+      .orderBy(col("hour"), col("event_type"))
+}
