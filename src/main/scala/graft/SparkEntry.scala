@@ -16,7 +16,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    analyticsQueries ++ DocPipeline.queries ++ TextOps.queries
+
+  def oracleSql: Map[String, String] =
+    analyticsOracle ++ DocPipeline.oracle ++ TextOps.oracle
+
+  private val analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"      -> (Analytics.q1Pricing _),
     "q3_shipping"     -> (Analytics.q3Shipping _),
     "q5_local"        -> (Analytics.q5Local _),
@@ -27,7 +33,7 @@ object SparkEntry {
     "q_events_window" -> (Analytics.eventsWindowed _),
   )
 
-  def oracleSql: Map[String, String] = Map(
+  private val analyticsOracle: Map[String, String] = Map(
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(round(sum(l_quantity)*100, 0) AS BIGINT) AS sum_qty,
@@ -99,7 +105,7 @@ object SparkEntry {
         |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
         |    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_seq
         |  FROM gaps)
-        |SELECT user_id, session_seq, count(*) AS n_events,
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
         |  CAST(round(sum(value)*100, 0) AS BIGINT) AS session_value
         |FROM sid GROUP BY user_id, session_seq

@@ -28,7 +28,10 @@ object Tables {
     * rejects; read it as long nanos and truncate to micros (the same
     * truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP). */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Session builders (Verify/Bench/tests) set this at build time; the
+    // guard only covers ad-hoc sessions and avoids re-mutating shared conf.
+    if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, d, "events")
     if (raw.schema("ts").dataType == LongType)
       raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

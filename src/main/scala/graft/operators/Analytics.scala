@@ -49,7 +49,10 @@ object Analytics {
     val li = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    li.join(broadcast(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))),
+    // Only the filtered customer-key set is broadcast-safe; orders filtered
+    // by date alone is still O(fact) rows, so lineitem⋈orders shuffles on
+    // l_orderkey and AQE picks the physical strategy at runtime.
+    li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
@@ -68,9 +71,11 @@ object Analytics {
     val li = Tables.lineitem(spark, sfDir)
     val supp = Tables.supplier(spark, sfDir)
 
-    li.join(broadcast(supp), li("l_suppkey") === supp("s_suppkey"))
+    // customer (150k×sf) and supplier (10k×sf) scale with the fact data, so
+    // they shuffle-join; only nation/region (true fixed-size dims) broadcast.
+    li.join(supp, li("l_suppkey") === supp("s_suppkey"))
       .join(ord, li("l_orderkey") === ord("o_orderkey"))
-      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey") &&
+      .join(cust, ord("o_custkey") === cust("c_custkey") &&
         cust("c_nationkey") === supp("s_nationkey"))
       .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))

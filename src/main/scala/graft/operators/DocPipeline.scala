@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Social-media pipeline stages over the `documents` table.
+  *
+  * Each stage is a pure plan builder (DataFrame in → DataFrame out) with an
+  * exact DuckDB mirror in `oracle`. The synthetic schema has no
+  * follower/like columns, so engagement metrics derive deterministically
+  * from doc_id (identical integer arithmetic on both engines — SURVEY §3).
+  *
+  * Scale notes (100 TB): every stage except p01's cutoff pass is a
+  * shuffle-free single-pass projection/filter. p01 is two-pass: pass 1
+  * reduces the table to two scalars (exact percentile here;
+  * approx_percentile is the drop-in at 100 TB), broadcast back via a
+  * 1-row cross join — never a global sort.
+  */
+object DocPipeline {
+
+  // ---- deterministic engagement derivation (SURVEY §3) ----
+  // followers in [100, 10000]; engagement = comments + likes + shares;
+  // ratio clamped at 0.05 (reference: 1-find-gradient.py:20-27 clamp)
+  // and scaled to integer parts-per-million so the quantile comparison
+  // is integer-vs-double and immune to last-ulp drift between engines.
+
+  /** Engagement ratio in ppm, clamped at 50000 (= 0.05). */
+  def engagementPpm: Column = expr(
+    """least(50000L,
+      |  ((doc_id*13) % 50 + (doc_id*7) % 500 + (doc_id*3) % 20) * 1000000L
+      |    div (100 + (doc_id*37) % 9901))""".stripMargin)
+
+  val engagementPpmSql: String =
+    """LEAST(50000, (((doc_id*13) % 50 + (doc_id*7) % 500 + (doc_id*3) % 20) * 1000000)
+      |    // (100 + (doc_id*37) % 9901))""".stripMargin
+
+  /** p01: engagement ratio + population quantile cutoffs + tier A/B/C.
+    * Reference: 1-find-gradient.py:59-60 (np.quantile top 0.80 / bottom
+    * 0.40) and :102-109 (tier labels).
+    */
+  def p01Engagement(spark: SparkSession, sfDir: String): DataFrame = {
+    val eng = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), engagementPpm.as("ratio_ppm"))
+    // Pass 1: two scalars. Exact percentile at test SF; at 100 TB swap for
+    // approx_percentile(ratio_ppm, array(0.8, 0.4), 10000) — same plan shape.
+    val cuts = eng.agg(
+      expr("percentile(ratio_ppm, 0.80)").as("top_cut"),
+      expr("percentile(ratio_ppm, 0.40)").as("bot_cut"))
+    eng.crossJoin(broadcast(cuts))
+      .select(
+        col("doc_id"),
+        col("ratio_ppm"),
+        when(col("ratio_ppm") >= col("top_cut"), "Tier A (Top 20%)")
+          .when(col("ratio_ppm") < col("bot_cut"), "Tier C (Bottom 40%)")
+          .otherwise("Tier B (Middle 40%)").as("tier"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** p02: emoji count / frequency / usage bins + length buckets.
+    * Reference: 2-label.py:20-88 (default bins, post_length_analysis).
+    */
+  def p02Label(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(
+        col("doc_id"),
+        emojiCount(col("text")).cast("long").as("emoji_count"),
+        length(col("text")).cast("long").as("text_length"),
+        round(emojiFrequency(col("text")) * 1000000, 0).cast("long").as("freq_ppm"),
+        emojiUsage(col("text")).as("emoji_usage"),
+        lengthBucket(col("text")).as("max_length"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_engagement" -> (p01Engagement _),
+    "p02_label"      -> (p02Label _))
+
+  val oracle: Map[String, String] = Map(
+    "p01_engagement" ->
+      s"""WITH eng AS (
+         |  SELECT doc_id, $engagementPpmSql AS ratio_ppm FROM documents),
+         |cuts AS (
+         |  SELECT quantile_cont(CAST(ratio_ppm AS DOUBLE), 0.80) AS top_cut,
+         |         quantile_cont(CAST(ratio_ppm AS DOUBLE), 0.40) AS bot_cut
+         |  FROM eng)
+         |SELECT doc_id, ratio_ppm,
+         |  CASE WHEN ratio_ppm >= top_cut THEN 'Tier A (Top 20%)'
+         |       WHEN ratio_ppm < bot_cut THEN 'Tier C (Bottom 40%)'
+         |       ELSE 'Tier B (Middle 40%)' END AS tier
+         |FROM eng CROSS JOIN cuts
+         |ORDER BY doc_id""".stripMargin,
+    "p02_label" ->
+      s"""SELECT doc_id,
+         |  CAST(length(regexp_extract_all(text, '$EmojiClass')) AS BIGINT) AS emoji_count,
+         |  CAST(length(text) AS BIGINT) AS text_length,
+         |  CAST(round(CASE WHEN length(text) > 0
+         |    THEN CAST(length(regexp_extract_all(text, '$EmojiClass')) AS DOUBLE) / length(text)
+         |    ELSE 0.0 END * 1000000, 0) AS BIGINT) AS freq_ppm,
+         |  CASE
+         |    WHEN length(regexp_extract_all(text, '$EmojiClass')) = 0 THEN 'none'
+         |    WHEN CAST(length(regexp_extract_all(text, '$EmojiClass')) AS DOUBLE) / length(text) <= 0.0005 THEN 'very low'
+         |    WHEN CAST(length(regexp_extract_all(text, '$EmojiClass')) AS DOUBLE) / length(text) <= 0.001 THEN 'low'
+         |    WHEN CAST(length(regexp_extract_all(text, '$EmojiClass')) AS DOUBLE) / length(text) <= 0.005 THEN 'medium'
+         |    WHEN CAST(length(regexp_extract_all(text, '$EmojiClass')) AS DOUBLE) / length(text) <= 0.01 THEN 'high'
+         |    ELSE 'extreme' END AS emoji_usage,
+         |  CASE WHEN length(text) >= 1501 THEN 'Between 1,500 and 3,000 characters long'
+         |       WHEN length(text) >= 750 THEN 'Between 750 and 1,500 characters long'
+         |       ELSE 'Up to 750 characters long' END AS max_length
+         |FROM documents ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,159 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Text-analysis operators over `documents`: language ID, quality scoring,
+  * token counting, fingerprinting. All are shuffle-free single-pass
+  * projections (embarrassingly parallel at 100 TB — SURVEY §6) with exact
+  * DuckDB mirrors; every ratio is emitted as integer ppm so the oracle
+  * hash compares integers.
+  */
+object TextOps {
+
+  private val docsOrdered = (spark: SparkSession, sfDir: String) =>
+    Tables.documents(spark, sfDir)
+
+  // Stopword lists for the n-gram/stopword language heuristic. Tiny,
+  // broadcast-free (they live in the plan as literals).
+  val EnStops = Seq("the", "a", "of", "and", "is", "to", "in")
+  val EsStops = Seq("el", "la", "de", "que", "y", "los")
+  val DeStops = Seq("der", "die", "das", "und", "ist", "ein")
+  val FrStops = Seq("le", "la", "les", "et", "des", "un")
+
+  private def sqlTokenHits(set: Seq[String]): String = {
+    val lst = set.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"length(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''), t -> list_contains($lst, t)))"
+  }
+
+  /** tx_tokens: whitespace tokens, distinct tokens, BPE-ish subword count,
+    * sentence count. */
+  def txTokens(spark: SparkSession, sfDir: String): DataFrame =
+    docsOrdered(spark, sfDir)
+      .select(
+        col("doc_id"),
+        tokenCount(col("text")).cast("long").as("n_tokens"),
+        distinctTokenCount(col("text")).cast("long").as("n_distinct"),
+        bpeTokenCount(col("text")).cast("long").as("n_bpe"),
+        sentenceCount(col("text")).cast("long").as("n_sentences"))
+      .orderBy(col("doc_id"))
+
+  /** tx_langid: stopword-hit language scores with deterministic argmax
+    * (CJK chars dominate; ties break en > es > de > fr; no hits →
+    * 'unknown'). */
+  def txLangid(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    def hits(set: Seq[String]) = tokenSetCount(t, set).cast("long")
+    docsOrdered(spark, sfDir)
+      .select(col("doc_id"), t,
+        hits(EnStops).as("en_hits"), hits(EsStops).as("es_hits"),
+        hits(DeStops).as("de_hits"), hits(FrStops).as("fr_hits"))
+      .select(
+        col("doc_id"), col("en_hits"), col("es_hits"), col("de_hits"), col("fr_hits"),
+        when(hasCjk(col("text")), "zh")
+          .when(col("en_hits") === 0 && col("es_hits") === 0 &&
+                col("de_hits") === 0 && col("fr_hits") === 0, "unknown")
+          .when(col("en_hits") >= col("es_hits") && col("en_hits") >= col("de_hits") &&
+                col("en_hits") >= col("fr_hits"), "en")
+          .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), "es")
+          .when(col("de_hits") >= col("fr_hits"), "de")
+          .otherwise("fr").as("lang_pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** tx_quality: length/punctuation/stopword/dup-line ratios + an
+    * integer-exact composite score. */
+  def txQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    val nTok = tokenCount(t).cast("long")
+    val punct = regexp_count(t, lit("[,.;:!?]")).cast("long")
+    val stops = tokenSetCount(t, EnStops).cast("long")
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > lit(0))
+    val nLines = size(lines).cast("long")
+    val nDistinctLines = size(array_distinct(lines)).cast("long")
+    docsOrdered(spark, sfDir)
+      .select(col("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        nTok.as("n_tokens"),
+        punct.as("n_punct"),
+        stops.as("n_stops"),
+        nLines.as("n_lines"),
+        nDistinctLines.as("n_dlines"))
+      .selectExpr(
+        "doc_id", "n_chars", "n_tokens",
+        "n_punct * 1000000L div greatest(n_chars, 1L) AS punct_ppm",
+        "n_stops * 1000000L div greatest(n_tokens, 1L) AS stop_ppm",
+        "(n_lines - n_dlines) * 1000000L div greatest(n_lines, 1L) AS dup_line_ppm")
+      .withColumn("quality_ppm",
+        expr("least(1000000L, n_tokens * 20000L) div 2 + stop_ppm div 4 + (1000000L - dup_line_ppm) div 4"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** tx_fingerprint: normalized md5 fingerprint (case/punct-jitter-robust
+    * exact-dup key; reference dedup norm per 7-clean-topics.py charset
+    * rules, re-expressed). */
+  def txFingerprint(spark: SparkSession, sfDir: String): DataFrame =
+    docsOrdered(spark, sfDir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_tokens"      -> (txTokens _),
+    "tx_langid"      -> (txLangid _),
+    "tx_quality"     -> (txQuality _),
+    "tx_fingerprint" -> (txFingerprint _))
+
+  private val sqlTokens =
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+
+  val oracle: Map[String, String] = Map(
+    "tx_tokens" ->
+      s"""SELECT doc_id,
+         |  CAST(length($sqlTokens) AS BIGINT) AS n_tokens,
+         |  CAST(length(list_distinct($sqlTokens)) AS BIGINT) AS n_distinct,
+         |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
+         |  CAST(length(list_filter(regexp_split_to_array(text, '[.!?]+'), s -> trim(s) != '')) AS BIGINT) AS n_sentences
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_langid" ->
+      s"""WITH h AS (
+         |  SELECT doc_id, text,
+         |    CAST(${sqlTokenHits(EnStops)} AS BIGINT) AS en_hits,
+         |    CAST(${sqlTokenHits(EsStops)} AS BIGINT) AS es_hits,
+         |    CAST(${sqlTokenHits(DeStops)} AS BIGINT) AS de_hits,
+         |    CAST(${sqlTokenHits(FrStops)} AS BIGINT) AS fr_hits
+         |  FROM documents)
+         |SELECT doc_id, en_hits, es_hits, de_hits, fr_hits,
+         |  CASE
+         |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+         |    WHEN en_hits = 0 AND es_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'unknown'
+         |    WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+         |    WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+         |    WHEN de_hits >= fr_hits THEN 'de'
+         |    ELSE 'fr' END AS lang_pred
+         |FROM h ORDER BY doc_id""".stripMargin,
+    "tx_quality" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(length($sqlTokens) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_extract_all(text, '[,.;:!?]')) AS BIGINT) AS n_punct,
+         |    CAST(${sqlTokenHits(EnStops)} AS BIGINT) AS n_stops,
+         |    CAST(length(list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) != '')) AS BIGINT) AS n_lines,
+         |    CAST(length(list_distinct(list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) != ''))) AS BIGINT) AS n_dlines
+         |  FROM documents)
+         |SELECT doc_id, n_chars, n_tokens,
+         |  CAST(n_punct * 1000000 // GREATEST(n_chars, 1) AS BIGINT) AS punct_ppm,
+         |  CAST(n_stops * 1000000 // GREATEST(n_tokens, 1) AS BIGINT) AS stop_ppm,
+         |  CAST((n_lines - n_dlines) * 1000000 // GREATEST(n_lines, 1) AS BIGINT) AS dup_line_ppm,
+         |  CAST(LEAST(1000000, n_tokens * 20000) // 2
+         |    + (n_stops * 1000000 // GREATEST(n_tokens, 1)) // 4
+         |    + (1000000 - (n_lines - n_dlines) * 1000000 // GREATEST(n_lines, 1)) // 4 AS BIGINT) AS quality_ppm
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "tx_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin)
+}
