@@ -17,10 +17,10 @@ object SparkEntry {
     Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analyticsQueries ++ DocPipeline.queries ++ TextOps.queries
+    analyticsQueries ++ DocPipeline.queries ++ TextOps.queries ++ Dedup.queries
 
   def oracleSql: Map[String, String] =
-    analyticsOracle ++ DocPipeline.oracle ++ TextOps.oracle
+    analyticsOracle ++ DocPipeline.oracle ++ TextOps.oracle ++ Dedup.oracle
 
   private val analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"      -> (Analytics.q1Pricing _),

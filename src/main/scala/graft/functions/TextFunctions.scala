@@ -99,6 +99,42 @@ object TextFunctions {
   def hashBucketSql(expr: String, n: Int): String =
     s"(ascii(substr(md5($expr),1,1))*256 + ascii(substr(md5($expr),2,1))) % $n"
 
+  /** Decimal value of one hex digit (md5 output is lowercase hex). */
+  def nibble(c: Column): Column =
+    ascii(c) - when(c >= "a", 87).otherwise(48)
+
+  /** First `n` hex chars of `h` as an unsigned long (n <= 15). Identical
+    * arithmetic is emitted by [[nibbleSql]]-based SQL for the DuckDB
+    * oracle, so hash-derived integers compare exactly across engines. */
+  def hexLong(h: Column, n: Int): Column =
+    (1 to n).map { j =>
+      val c = substring(h, j, 1)
+      nibble(c) * lit(1L << (4 * (n - j)))
+    }.reduce(_ + _)
+
+  /** DuckDB mirror of [[hexLong]] over SQL expression `h`. */
+  def hexLongSql(h: String, n: Int): String =
+    (1 to n).map { j =>
+      s"(ascii(substr($h,$j,1)) - CASE WHEN substr($h,$j,1) >= 'a' THEN 87 ELSE 48 END) * CAST(${1L << (4 * (n - j))} AS BIGINT)"
+    }.mkString("(", " + ", ")")
+
+  /** Distinct word n-gram shingles (falls back to the whole token string
+    * for texts shorter than n tokens). */
+  def shingles(c: Column, n: Int): Column = {
+    val toks = tokens(c)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array(concat_ws(" ", toks))))
+  }
+
+  /** DuckDB mirror of [[shingles]] (expects `toks` bound to the token list). */
+  def shinglesSql(toks: String, n: Int): String =
+    s"""list_distinct(CASE WHEN len($toks) >= $n
+       |  THEN [array_to_string($toks[i:i+${n - 1}], ' ') FOR i IN range(1, len($toks) - ${n - 2})]
+       |  ELSE [array_to_string($toks, ' ')] END)""".stripMargin
+
   /** Count of tokens that are members of `set` (with repeats). */
   def tokenSetCount(c: Column, set: Seq[String]): Column = {
     val arr = array(set.map(lit): _*)

@@ -1,0 +1,261 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+
+/** Deduplication suite over `documents` / `embeddings` (brief-mandated
+  * scale additions; no reference counterpart — design per SURVEY §6).
+  *
+  * Everything is hash-bucketed — LSH band joins and sign-bucket joins whose
+  * fan-in is the dup-cluster / bucket size, never an all-pairs crossJoin —
+  * and all hash arithmetic is md5-derived integer math that the DuckDB
+  * oracle reproduces digit-for-digit ([[graft.functions.TextFunctions.hexLong]]).
+  *
+  * MinHash uses the classic two-hash universal family h_i(s) = (a + i·b)
+  * mod p (Broder-style) over the two 32-bit halves of one md5 per shingle,
+  * so signature cost is one digest per shingle, not one per (seed, shingle).
+  */
+object Dedup {
+
+  // MinHash parameters: K signatures = BANDS bands × R rows.
+  val K = 16
+  val BANDS = 8
+  val R = 2
+  val P = 4294967291L // largest prime < 2^32
+
+  val JaccardThresholdPpm = 200000L // verified-pair cutoff (J >= 0.2)
+  val HammingMax = 3                // simhash near-dup radius (of 32 bits)
+  val CosineThresholdPpm = 250000L  // embedding near-dup cutoff
+  val MaxShingleDf = 100            // stop-shingle cap for the inverted index
+
+  private val toksSql =
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+
+  /** doc_id + distinct 3-gram shingle array. */
+  private def shingleDf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+
+  private val shingleCte =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |s AS (SELECT doc_id, ${shinglesSql("toks", 3)} AS sh FROM t)""".stripMargin
+
+  /** dd_exact: exact dedup on the normalized md5 fingerprint, keep-min-id.
+    * One map-side-combinable shuffle on the fingerprint. */
+  def ddExact(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("keep_id"))
+
+  /** dd_minhash_lsh: MinHash signatures → LSH band join → verified
+    * Jaccard pairs. Shuffles: band-key join + pair distinct + two id
+    * joins; band-bucket fan-in ∝ dup-cluster size. */
+  def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleDf(spark, sfDir)
+    val withAb = sh
+      .withColumn("hs", transform(col("sh"), s => md5(s)))
+      .withColumn("av", transform(col("hs"), h => hexLong(h, 8)))
+      .withColumn("bv", transform(col("hs"), h => hexLong(substring(h, 9, 8), 8)))
+    val sigs = (0 until K).map { i =>
+      array_min(zip_with(col("av"), col("bv"), (a, b) => (a + lit(i.toLong) * b) % lit(P)))
+        .as(s"sig$i")
+    }
+    val sigDf = withAb.select(col("doc_id") +: col("sh") +: sigs: _*)
+    val bandKeys = array((0 until BANDS).map { b =>
+      concat_ws(":", lit(b) +: (0 until R).map(r => col(s"sig${b * R + r}")): _*)
+    }: _*)
+    val bands = sigDf.select(col("doc_id"), explode(bandKeys).as("bk"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val sa = sh.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
+    val sb = sh.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
+    cands.join(sa, "id_a").join(sb, "id_b")
+      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("j_ppm",
+        expr(s"inter * 1000000L div (size(sh_a) + size(sh_b) - inter)"))
+      .filter(col("j_ppm") >= JaccardThresholdPpm)
+      .select(col("id_a"), col("id_b"), col("j_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** dd_ngram_jaccard: exact shingle-Jaccard pairs via the inverted index
+    * (posting-list self-join) with a stop-shingle df cap bounding the
+    * worst-case fan-in at scale. */
+  def ddNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
+    val sh = shingleDf(spark, sfDir)
+    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val rare = posting.join(
+      posting.groupBy(col("s")).count().filter(col("count") <= MaxShingleDf).select("s"),
+      "s")
+    val pairs = rare.as("x").join(rare.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    pairs
+      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .withColumn("j_ppm", expr("inter * 1000000L div (n_a + n_b - inter)"))
+      .filter(col("j_ppm") >= JaccardThresholdPpm)
+      .select(col("id_a"), col("id_b"), col("inter"), col("j_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** dd_simhash: 32-bit SimHash over the token multiset, 4×8-bit band
+    * blocking, Hamming-verified pairs. */
+  def ddSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val hv = transform(tokens(col("text")), t => hexLong(md5(t), 8))
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), hv.as("hv"), size(hv).cast("long").as("n"))
+    val fp = (0 until 32).map { j =>
+      val cnt = size(filter(col("hv"),
+        v => shiftrightunsigned(v, j).bitwiseAND(lit(1L)) === lit(1L))).cast("long")
+      when(cnt * 2 >= col("n"), lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val fpDf = base.select(col("doc_id"), fp.as("fp"))
+    val bandKeys = array((0 until 4).map { b =>
+      concat_ws(":", lit(b), shiftrightunsigned(col("fp"), 8 * b).bitwiseAND(lit(255L)))
+    }: _*)
+    val bands = fpDf.select(col("doc_id"), col("fp"), explode(bandKeys).as("bk"))
+    bands.as("x").join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
+      .filter(col("hamming") <= HammingMax)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** dd_embedding: cosine near-dup pairs, sign-LSH bucketed on the first
+    * 8 dimensions (bucket count should grow with N — 16+ bits at 100 TB). */
+  def ddEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val v = transform(col("embedding"), x => x.cast("double"))
+    val bucket = (1 to 8).map { j =>
+      when(element_at(col("v"), j) > 0, lit(1L << (j - 1))).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), v.as("v"))
+      .select(col("vec_id"), col("v"), bucket.as("bkt"))
+    e.as("x").join(e.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        round(VectorFunctions.cosine(col("x.v"), col("y.v")) * 1000000, 0)
+          .cast("long").as("cos_ppm"))
+      .filter(col("cos_ppm") >= CosineThresholdPpm)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_exact"         -> (ddExact _),
+    "dd_minhash_lsh"   -> (ddMinhashLsh _),
+    "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_simhash"       -> (ddSimhash _),
+    "dd_embedding"     -> (ddEmbedding _))
+
+  // ---- DuckDB oracle ----
+
+  private def minhashSigsSql: String =
+    (0 until K).map { i =>
+      s"list_min([(av[j] + $i*bv[j]) % $P FOR j IN range(1, len(av)+1)]) AS sig$i"
+    }.mkString(",\n    ")
+
+  private def bandUnnestSql: String =
+    (0 until BANDS).map { b =>
+      val parts = (0 until R).map(r => s"sig${b * R + r}")
+      s"concat($b, ':', ${parts.mkString(", ':', ")})"
+    }.mkString("[", ",\n      ", "]")
+
+  private def simhashCntsSql: String =
+    (0 until 32).map { j =>
+      s"len(list_filter(hv, v -> (v // ${1L << j}) % 2 = 1)) AS c$j"
+    }.mkString(",\n    ")
+
+  private def simhashFpSql: String =
+    (0 until 32).map { j =>
+      s"(CASE WHEN 2*c$j >= n THEN ${1L << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private def dotSql(a: String, b: String): String =
+    (1 to 64).map(j => s"$a[$j]*$b[$j]").mkString(" + ")
+
+  private def cosineSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private val embSignBucketSql = (1 to 8).map { j =>
+    s"(CASE WHEN v[$j] > 0 THEN ${1L << (j - 1)} ELSE 0 END)"
+  }.mkString(" + ")
+
+  val oracle: Map[String, String] = Map(
+    "dd_exact" ->
+      """SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp,
+        |  min(doc_id) AS keep_id, count(*) AS n_docs
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dd_minhash_lsh" ->
+      s"""WITH $shingleCte,
+         |h AS (SELECT doc_id, sh, [md5(x) FOR x IN sh] AS hs FROM s),
+         |ab AS (SELECT doc_id, sh,
+         |    [${hexLongSql("h", 8)} FOR h IN hs] AS av,
+         |    [${hexLongSql("substr(h,9,8)", 8)} FOR h IN hs] AS bv
+         |  FROM h),
+         |sg AS (SELECT doc_id, sh,
+         |    $minhashSigsSql
+         |  FROM ab),
+         |bd AS (SELECT doc_id, unnest($bandUnnestSql) AS bk FROM sg),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bd x JOIN bd y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |j AS (SELECT id_a, id_b,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS tot
+         |  FROM cand JOIN s a ON cand.id_a = a.doc_id JOIN s b ON cand.id_b = b.doc_id)
+         |SELECT id_a, id_b, inter * 1000000 // (tot - inter) AS j_ppm
+         |FROM j WHERE inter * 1000000 // (tot - inter) >= $JaccardThresholdPpm
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dd_ngram_jaccard" ->
+      s"""WITH $shingleCte,
+         |posting AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+         |df AS (SELECT sg, count(*) AS df FROM posting GROUP BY sg),
+         |rare AS (SELECT p.doc_id, p.sg FROM posting p JOIN df USING (sg) WHERE df <= $MaxShingleDf),
+         |ip AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+         |  FROM rare x JOIN rare y ON x.sg = y.sg AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s)
+         |SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter,
+         |  CAST(inter * 1000000 // (a.n + b.n - inter) AS BIGINT) AS j_ppm
+         |FROM ip JOIN sz a ON ip.id_a = a.doc_id JOIN sz b ON ip.id_b = b.doc_id
+         |WHERE inter * 1000000 // (a.n + b.n - inter) >= $JaccardThresholdPpm
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dd_simhash" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |h AS (SELECT doc_id, [${hexLongSql("md5(x)", 8)} FOR x IN toks] AS hv FROM t),
+         |c AS (SELECT doc_id, CAST(len(hv) AS BIGINT) AS n,
+         |    $simhashCntsSql
+         |  FROM h),
+         |f AS (SELECT doc_id, CAST($simhashFpSql AS BIGINT) AS fp FROM c),
+         |bd AS (SELECT doc_id, fp, unnest([
+         |    concat(0, ':', (fp // 1) % 256), concat(1, ':', (fp // 256) % 256),
+         |    concat(2, ':', (fp // 65536) % 256), concat(3, ':', (fp // 16777216) % 256)]) AS bk
+         |  FROM f),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b,
+         |    x.fp AS fp_a, y.fp AS fp_b
+         |  FROM bd x JOIN bd y ON x.bk = y.bk AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
+         |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $HammingMax
+         |ORDER BY id_a, id_b""".stripMargin,
+    "dd_embedding" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |b AS (SELECT vec_id, v, $embSignBucketSql AS bkt FROM e)
+         |SELECT x.vec_id AS id_a, y.vec_id AS id_b,
+         |  CAST(round((${cosineSql("x.v", "y.v")}) * 1000000, 0) AS BIGINT) AS cos_ppm
+         |FROM b x JOIN b y ON x.bkt = y.bkt AND x.vec_id < y.vec_id
+         |WHERE CAST(round((${cosineSql("x.v", "y.v")}) * 1000000, 0) AS BIGINT) >= $CosineThresholdPpm
+         |ORDER BY id_a, id_b""".stripMargin)
+}
