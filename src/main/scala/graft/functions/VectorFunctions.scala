@@ -22,7 +22,24 @@ object VectorFunctions {
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (norm2(a) * norm2(b))
 
-  def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v))
+  def l2Distance(a: Column, b: Column): Column = sqrt(l2Sq(a, b))
+
+  /** Squared L2 (argmin-equivalent to L2, skips the sqrt). */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(d(a), d(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  // ---- DuckDB oracle mirrors ----
+  // The HOF folds above evaluate term-by-term left to right; these emit the
+  // same chain unrolled (left-assoc in SQL), so both engines perform the
+  // identical IEEE double operation sequence and produce bit-equal results.
+
+  def dotSql(a: String, b: String, dim: Int = 64): String =
+    (1 to dim).map(j => s"$a[$j]*$b[$j]").mkString(" + ")
+
+  def cosineSql(a: String, b: String, dim: Int = 64): String =
+    s"(${dotSql(a, b, dim)}) / (sqrt(${dotSql(a, a, dim)}) * sqrt(${dotSql(b, b, dim)}))"
+
+  def l2SqSql(a: String, b: String, dim: Int = 64): String =
+    (1 to dim).map(j => s"($a[$j]-$b[$j])*($a[$j]-$b[$j])").mkString(" + ")
 }

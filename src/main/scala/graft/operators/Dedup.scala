@@ -185,11 +185,8 @@ object Dedup {
       s"(CASE WHEN 2*c$j >= n THEN ${1L << j} ELSE 0 END)"
     }.mkString(" + ")
 
-  private def dotSql(a: String, b: String): String =
-    (1 to 64).map(j => s"$a[$j]*$b[$j]").mkString(" + ")
-
   private def cosineSql(a: String, b: String): String =
-    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+    VectorFunctions.cosineSql(a, b)
 
   private val embSignBucketSql = (1 to 8).map { j =>
     s"(CASE WHEN v[$j] > 0 THEN ${1L << (j - 1)} ELSE 0 END)"

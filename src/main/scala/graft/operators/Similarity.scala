@@ -1,0 +1,172 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.VectorFunctions._
+
+/** Similarity search + clustering over `embeddings` (64-dim float
+  * vectors).
+  *
+  * Scale shape (SURVEY §6): query and centroid sets are always broadcast
+  * (as a single collected-array row — map-only per-vector scoring, no
+  * explosion); top-k is two-phase — partial top-k per (query, scan
+  * partition), then a tiny global pass — never a global sort of the
+  * candidate set. Reference counterpart for clustering:
+  * 21-embedding-and-clustering.py:315-334 (KMeans random_state=42),
+  * re-expressed on MLlib.
+  */
+object Similarity {
+
+  val TopK = 5
+  val NProbe = 2
+
+  private def vecs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Query set: vec_id < 10 (part of the corpus; self-matches excluded). */
+  private def queriesDf(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir).filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+
+  /** Seed centroids: every 50th vector (deterministic; centroid count
+    * grows with SF but stays broadcastable — ~sqrt(N) at 100 TB). */
+  private def centroidsDf(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir).filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+
+  /** Per-(query, partition) partial top-k, then exact global top-k over
+    * the ≤ k·numPartitions survivors. Phase-1 shuffle keys are
+    * (q_id, partition) — parallelism scales with the scan, not |Q|. */
+  private def topKPerQuery(cand: DataFrame, k: Int): DataFrame = {
+    val w1 = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cand.withColumn("pid", spark_partition_id())
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long")).filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos") * 1000000, 0).cast("long").as("cos_ppm"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** ss_brute_topk: exact cosine top-k per query over the full corpus. */
+  def ssBruteTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val cand = vecs(spark, sfDir)
+      .join(broadcast(queriesDf(spark, sfDir)), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+    topKPerQuery(cand, TopK)
+  }
+
+  /** Nearest-centroid assignment as a map-only pass: the centroid set is
+    * collected into ONE array row, broadcast, and argmin runs as an
+    * array fold per vector — no explosion, no shuffle. */
+  private def assignments(spark: SparkSession, sfDir: String): DataFrame = {
+    val centArr = centroidsDf(spark, sfDir)
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    vecs(spark, sfDir).crossJoin(broadcast(centArr))
+      .withColumn("best", array_min(transform(col("cents"),
+        c => struct(l2Sq(col("v"), c.getField("cv")).as("d"), c.getField("c_id").as("c_id")))))
+      .select(col("vec_id"), col("v"),
+        col("best.c_id").as("cluster"), col("best.d").as("dist2"))
+  }
+
+  /** ss_ivf_topk: IVF — probe the NProbe nearest centroid buckets, then
+    * cosine top-k within the probed buckets only. */
+  def ssIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val centArr = centroidsDf(spark, sfDir)
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    val probes = queriesDf(spark, sfDir).crossJoin(broadcast(centArr))
+      .withColumn("probe", explode(slice(array_sort(transform(col("cents"),
+        c => struct(l2Sq(col("qv"), c.getField("cv")).as("d"), c.getField("c_id").as("c_id")))),
+        1, NProbe)))
+      .select(col("q_id"), col("qv"), col("probe.c_id").as("cluster"))
+    val cand = assignments(spark, sfDir)
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+    topKPerQuery(cand, TopK)
+  }
+
+  /** p21_cluster_assign: per-vector nearest seed centroid + distance. */
+  def p21ClusterAssign(spark: SparkSession, sfDir: String): DataFrame =
+    assignments(spark, sfDir)
+      .select(col("vec_id"), col("cluster"),
+        round(col("dist2") * 1000, 0).cast("long").as("dist2_mil"))
+      .orderBy(col("vec_id"))
+
+  /** p21_kmeans: MLlib KMeans (k=10, seed=42 per the reference's
+    * random_state=42) — cluster sizes, rows-only gate (training is
+    * iterative; no SQL oracle). */
+  def p21Kmeans(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val df = vecs(spark, sfDir)
+      .select(col("vec_id"), array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(df)
+    model.transform(df)
+      .groupBy(col("prediction").cast("long").as("cluster"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("cluster"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "ss_brute_topk"      -> (ssBruteTopk _),
+    "ss_ivf_topk"        -> (ssIvfTopk _),
+    "p21_cluster_assign" -> (p21ClusterAssign _),
+    "p21_kmeans"         -> (p21Kmeans _))
+
+  // ---- DuckDB oracle (p21_kmeans is rows-only: no entry) ----
+
+  private val eCte = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+  private val qCte = "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10)"
+  private val cCte = "c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 50 = 0)"
+
+  private val asgCte =
+    s"""asg AS (
+       |  SELECT vec_id, v, c_id AS cluster, d AS dist2 FROM (
+       |    SELECT e.vec_id, e.v, c.c_id, ${l2SqSql("e.v", "c.cv")} AS d,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${l2SqSql("e.v", "c.cv")}, c.c_id) AS rn
+       |    FROM e CROSS JOIN c) WHERE rn = 1)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "ss_brute_topk" ->
+      s"""WITH $eCte, $qCte,
+         |cand AS (
+         |  SELECT q_id, vec_id, ${cosineSql("qv", "v")} AS cos
+         |  FROM q CROSS JOIN e WHERE vec_id != q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM cand)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  CAST(round(cos*1000000, 0) AS BIGINT) AS cos_ppm
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ss_ivf_topk" ->
+      s"""WITH $eCte, $qCte, $cCte,
+         |$asgCte,
+         |probes AS (
+         |  SELECT q_id, qv, c_id AS cluster FROM (
+         |    SELECT q.q_id, q.qv, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${l2SqSql("q.qv", "c.cv")}, c.c_id) AS rn
+         |    FROM q CROSS JOIN c) WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id, ${cosineSql("p.qv", "a.v")} AS cos
+         |  FROM probes p JOIN asg a USING (cluster) WHERE a.vec_id != p.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM cand)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  CAST(round(cos*1000000, 0) AS BIGINT) AS cos_ppm
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "p21_cluster_assign" ->
+      s"""WITH $eCte, $cCte,
+         |$asgCte
+         |SELECT vec_id, cluster, CAST(round(dist2*1000, 0) AS BIGINT) AS dist2_mil
+         |FROM asg ORDER BY vec_id""".stripMargin)
+}
