@@ -1,0 +1,227 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Annotation + cleaning stages (reference stages 3/6/7/9/11/12/14/15).
+  *
+  * The reference runs these as vLLM guided-decoding classifiers; per
+  * SURVEY §1.3 they are re-expressed as deterministic heuristic
+  * classifiers with the same dataflow shape (same label taxonomies, same
+  * downstream cleaning filters), so they stay oracle-checkable. All are
+  * shuffle-free single-pass projections/filters.
+  */
+object Annotations {
+
+  /** Taxonomy from 3-extract-structures.py:24-34. */
+  val StructureLabels = Seq(
+    "instructional", "inspirational", "analytical", "insightful",
+    "controversial", "comparative", "reflective", "evolutionary",
+    "announcement")
+
+  /** Taxonomy from 9-extract-tone.py:24-100 (all 76 allowed tones). */
+  val Tones = Seq(
+    "adventurous", "artistic", "assertive", "authoritative", "bold",
+    "bright", "calm", "capable", "caring", "casual", "charming", "cheerful",
+    "clever", "cocky", "colorful", "comfortable", "conversational",
+    "creative", "daring", "delightful", "detailed", "dramatic", "dry",
+    "eccentric", "elegant", "endearing", "energetic", "engaging",
+    "exciting", "fabulous", "fancy", "fierce", "formal", "friendly", "fun",
+    "futuristic", "glamorous", "honorable", "industrial", "informative",
+    "inspiring", "intense", "inviting", "lively", "natural", "no-nonsense",
+    "persuasive", "playful", "powerful", "professional", "quirky",
+    "rebellious", "reliable", "sarcastic", "savvy", "scholarly", "secure",
+    "serious", "silly", "sleek", "smart", "soothing", "sophisticated",
+    "stable", "stimulating", "strong", "swanky", "tasteful", "thoughtful",
+    "trustworthy", "unconventional", "unique", "upbeat", "versatile",
+    "whimsical", "witty")
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  private val t = col("text")
+  private def toks = tokens(t)
+
+  private def pick(labels: Seq[String], bucket: Column): Column =
+    element_at(array(labels.map(lit): _*), (bucket + 1).cast("int"))
+
+  private def pickSql(labels: Seq[String], bucketSql: String): String = {
+    val lst = labels.map(l => s"'$l'").mkString("[", ", ", "]")
+    s"$lst[($bucketSql) + 1]"
+  }
+
+  private val toksSql =
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+
+  /** p03: structure classification — keyword rules first, md5-bucket
+    * fallback over the 9-label taxonomy; empty text → 'unknown'
+    * (3-extract-structures.py:60-75 semantics, heuristic re-expression). */
+  def p03Structure(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        when(length(trim(t)) === 0, "unknown")
+          .when(array_contains(toks, "data") && array_contains(toks, "table"), "analytical")
+          .when(array_contains(toks, "fast") && array_contains(toks, "slow"), "comparative")
+          .when(array_contains(toks, "stream"), "evolutionary")
+          .when(array_contains(toks, "spark"), "announcement")
+          .otherwise(pick(StructureLabels, hashBucket(t, 9))).as("structure"))
+      .orderBy(col("doc_id"))
+
+  /** p06: dominant-token topic (most frequent token, ties → smallest).
+    * The count is folded into a sortable "inverted-count || token" key so
+    * both engines argmin the same string. */
+  private def topicCol: Column = {
+    val keyed = transform(array_distinct(toks), x =>
+      concat(lpad((lit(1000000) - size(filter(toks, tk => tk === x))).cast("string"), 7, "0"), x))
+    substring(array_min(keyed), 8, 1000000)
+  }
+
+  private val topicSql =
+    s"""substr(list_min([concat(lpad(CAST(1000000 - len(list_filter($toksSql, tk -> tk = x)) AS VARCHAR), 7, '0'), x)
+       |  FOR x IN list_distinct($toksSql)]), 8)""".stripMargin
+
+  def p06Topic(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), topicCol.as("topic"))
+      .orderBy(col("doc_id"))
+
+  /** p07: drop topics with disallowed content (7-clean-topics.py:18-43:
+    * "..."/?/_/{}/[]/<>/CJK/"unknown"). */
+  def p07CleanTopics(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), topicCol.as("topic"))
+      .filter(!isDisallowedAnnotation(col("topic")))
+      .orderBy(col("doc_id"))
+
+  /** p09: tone — up to 3 distinct md5-bucketed picks from the 76-tone
+    * taxonomy, joined ", " (9-extract-tone.py:154-163 join semantics). */
+  def p09Tone(spark: SparkSession, sfDir: String): DataFrame = {
+    val n = Tones.length
+    val t1 = pick(Tones, hashBucket(concat(t, lit("#1")), n))
+    val t2 = pick(Tones, hashBucket(concat(t, lit("#2")), n))
+    val t3 = pick(Tones, hashBucket(concat(t, lit("#3")), n))
+    docs(spark, sfDir)
+      .select(col("doc_id"), t1.as("t1"), t2.as("t2"), t3.as("t3"))
+      .select(col("doc_id"),
+        concat(col("t1"),
+          when(col("t2") =!= col("t1"), concat(lit(", "), col("t2"))).otherwise(lit("")),
+          when(col("t3") =!= col("t1") && col("t3") =!= col("t2"),
+            concat(lit(", "), col("t3"))).otherwise(lit(""))).as("tone"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** p11: opinion extraction — leading-phrase re-expression ("I think " +
+    * first 5 tokens); empty text → '' (11-extract-opinion.py:50,64-70). */
+  private val opinionCol =
+    when(size(toks) === 0, "")
+      .otherwise(concat(lit("I think "), concat_ws(" ", slice(toks, 1, 5))))
+
+  private val opinionSql =
+    s"""CASE WHEN len($toksSql) = 0 THEN ''
+       |  ELSE concat('I think ', array_to_string(($toksSql)[1:5], ' ')) END""".stripMargin
+
+  def p11Opinion(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), opinionCol.as("opinion"))
+      .orderBy(col("doc_id"))
+
+  /** p12: drop opinions with CJK or bare "unknown"
+    * (12-clean-opinions.py:18-30). */
+  def p12CleanOpinions(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), opinionCol.as("opinion"))
+      .filter(!(hasCjk(col("opinion")) || lower(trim(col("opinion"))) === "unknown"))
+      .orderBy(col("doc_id"))
+
+  /** p14: context extraction — tokens 6-10 as the supporting-context
+    * phrase; <6 tokens → 'Unknown' (14-extract-context.py:34-39,69-75). */
+  private val contextCol =
+    when(size(toks) < 6, "Unknown")
+      .otherwise(concat(lit("Based on "), concat_ws(" ", slice(toks, 6, 5))))
+
+  private val contextSql =
+    s"""CASE WHEN len($toksSql) < 6 THEN 'Unknown'
+       |  ELSE concat('Based on ', array_to_string(($toksSql)[6:10], ' ')) END""".stripMargin
+
+  def p14Context(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), contextCol.as("context"))
+      .orderBy(col("doc_id"))
+
+  /** p15: drop contexts with CJK, bare "unknown", or the literal "650+"
+    * (15-clean-context.py:18-39 — note the reference's `and` chain
+    * short-circuits to a bare `"650+" in context` check; reproduced
+    * faithfully). */
+  def p15CleanContext(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), contextCol.as("context"))
+      .filter(!(hasCjk(col("context")) ||
+        lower(trim(col("context"))) === "unknown" ||
+        col("context").contains("650+")))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p03_structure"     -> (p03Structure _),
+    "p06_topic"         -> (p06Topic _),
+    "p07_clean_topics"  -> (p07CleanTopics _),
+    "p09_tone"          -> (p09Tone _),
+    "p11_opinion"       -> (p11Opinion _),
+    "p12_clean_opinions" -> (p12CleanOpinions _),
+    "p14_context"       -> (p14Context _),
+    "p15_clean_context" -> (p15CleanContext _))
+
+  // ---- DuckDB oracle ----
+
+  private def tokenHas(w: String) = s"list_contains($toksSql, '$w')"
+
+  private val structureSql =
+    s"""CASE WHEN trim(text) = '' THEN 'unknown'
+       |  WHEN ${tokenHas("data")} AND ${tokenHas("table")} THEN 'analytical'
+       |  WHEN ${tokenHas("fast")} AND ${tokenHas("slow")} THEN 'comparative'
+       |  WHEN ${tokenHas("stream")} THEN 'evolutionary'
+       |  WHEN ${tokenHas("spark")} THEN 'announcement'
+       |  ELSE ${pickSql(StructureLabels, hashBucketSql("text", 9))} END""".stripMargin
+
+  private def toneSql: String = {
+    val n = Tones.length
+    def p(i: Int) = pickSql(Tones, hashBucketSql(s"concat(text, '#$i')", n))
+    s"""concat(t1,
+       |  CASE WHEN t2 != t1 THEN concat(', ', t2) ELSE '' END,
+       |  CASE WHEN t3 != t1 AND t3 != t2 THEN concat(', ', t3) ELSE '' END) AS tone
+       |FROM (SELECT doc_id, ${p(1)} AS t1, ${p(2)} AS t2, ${p(3)} AS t3 FROM documents)""".stripMargin
+  }
+
+  private val disallowedSql =
+    """(contains(topic, '...') OR contains(topic, '?') OR contains(topic, '_')
+      |  OR contains(topic, '{') OR contains(topic, '}') OR contains(topic, '[') OR contains(topic, ']')
+      |  OR contains(topic, '<') OR contains(topic, '>')
+      |  OR regexp_matches(topic, '[\x{4e00}-\x{9fff}]')
+      |  OR lower(trim(topic)) = 'unknown')""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "p03_structure" ->
+      s"SELECT doc_id, $structureSql AS structure FROM documents ORDER BY doc_id",
+    "p06_topic" ->
+      s"SELECT doc_id, $topicSql AS topic FROM documents ORDER BY doc_id",
+    "p07_clean_topics" ->
+      s"""SELECT doc_id, topic FROM (SELECT doc_id, $topicSql AS topic FROM documents)
+         |WHERE NOT $disallowedSql ORDER BY doc_id""".stripMargin,
+    "p09_tone" ->
+      s"SELECT doc_id, $toneSql ORDER BY doc_id",
+    "p11_opinion" ->
+      s"SELECT doc_id, $opinionSql AS opinion FROM documents ORDER BY doc_id",
+    "p12_clean_opinions" ->
+      s"""SELECT doc_id, opinion FROM (SELECT doc_id, $opinionSql AS opinion FROM documents)
+         |WHERE NOT (regexp_matches(opinion, '[\\x{4e00}-\\x{9fff}]') OR lower(trim(opinion)) = 'unknown')
+         |ORDER BY doc_id""".stripMargin,
+    "p14_context" ->
+      s"SELECT doc_id, $contextSql AS context FROM documents ORDER BY doc_id",
+    "p15_clean_context" ->
+      s"""SELECT doc_id, context FROM (SELECT doc_id, $contextSql AS context FROM documents)
+         |WHERE NOT (regexp_matches(context, '[\\x{4e00}-\\x{9fff}]') OR lower(trim(context)) = 'unknown'
+         |  OR contains(context, '650+'))
+         |ORDER BY doc_id""".stripMargin)
+}
