@@ -17,11 +17,12 @@ object SparkEntry {
     Analytics.q1Pricing(spark, "/root/testdata/sf0.001")
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    analyticsQueries ++ DocPipeline.queries ++ TextOps.queries ++ Dedup.queries ++ Similarity.queries ++ Annotations.queries
+    analyticsQueries ++ DocPipeline.queries ++ TextOps.queries ++ Dedup.queries ++ Similarity.queries ++ Annotations.queries ++
+      Style.queries ++ Rewards.queries
 
   def oracleSql: Map[String, String] =
     analyticsOracle ++ DocPipeline.oracle ++ TextOps.oracle ++ Dedup.oracle ++
-      Similarity.oracle ++ Annotations.oracle
+      Similarity.oracle ++ Annotations.oracle ++ Style.oracle ++ Rewards.oracle
 
   private val analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"      -> (Analytics.q1Pricing _),

@@ -56,30 +56,33 @@ object Annotations {
   private val toksSql =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 
+  /** Structure label column (shared with p18's prompt assembly). */
+  private[operators] def structureCol: Column =
+    when(length(trim(t)) === 0, "unknown")
+      .when(array_contains(toks, "data") && array_contains(toks, "table"), "analytical")
+      .when(array_contains(toks, "fast") && array_contains(toks, "slow"), "comparative")
+      .when(array_contains(toks, "stream"), "evolutionary")
+      .when(array_contains(toks, "spark"), "announcement")
+      .otherwise(pick(StructureLabels, hashBucket(t, 9)))
+
   /** p03: structure classification — keyword rules first, md5-bucket
     * fallback over the 9-label taxonomy; empty text → 'unknown'
     * (3-extract-structures.py:60-75 semantics, heuristic re-expression). */
   def p03Structure(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
-      .select(col("doc_id"),
-        when(length(trim(t)) === 0, "unknown")
-          .when(array_contains(toks, "data") && array_contains(toks, "table"), "analytical")
-          .when(array_contains(toks, "fast") && array_contains(toks, "slow"), "comparative")
-          .when(array_contains(toks, "stream"), "evolutionary")
-          .when(array_contains(toks, "spark"), "announcement")
-          .otherwise(pick(StructureLabels, hashBucket(t, 9))).as("structure"))
+      .select(col("doc_id"), structureCol.as("structure"))
       .orderBy(col("doc_id"))
 
   /** p06: dominant-token topic (most frequent token, ties → smallest).
     * The count is folded into a sortable "inverted-count || token" key so
     * both engines argmin the same string. */
-  private def topicCol: Column = {
+  private[operators] def topicCol: Column = {
     val keyed = transform(array_distinct(toks), x =>
       concat(lpad((lit(1000000) - size(filter(toks, tk => tk === x))).cast("string"), 7, "0"), x))
     substring(array_min(keyed), 8, 1000000)
   }
 
-  private val topicSql =
+  private[operators] val topicSql =
     s"""substr(list_min([concat(lpad(CAST(1000000 - len(list_filter($toksSql, tk -> tk = x)) AS VARCHAR), 7, '0'), x)
        |  FOR x IN list_distinct($toksSql)]), 8)""".stripMargin
 
@@ -98,20 +101,20 @@ object Annotations {
 
   /** p09: tone — up to 3 distinct md5-bucketed picks from the 76-tone
     * taxonomy, joined ", " (9-extract-tone.py:154-163 join semantics). */
-  def p09Tone(spark: SparkSession, sfDir: String): DataFrame = {
+  private[operators] def toneCol: Column = {
     val n = Tones.length
     val t1 = pick(Tones, hashBucket(concat(t, lit("#1")), n))
     val t2 = pick(Tones, hashBucket(concat(t, lit("#2")), n))
     val t3 = pick(Tones, hashBucket(concat(t, lit("#3")), n))
-    docs(spark, sfDir)
-      .select(col("doc_id"), t1.as("t1"), t2.as("t2"), t3.as("t3"))
-      .select(col("doc_id"),
-        concat(col("t1"),
-          when(col("t2") =!= col("t1"), concat(lit(", "), col("t2"))).otherwise(lit("")),
-          when(col("t3") =!= col("t1") && col("t3") =!= col("t2"),
-            concat(lit(", "), col("t3"))).otherwise(lit(""))).as("tone"))
-      .orderBy(col("doc_id"))
+    concat(t1,
+      when(t2 =!= t1, concat(lit(", "), t2)).otherwise(lit("")),
+      when(t3 =!= t1 && t3 =!= t2, concat(lit(", "), t3)).otherwise(lit("")))
   }
+
+  def p09Tone(spark: SparkSession, sfDir: String): DataFrame =
+    docs(spark, sfDir)
+      .select(col("doc_id"), toneCol.as("tone"))
+      .orderBy(col("doc_id"))
 
   /** p11: opinion extraction — leading-phrase re-expression ("I think " +
     * first 5 tokens); empty text → '' (11-extract-opinion.py:50,64-70). */
@@ -177,7 +180,16 @@ object Annotations {
 
   private def tokenHas(w: String) = s"list_contains($toksSql, '$w')"
 
-  private val structureSql =
+  /** Inline (subquery-free) DuckDB tone expression, for reuse in p18. */
+  private[operators] def toneInlineSql: String = {
+    val n = Tones.length
+    def p(i: Int) = pickSql(Tones, hashBucketSql(s"concat(text, '#$i')", n))
+    s"""concat(${p(1)},
+       |  CASE WHEN ${p(2)} != ${p(1)} THEN concat(', ', ${p(2)}) ELSE '' END,
+       |  CASE WHEN ${p(3)} != ${p(1)} AND ${p(3)} != ${p(2)} THEN concat(', ', ${p(3)}) ELSE '' END)""".stripMargin
+  }
+
+  private[operators] val structureSql =
     s"""CASE WHEN trim(text) = '' THEN 'unknown'
        |  WHEN ${tokenHas("data")} AND ${tokenHas("table")} THEN 'analytical'
        |  WHEN ${tokenHas("fast")} AND ${tokenHas("slow")} THEN 'comparative'

@@ -77,6 +77,26 @@ object DocPipeline {
     "p01_engagement" -> (p01Engagement _),
     "p02_label"      -> (p02Label _))
 
+  /** DuckDB emoji-count over `text` (mirror of TextFunctions.emojiCount). */
+  private[operators] val emojiCountSql =
+    s"length(regexp_extract_all(text, '$EmojiClass'))"
+
+  /** DuckDB mirror of TextFunctions.emojiUsage over `text`. */
+  private[operators] val emojiUsageSql =
+    s"""CASE
+       |    WHEN $emojiCountSql = 0 THEN 'none'
+       |    WHEN CAST($emojiCountSql AS DOUBLE) / length(text) <= 0.0005 THEN 'very low'
+       |    WHEN CAST($emojiCountSql AS DOUBLE) / length(text) <= 0.001 THEN 'low'
+       |    WHEN CAST($emojiCountSql AS DOUBLE) / length(text) <= 0.005 THEN 'medium'
+       |    WHEN CAST($emojiCountSql AS DOUBLE) / length(text) <= 0.01 THEN 'high'
+       |    ELSE 'extreme' END""".stripMargin
+
+  /** DuckDB mirror of TextFunctions.lengthBucket over `text`. */
+  private[operators] val lengthBucketSql =
+    """CASE WHEN length(text) >= 1501 THEN 'Between 1,500 and 3,000 characters long'
+      |       WHEN length(text) >= 750 THEN 'Between 750 and 1,500 characters long'
+      |       ELSE 'Up to 750 characters long' END""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "p01_engagement" ->
       s"""WITH eng AS (

@@ -1,0 +1,344 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Reward functions over (requirement, completion) pairs
+  * (reference: training/rewards — length, hashtags, emoji, punctuation,
+  * linebreaks, vocabulary, divider, CJK, sentence structure + the
+  * weight-averaged aggregate).
+  *
+  * The documents table stands in for completions; the requirement side of
+  * each pair is synthesized deterministically from doc_id (both engines
+  * compute the identical arithmetic), exercising the reference's scoring
+  * branches. Discrete branch scores are integer ppm end-to-end; the two
+  * continuous formulas (length in-range ramp) run the identical double
+  * op sequence in both engines before one final rounding.
+  *
+  * Map-only, shuffle-free, codegen-friendly (no UDFs).
+  */
+object Rewards {
+
+  private val t = col("text")
+  private def toks = tokens(t)
+
+  /** rw_length per training/rewards/length.py:6-57
+    * (precise_post_length_reward with the text's own bucket). */
+  private def lengthRewardPpm: Column = {
+    val l = length(t).cast("double")
+    val inUp750 = lit(0.7) + lit(0.3) * least(lit(1.0), l / lit(750.0))
+    val in750_1500 = lit(0.7) + lit(0.3) * ((l - lit(750.0)) / lit(750.0))
+    val in1500_3000 = lit(0.7) + lit(0.3) * ((l - lit(1500.0)) / lit(1500.0))
+    val over3000 = (l - lit(3000.0)) / lit(3000.0)
+    val r = when(length(t) <= 750, inUp750)
+      .when(length(t) <= 1500, in750_1500)
+      .when(length(t) <= 3000, in1500_3000)
+      .when(over3000 <= 0.1, lit(0.6))
+      .when(over3000 <= 0.25, lit(0.3))
+      .otherwise(lit(0.0))
+    round(r * 1000000, 0).cast("long")
+  }
+
+  private val lengthRewardSql =
+    """CAST(round(CASE
+      |  WHEN length(text) <= 750 THEN 0.7 + 0.3 * LEAST(1.0, CAST(length(text) AS DOUBLE) / 750.0)
+      |  WHEN length(text) <= 1500 THEN 0.7 + 0.3 * ((CAST(length(text) AS DOUBLE) - 750.0) / 750.0)
+      |  WHEN length(text) <= 3000 THEN 0.7 + 0.3 * ((CAST(length(text) AS DOUBLE) - 1500.0) / 1500.0)
+      |  WHEN (CAST(length(text) AS DOUBLE) - 3000.0) / 3000.0 <= 0.1 THEN 0.6
+      |  WHEN (CAST(length(text) AS DOUBLE) - 3000.0) / 3000.0 <= 0.25 THEN 0.3
+      |  ELSE 0.0 END * 1000000, 0) AS BIGINT)""".stripMargin
+
+  /** rw_hashtags per training/rewards/hashtags.py:6-14 (tail line,
+    * <=3 free then -0.2 each). */
+  private def hashtagRewardPpm: Column = {
+    val tail = element_at(split(t, "\n"), -1)
+    val n = regexp_count(tail, lit("#[A-Za-z0-9_]+")).cast("long")
+    when(n <= 3, lit(1000000L))
+      .otherwise(greatest(lit(0L), lit(1000000L) - lit(200000L) * (n - 3)))
+  }
+
+  private val hashtagRewardSql =
+    """CAST(CASE WHEN length(regexp_extract_all(regexp_split_to_array(text, '\n')[-1], '#[A-Za-z0-9_]+')) <= 3 THEN 1000000
+      |  ELSE GREATEST(0, 1000000 - 200000 * (length(regexp_extract_all(regexp_split_to_array(text, '\n')[-1], '#[A-Za-z0-9_]+')) - 3)) END AS BIGINT)""".stripMargin
+
+  /** rw_emoji per training/rewards/emoji.py:40-66
+    * (enhanced_emoji_usage_reward; required bin = doc_id % 6). */
+  private def emojiRewardPpm: Column = {
+    val order = Seq("none", "very low", "low", "medium", "high", "extreme")
+    val actualIdx = order.zipWithIndex.foldLeft(lit(0)) { case (acc, (lab, i)) =>
+      when(emojiUsage(t) === lab, lit(i)).otherwise(acc)
+    }
+    val reqIdx = (col("doc_id") % 6).cast("int")
+    val d = abs(reqIdx - actualIdx)
+    when(d === 0, lit(1000000L)).when(d === 1, lit(700000L))
+      .when(d === 2, lit(400000L)).otherwise(lit(0L))
+  }
+
+  private val emojiRewardSql = {
+    val actualIdx =
+      s"""(CASE ${DocPipeline.emojiUsageSql}
+         |  WHEN 'none' THEN 0 WHEN 'very low' THEN 1 WHEN 'low' THEN 2
+         |  WHEN 'medium' THEN 3 WHEN 'high' THEN 4 ELSE 5 END)""".stripMargin
+    s"""CAST(CASE abs(CAST(doc_id % 6 AS INTEGER) - $actualIdx)
+       |  WHEN 0 THEN 1000000 WHEN 1 THEN 700000 WHEN 2 THEN 400000 ELSE 0 END AS BIGINT)""".stripMargin
+  }
+
+  /** rw_punct per training/rewards/punctuation.py:29-66: five punctuation
+    * families, requested level derived from doc_id parity, thresholds on
+    * count/length; per-type scores in integer millis, averaged exactly. */
+  private val punctTypes = Seq(
+    (".", 0, 0.01, 0.02, 0.03),
+    (",", 1, 0.01, 0.02, 0.03),
+    ("!", 2, 0.001, 0.005, 0.01),
+    ("?", 3, 0.001, 0.005, 0.01),
+    (";", 4, 0.0005, 0.001, 0.002))
+
+  private def punctRewardPpm: Column = {
+    val len = length(t).cast("double")
+    val typeScores = punctTypes.map { case (ch, k, lo, nm, hv) =>
+      val freq = charCount(t, ch).cast("double") / len
+      val heavy = ((col("doc_id") + k) % 2) === 0
+      when(length(t) === 0, lit(300L * 1000))
+        .when(heavy,
+          when(freq >= hv, lit(1000000L)).when(freq >= nm, lit(700000L))
+            .when(freq >= lo, lit(400000L)).otherwise(lit(100000L)))
+        .otherwise(
+          when(freq >= lo && freq <= nm, lit(1000000L))
+            .when(freq < lo, lit(600000L))
+            .when(freq < hv, lit(800000L)).otherwise(lit(400000L)))
+    }
+    // Each type score is a multiple of 100k, so the sum/5 is exact in
+    // double and truncation == DuckDB's integer // 5.
+    (typeScores.reduce(_ + _) / lit(5L)).cast("long")
+  }
+
+  private val punctRewardSql = {
+    val parts = punctTypes.map { case (ch, k, lo, nm, hv) =>
+      val esc = if (ch == "'") "''" else ch
+      val freq = s"(CAST(length(text) - length(replace(text, '$esc', '')) AS DOUBLE) / length(text))"
+      s"""(CASE WHEN length(text) = 0 THEN 300000
+         |  WHEN (doc_id + $k) % 2 = 0 THEN
+         |    CASE WHEN $freq >= $hv THEN 1000000 WHEN $freq >= $nm THEN 700000
+         |         WHEN $freq >= $lo THEN 400000 ELSE 100000 END
+         |  ELSE
+         |    CASE WHEN $freq >= $lo AND $freq <= $nm THEN 1000000
+         |         WHEN $freq < $lo THEN 600000
+         |         WHEN $freq < $hv THEN 800000 ELSE 400000 END END)""".stripMargin
+    }
+    s"CAST((${parts.mkString(" + ")}) // 5 AS BIGINT)"
+  }
+
+  /** rw_linebreaks per training/rewards/linebreaks.py:28-72; requested
+    * style = doc_id % 4 over [frequent, fewer, none, moderate]. */
+  private def linebreakRewardPpm: Column = {
+    val nLines = size(split(t, "\n")).cast("double")
+    val ratio = when(length(t) === 0 || nLines <= 1, lit(0.0))
+      .otherwise((nLines - 1) / length(t).cast("double") * 100)
+    val req = col("doc_id") % 4
+    when(req === 0, // frequent
+      when(ratio > 2, 1000000L).when(ratio > 1.5, 800000L).when(ratio > 1, 600000L)
+        .when(ratio > 0.5, 400000L).otherwise(200000L))
+      .when(req === 1, // fewer
+        when(ratio > 0.2 && ratio <= 0.8, 1000000L)
+          .when((ratio > 0 && ratio <= 0.2) || (ratio > 0.8 && ratio <= 1.2), 700000L)
+          .when(ratio > 1.2, 300000L).otherwise(500000L))
+      .when(req === 2, // none
+        when(ratio === 0.0, 1000000L).when(ratio <= 0.2, 700000L)
+          .when(ratio <= 0.5, 400000L).otherwise(200000L))
+      .otherwise( // moderate
+        when(ratio > 0.8 && ratio <= 1.5, 1000000L)
+          .when((ratio > 0.5 && ratio <= 0.8) || (ratio > 1.5 && ratio <= 2), 800000L)
+          .when((ratio > 0.2 && ratio <= 0.5) || (ratio > 2 && ratio <= 2.5), 500000L)
+          .otherwise(300000L))
+  }
+
+  private val linebreakRewardSql = {
+    val ratio =
+      """(CASE WHEN length(text) = 0 OR length(regexp_split_to_array(text, '\n')) <= 1 THEN 0.0
+        |  ELSE (CAST(length(regexp_split_to_array(text, '\n')) AS DOUBLE) - 1) / length(text) * 100 END)""".stripMargin
+    s"""CAST(CASE WHEN doc_id % 4 = 0 THEN
+       |    CASE WHEN $ratio > 2 THEN 1000000 WHEN $ratio > 1.5 THEN 800000
+       |         WHEN $ratio > 1 THEN 600000 WHEN $ratio > 0.5 THEN 400000 ELSE 200000 END
+       |  WHEN doc_id % 4 = 1 THEN
+       |    CASE WHEN $ratio > 0.2 AND $ratio <= 0.8 THEN 1000000
+       |         WHEN ($ratio > 0 AND $ratio <= 0.2) OR ($ratio > 0.8 AND $ratio <= 1.2) THEN 700000
+       |         WHEN $ratio > 1.2 THEN 300000 ELSE 500000 END
+       |  WHEN doc_id % 4 = 2 THEN
+       |    CASE WHEN $ratio = 0.0 THEN 1000000 WHEN $ratio <= 0.2 THEN 700000
+       |         WHEN $ratio <= 0.5 THEN 400000 ELSE 200000 END
+       |  ELSE
+       |    CASE WHEN $ratio > 0.8 AND $ratio <= 1.5 THEN 1000000
+       |         WHEN ($ratio > 0.5 AND $ratio <= 0.8) OR ($ratio > 1.5 AND $ratio <= 2) THEN 800000
+       |         WHEN ($ratio > 0.2 AND $ratio <= 0.5) OR ($ratio > 2 AND $ratio <= 2.5) THEN 500000
+       |         ELSE 300000 END END AS BIGINT)""".stripMargin
+  }
+
+  /** rw_vocab per training/rewards/vocabulary.py:30-74; requested level =
+    * doc_id % 4 over [rich, developed, normal, conservative]. */
+  private def vocabRewardPpm: Column = {
+    val words = transform(filter(toks, w => w.rlike("^[A-Za-z]+$")), w => lower(w))
+    val total = size(words).cast("double")
+    val ratio = size(array_distinct(words)).cast("double") / total
+    val req = col("doc_id") % 4
+    when(size(words) === 0, lit(200000L))
+      .when(req === 0, // rich
+        when(ratio > 0.5, 1000000L).when(ratio > 0.4, 800000L)
+          .when(ratio > 0.3, 500000L).otherwise(300000L))
+      .when(req === 1, // developed
+        when(ratio > 0.35 && ratio <= 0.5, 1000000L)
+          .when((ratio > 0.3 && ratio <= 0.35) || (ratio > 0.5 && ratio <= 0.6), 800000L)
+          .when((ratio > 0.25 && ratio <= 0.3) || ratio > 0.6, 500000L)
+          .otherwise(300000L))
+      .when(req === 2, // normal
+        when(ratio > 0.25 && ratio <= 0.35, 1000000L)
+          .when((ratio > 0.2 && ratio <= 0.25) || (ratio > 0.35 && ratio <= 0.4), 800000L)
+          .when((ratio > 0.15 && ratio <= 0.2) || (ratio > 0.4 && ratio <= 0.5), 500000L)
+          .otherwise(300000L))
+      .otherwise( // conservative
+        when(ratio <= 0.25, 1000000L).when(ratio <= 0.3, 800000L)
+          .when(ratio <= 0.35, 500000L).otherwise(300000L))
+  }
+
+  private val vocabRewardSql = {
+    val words = "list_transform(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''), w -> regexp_matches(w, '^[A-Za-z]+$')), w -> lower(w))"
+    val ratio = s"(CAST(length(list_distinct($words)) AS DOUBLE) / length($words))"
+    s"""CAST(CASE WHEN length($words) = 0 THEN 200000
+       |  WHEN doc_id % 4 = 0 THEN
+       |    CASE WHEN $ratio > 0.5 THEN 1000000 WHEN $ratio > 0.4 THEN 800000
+       |         WHEN $ratio > 0.3 THEN 500000 ELSE 300000 END
+       |  WHEN doc_id % 4 = 1 THEN
+       |    CASE WHEN $ratio > 0.35 AND $ratio <= 0.5 THEN 1000000
+       |         WHEN ($ratio > 0.3 AND $ratio <= 0.35) OR ($ratio > 0.5 AND $ratio <= 0.6) THEN 800000
+       |         WHEN ($ratio > 0.25 AND $ratio <= 0.3) OR $ratio > 0.6 THEN 500000
+       |         ELSE 300000 END
+       |  WHEN doc_id % 4 = 2 THEN
+       |    CASE WHEN $ratio > 0.25 AND $ratio <= 0.35 THEN 1000000
+       |         WHEN ($ratio > 0.2 AND $ratio <= 0.25) OR ($ratio > 0.35 AND $ratio <= 0.4) THEN 800000
+       |         WHEN ($ratio > 0.15 AND $ratio <= 0.2) OR ($ratio > 0.4 AND $ratio <= 0.5) THEN 500000
+       |         ELSE 300000 END
+       |  ELSE
+       |    CASE WHEN $ratio <= 0.25 THEN 1000000 WHEN $ratio <= 0.3 THEN 800000
+       |         WHEN $ratio <= 0.35 THEN 500000 ELSE 300000 END END AS BIGINT)""".stripMargin
+  }
+
+  /** rw_divider per training/rewards/divider.py:7-35; requested divider =
+    * doc_id % 4 over [-, =, *, ~]; full-line runs of >=3. */
+  private def dividerRewardPpm: Column = {
+    val found = Seq("-", "=", "*", "~").map { ch =>
+      val q = java.util.regex.Pattern.quote(ch)
+      size(filter(split(t, "\n"), l => trim(l).rlike("^" + q + "{3,}$"))) > 0
+    }
+    val reqFound = when(col("doc_id") % 4 === 0, found(0))
+      .when(col("doc_id") % 4 === 1, found(1))
+      .when(col("doc_id") % 4 === 2, found(2))
+      .otherwise(found(3))
+    val anyFound = found.reduce(_ || _)
+    when(reqFound, lit(1000000L)).when(anyFound, lit(300000L)).otherwise(lit(0L))
+  }
+
+  private val dividerRewardSql = {
+    def f(re: String) =
+      s"(length(list_filter(regexp_split_to_array(text, '\\n'), l -> regexp_matches(trim(l), '$re'))) > 0)"
+    val (f1, f2, f3, f4) = (f("^-{3,}$"), f("^={3,}$"), f("^\\*{3,}$"), f("^~{3,}$"))
+    s"""CAST(CASE WHEN (doc_id % 4 = 0 AND $f1) OR (doc_id % 4 = 1 AND $f2)
+       |    OR (doc_id % 4 = 2 AND $f3) OR (doc_id % 4 = 3 AND $f4) THEN 1000000
+       |  WHEN $f1 OR $f2 OR $f3 OR $f4 THEN 300000
+       |  ELSE 0 END AS BIGINT)""".stripMargin
+  }
+
+  /** rw_cjk per training/rewards/language.py:6-13 (0 if CJK present). */
+  private def cjkRewardPpm: Column =
+    when(hasCjk(t), lit(0L)).otherwise(lit(1000000L))
+
+  private val cjkRewardSql =
+    """CAST(CASE WHEN regexp_matches(text, '[\x{4e00}-\x{9fff}]') THEN 0 ELSE 1000000 END AS BIGINT)"""
+
+  /** rw_structure per training/rewards/structure.py:8-70; requested =
+    * doc_id % 3 over [short, long, balanced]. Sentence-length sums/squares
+    * are integer-exact before the double avg/variance. */
+  private def structureRewardPpm: Column = {
+    val sents = filter(split(t, "[.!?]+"), s => length(trim(s)) > lit(0))
+    val lens = transform(sents, s => size(filter(split(s, "\\s+"), x => length(x) > lit(0))).cast("long"))
+    val n = size(lens).cast("long")
+    val sumL = aggregate(lens, lit(0L), (acc, v) => acc + v)
+    val sumSq = aggregate(lens, lit(0L), (acc, v) => acc + v * v)
+    val avg = sumL.cast("double") / n.cast("double")
+    val variance = sumSq.cast("double") / n.cast("double") - avg * avg
+    val req = col("doc_id") % 3
+    when(n < 2, lit(300000L))
+      .when(req === 0, // short
+        when(avg < 10, 1000000L).when(avg < 15, 700000L)
+          .when(avg < 20, 400000L).otherwise(200000L))
+      .when(req === 1, // long
+        when(avg > 20, 1000000L).when(avg > 15, 700000L)
+          .when(avg > 10, 400000L).otherwise(200000L))
+      .otherwise( // balanced
+        when(avg >= 10 && avg <= 20 && variance > 20, 1000000L)
+          .when(avg >= 10 && avg <= 20, 700000L)
+          .when(variance > 20, 600000L).otherwise(400000L))
+  }
+
+  private val structureRewardSql = {
+    val lens = "[CAST(length(list_filter(regexp_split_to_array(s, '\\s+'), x -> x != '')) AS BIGINT) FOR s IN list_filter(regexp_split_to_array(text, '[.!?]+'), s -> trim(s) != '')]"
+    val n = s"CAST(length($lens) AS BIGINT)"
+    val sumL = s"CAST(list_sum($lens) AS BIGINT)"
+    val sumSq = s"CAST(list_sum([v*v FOR v IN $lens]) AS BIGINT)"
+    val avg = s"(CAST($sumL AS DOUBLE) / CAST($n AS DOUBLE))"
+    val vr = s"(CAST($sumSq AS DOUBLE) / CAST($n AS DOUBLE) - $avg * $avg)"
+    s"""CAST(CASE WHEN $n < 2 THEN 300000
+       |  WHEN doc_id % 3 = 0 THEN
+       |    CASE WHEN $avg < 10 THEN 1000000 WHEN $avg < 15 THEN 700000
+       |         WHEN $avg < 20 THEN 400000 ELSE 200000 END
+       |  WHEN doc_id % 3 = 1 THEN
+       |    CASE WHEN $avg > 20 THEN 1000000 WHEN $avg > 15 THEN 700000
+       |         WHEN $avg > 10 THEN 400000 ELSE 200000 END
+       |  ELSE
+       |    CASE WHEN $avg >= 10 AND $avg <= 20 AND $vr > 20 THEN 1000000
+       |         WHEN $avg >= 10 AND $avg <= 20 THEN 700000
+       |         WHEN $vr > 20 THEN 600000 ELSE 400000 END END AS BIGINT)""".stripMargin
+  }
+
+  /** rw_rewards: all reward columns + the uniform-weight aggregate
+    * (training/rewards/aggregator.py re-expressed with equal weights). */
+  def rwRewards(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        lengthRewardPpm.as("r_length"),
+        hashtagRewardPpm.as("r_hashtags"),
+        emojiRewardPpm.as("r_emoji"),
+        punctRewardPpm.as("r_punct"),
+        linebreakRewardPpm.as("r_linebreaks"),
+        vocabRewardPpm.as("r_vocab"),
+        dividerRewardPpm.as("r_divider"),
+        cjkRewardPpm.as("r_cjk"),
+        structureRewardPpm.as("r_structure"))
+      .withColumn("r_total",
+        expr("(r_length + r_hashtags + r_emoji + r_punct + r_linebreaks + r_vocab + r_divider + r_cjk + r_structure) div 9"))
+      .orderBy(col("doc_id"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "rw_rewards" -> (rwRewards _))
+
+  val oracle: Map[String, String] = Map(
+    "rw_rewards" ->
+      s"""WITH r AS (
+         |  SELECT doc_id,
+         |    $lengthRewardSql AS r_length,
+         |    $hashtagRewardSql AS r_hashtags,
+         |    $emojiRewardSql AS r_emoji,
+         |    $punctRewardSql AS r_punct,
+         |    $linebreakRewardSql AS r_linebreaks,
+         |    $vocabRewardSql AS r_vocab,
+         |    $dividerRewardSql AS r_divider,
+         |    $cjkRewardSql AS r_cjk,
+         |    $structureRewardSql AS r_structure
+         |  FROM documents)
+         |SELECT doc_id, r_length, r_hashtags, r_emoji, r_punct, r_linebreaks,
+         |  r_vocab, r_divider, r_cjk, r_structure,
+         |  (r_length + r_hashtags + r_emoji + r_punct + r_linebreaks
+         |   + r_vocab + r_divider + r_cjk + r_structure) // 9 AS r_total
+         |FROM r ORDER BY doc_id""".stripMargin)
+}
