@@ -1,0 +1,107 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions.hashBucket
+
+/** One media asset: opaque binary payload + typed metadata. */
+case class MediaAsset(
+    media_id: Long,
+    media_type: String,
+    source: String,
+    payload: Array[Byte])
+
+/** Decoded/extracted features for one asset. */
+case class MediaFeatures(
+    media_id: Long,
+    media_type: String,
+    n_bytes: Long,
+    width: Long,
+    height: Long,
+    n_frames: Long,
+    checksum: String)
+
+/** mm_manifest: multimodal binary-column plumbing.
+  *
+  * Real media decode needs codec libraries this container doesn't ship, so
+  * the decode kernel is a STUB (deterministic fake dimensions derived from
+  * the byte stream — see [[Manifest.decodeStub]]); everything around it is
+  * the real 100 TB plumbing: an opaque `binary` payload column, typed
+  * metadata, and a partition-preserving batched decode pass
+  * (`mapPartitions` over `Dataset[MediaAsset]` — per-partition expensive
+  * state like a real decoder/codec context is allocated once per batch,
+  * the idiom a JNI image decoder or an ONNX feature extractor would use).
+  *
+  * Scale shape: shuffle-free — scan → narrow decode map → projection. The
+  * payload column never moves through a shuffle; at 100 TB the decode
+  * stage's parallelism is the scan's partition count
+  * (spark.sql.files.maxPartitionBytes-bounded).
+  */
+object Manifest {
+
+  /** Builds the manifest over `documents`: each doc's UTF-8 bytes stand in
+    * for a media blob; media_type is an md5-bucket pick so all three
+    * modalities appear. */
+  def manifest(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir).select(
+      col("doc_id").as("media_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (hashBucket(col("text"), 3) + 1).cast("int")).as("media_type"),
+      col("source"),
+      col("text").cast("binary").as("payload"))
+
+  /** STUB decode: a real implementation would hand `payload` to an image/
+    * audio/video decoder; here the "decoded" dimensions are deterministic
+    * functions of the byte stream so the oracle can verify the plumbing
+    * end-to-end. */
+  def decodeStub(a: MediaAsset, md: java.security.MessageDigest): MediaFeatures = {
+    val n = a.payload.length.toLong
+    md.reset()
+    val checksum = md.digest(a.payload).map("%02x".format(_)).mkString
+    MediaFeatures(
+      media_id = a.media_id,
+      media_type = a.media_type,
+      n_bytes = n,
+      width = 64L + n % 1857L,
+      height = 64L + (n * 7L) % 1017L,
+      n_frames = if (a.media_type == "video") 1L + n % 240L else 1L,
+      checksum = checksum)
+  }
+
+  /** The feature-extraction pass: batched decode over the manifest. */
+  def mmManifest(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    manifest(spark, sfDir)
+      .as[MediaAsset]
+      .mapPartitions { it =>
+        // per-partition decoder state, allocated once per batch
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map(decodeStub(_, md))
+      }
+      .toDF()
+      .orderBy(col("media_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mm_manifest" -> (mmManifest _))
+
+  /** The stub decode is arithmetic over byte counts, so unlike real codec
+    * output it IS mirrorable — a full-strength oracle instead of the
+    * rows-only check the brief allows. strlen() is DuckDB's byte length;
+    * md5 of the text is the md5 of its UTF-8 bytes on both engines. */
+  val oracle: Map[String, String] = Map(
+    "mm_manifest" -> {
+      val bucketSql = graft.functions.TextFunctions.hashBucketSql("text", 3)
+      s"""SELECT doc_id AS media_id,
+         |  ['image', 'audio', 'video'][($bucketSql) + 1] AS media_type,
+         |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |  64 + strlen(text) % 1857 AS width,
+         |  64 + (strlen(text) * 7) % 1017 AS height,
+         |  CASE WHEN ['image', 'audio', 'video'][($bucketSql) + 1] = 'video'
+         |    THEN 1 + strlen(text) % 240 ELSE 1 END AS n_frames,
+         |  md5(text) AS checksum
+         |FROM documents ORDER BY media_id""".stripMargin
+    })
+}

@@ -118,11 +118,11 @@ object Annotations {
 
   /** p11: opinion extraction — leading-phrase re-expression ("I think " +
     * first 5 tokens); empty text → '' (11-extract-opinion.py:50,64-70). */
-  private val opinionCol =
+  private[operators] val opinionCol =
     when(size(toks) === 0, "")
       .otherwise(concat(lit("I think "), concat_ws(" ", slice(toks, 1, 5))))
 
-  private val opinionSql =
+  private[operators] val opinionSql =
     s"""CASE WHEN len($toksSql) = 0 THEN ''
        |  ELSE concat('I think ', array_to_string(($toksSql)[1:5], ' ')) END""".stripMargin
 

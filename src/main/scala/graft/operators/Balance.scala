@@ -1,0 +1,74 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** p05: class balancing — per-(structure, emoji_usage, max_length) combo
+  * down-sample to the population-average target, capped at 1000
+  * (reference: 5-balance.py:144-148 avg_target, :153-185 per-combo
+  * reservoir down-sample).
+  *
+  * The reference's reservoir sampling is randomized; per SURVEY §5 every
+  * random choice is re-expressed as content hashing: a combo keeps the
+  * `avg_target` rows with the smallest md5("bal#" + doc_id) — deterministic
+  * on both engines. (The reference's pass-3 synonym up-sampling depends on
+  * a wordnet augmenter and RNG — out of deterministic scope; down-sampling
+  * to the cap is the balancing semantics preserved here.)
+  *
+  * Scale shape (100 TB): combo cardinality is tiny (9 x 6 x 3), so a naive
+  * per-combo window is a parallelism ceiling; [[Sampling.hashRank]] ranks
+  * within (combo, hash-prefix bucket) instead — 256x the parallelism with
+  * identical output. The target scalar derives from a map-side-combinable
+  * count aggregation and is broadcast.
+  */
+object Balance {
+
+  private val comboCols = Seq("structure", "emoji_usage", "max_length")
+
+  def p05Balance(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    val base = Tables.documents(spark, sfDir).select(
+      col("doc_id"),
+      Annotations.structureCol.as("structure"),
+      emojiUsage(t).as("emoji_usage"),
+      lengthBucket(t).as("max_length"))
+    // avg_target = max(1, min(1000, total // n_combos)) — 5-balance.py:145-148.
+    val target = base.groupBy(comboCols.map(col): _*)
+      .agg(count(lit(1)).as("__n"))
+      .agg(expr("CAST(greatest(1, least(1000, sum(__n) div count(1))) AS LONG)")
+        .as("__avg_target"))
+    val ranked = Sampling.hashRank(base, comboCols,
+      md5(concat(lit("bal#"), col("doc_id").cast("string"))),
+      col("doc_id"), "__rn")
+    ranked.crossJoin(broadcast(target))
+      .filter(col("__rn") <= col("__avg_target"))
+      .select(col("doc_id"), col("structure"), col("emoji_usage"), col("max_length"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p05_balance" -> (p05Balance _))
+
+  val oracle: Map[String, String] = Map(
+    "p05_balance" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    ${Annotations.structureSql} AS structure,
+         |    ${DocPipeline.emojiUsageSql} AS emoji_usage,
+         |    ${DocPipeline.lengthBucketSql} AS max_length
+         |  FROM documents),
+         |tgt AS (
+         |  SELECT GREATEST(1, LEAST(1000, COUNT(*) // COUNT(DISTINCT (structure, emoji_usage, max_length)))) AS avg_target
+         |  FROM f),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY structure, emoji_usage, max_length
+         |    ORDER BY md5(concat('bal#', CAST(doc_id AS VARCHAR))), doc_id) AS rn
+         |  FROM f)
+         |SELECT doc_id, structure, emoji_usage, max_length
+         |FROM r CROSS JOIN tgt WHERE rn <= avg_target
+         |ORDER BY doc_id""".stripMargin)
+}

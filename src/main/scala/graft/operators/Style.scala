@@ -78,18 +78,22 @@ object Style {
       .orderBy(col("doc_id"))
   }
 
+  /** Generation-prompt column (p18 template; shared with p22's
+    * post-generation family). */
+  private[operators] def genPromptCol: Column =
+    concat(
+      lit("Write a "), Annotations.structureCol,
+      lit(" social media post about \""), Annotations.topicCol,
+      lit("\" in a "), Annotations.toneCol,
+      lit(" tone.\n**Length**: "), lengthBucket(t),
+      lit("\n**Emoji Usage**: "), emojiUsage(t))
+
   /** p18: generation-prompt assembly from extracted features
     * (18-generate-prompts.py template semantics over this engine's
     * deterministic feature set). */
   def p18Prompts(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        concat(
-          lit("Write a "), Annotations.structureCol,
-          lit(" social media post about \""), Annotations.topicCol,
-          lit("\" in a "), Annotations.toneCol,
-          lit(" tone.\n**Length**: "), lengthBucket(t),
-          lit("\n**Emoji Usage**: "), emojiUsage(t)).as("prompt"))
+      .select(col("doc_id"), genPromptCol.as("prompt"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -114,6 +118,14 @@ object Style {
     val esc = if (ch == "'") "''" else ch
     s"(length(text) - length(replace(text, '$esc', '')))"
   }
+
+  /** DuckDB mirror of [[genPromptCol]] (shared with Datasets' p22). */
+  private[operators] val genPromptSql: String =
+    s"""concat('Write a ', ${Annotations.structureSql},
+       |    ' social media post about "', ${Annotations.topicSql},
+       |    '" in a ', ${Annotations.toneInlineSql},
+       |    ' tone.', chr(10), '**Length**: ', ${DocPipeline.lengthBucketSql},
+       |    chr(10), '**Emoji Usage**: ', ${DocPipeline.emojiUsageSql})""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "p17_style" ->
@@ -159,11 +171,6 @@ object Style {
          |       ELSE 'slow' END AS pacing
          |FROM f ORDER BY doc_id""".stripMargin,
     "p18_prompts" ->
-      s"""SELECT doc_id,
-         |  concat('Write a ', ${Annotations.structureSql},
-         |    ' social media post about "', ${Annotations.topicSql},
-         |    '" in a ', ${Annotations.toneInlineSql},
-         |    ' tone.', chr(10), '**Length**: ', ${DocPipeline.lengthBucketSql},
-         |    chr(10), '**Emoji Usage**: ', ${DocPipeline.emojiUsageSql}) AS prompt
+      s"""SELECT doc_id, $genPromptSql AS prompt
          |FROM documents ORDER BY doc_id""".stripMargin)
 }
