@@ -1,0 +1,95 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on the wire (the streaming projection of the `events` table). */
+case class SessionEvent(user_id: Long, ts: Timestamp, value: Double)
+
+/** Per-user open-session state (epoch millis — kept primitive so the state
+  * store encodes it compactly). */
+case class SessionState(start: Long, last: Long, n: Long, value: Double)
+
+/** One closed session. */
+case class UserSession(
+    user_id: Long,
+    session_start: Timestamp,
+    session_end: Timestamp,
+    n_events: Long,
+    session_value: Double)
+
+/** Structured Streaming variants of the event operators (SURVEY §2
+  * streaming rows; batch equivalents are q_events_window / q_sessionize).
+  *
+  * Scale notes: state is bounded by the watermark — windowedCounts drops
+  * window state 10 minutes past the window end; sessionize keeps one small
+  * [[SessionState]] per active user and evicts it via event-time timeout
+  * at (last event + gap), so state size tracks the number of concurrently
+  * active users, not history.
+  */
+object EventStreams {
+
+  /** q_sessionize's 30-minute inactivity gap. */
+  val SessionGapMs: Long = 30L * 60 * 1000
+
+  /** Watermarked tumbling-window counts — the streaming form of
+    * q_events_window. Input needs (ts TIMESTAMP, event_type STRING,
+    * value DOUBLE). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("n"), col("v"))
+
+  /** Session assembly via flatMapGroupsWithState: events within
+    * [[SessionGapMs]] of the previous event extend the session; a closed
+    * session is emitted either when a later event arrives past the gap or
+    * when the event-time timeout fires (watermark passed last + gap). */
+  def sessionize(events: Dataset[SessionEvent]): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "30 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateSessions)
+  }
+
+  private def close(userId: Long, s: SessionState): UserSession =
+    UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.value)
+
+  /** State transition: fold this batch's events (sorted by event time —
+    * Spark hands the group's batch unordered) into the open session. */
+  private[streaming] def updateSessions(
+      userId: Long,
+      events: Iterator[SessionEvent],
+      state: GroupState[SessionState]): Iterator[UserSession] =
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(close(userId, s))
+    } else {
+      val closed = Seq.newBuilder[UserSession]
+      var cur = state.getOption
+      events.toArray.sortBy(_.ts.getTime).foreach { e =>
+        val t = e.ts.getTime
+        cur = cur match {
+          case Some(s) if t - s.last <= SessionGapMs =>
+            Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.value + e.value))
+          case Some(s) =>
+            closed += close(userId, s)
+            Some(SessionState(t, t, 1, e.value))
+          case None =>
+            Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + SessionGapMs)
+      }
+      closed.result().iterator
+    }
+}

@@ -1,0 +1,83 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.{EventStreams, SessionEvent}
+
+case class WEvent(ts: Timestamp, event_type: String, value: Double)
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def t(s: String) = Timestamp.valueOf(s)
+
+  test("windowedCounts aggregates tumbling hourly windows") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[WEvent]
+    val q = EventStreams.windowedCounts(in.toDF())
+      .writeStream.format("memory").queryName("wc")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(
+        WEvent(t("2026-01-01 10:05:00"), "view", 1.0),
+        WEvent(t("2026-01-01 10:55:00"), "view", 2.0),
+        WEvent(t("2026-01-01 10:30:00"), "click", 5.0),
+        WEvent(t("2026-01-01 11:10:00"), "view", 3.0))
+      q.processAllAvailable()
+      val rows = spark.table("wc")
+        .select("hour", "event_type", "n", "v")
+        .as[(Timestamp, String, Long, Double)].collect().toSet
+      assert(rows == Set(
+        (t("2026-01-01 10:00:00"), "view", 2L, 3.0),
+        (t("2026-01-01 10:00:00"), "click", 1L, 5.0),
+        (t("2026-01-01 11:00:00"), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize closes a session on the 30-minute gap") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10 min apart (one session), then an event
+      // 2 hours later -> the later event closes the first session.
+      in.addData(
+        SessionEvent(1L, t("2026-01-01 09:00:00"), 1.0),
+        SessionEvent(1L, t("2026-01-01 09:10:00"), 2.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(1L, t("2026-01-01 11:00:00"), 4.0))
+      q.processAllAvailable()
+      val closed = spark.table("sess")
+        .as[graft.streaming.UserSession].collect().toSet
+      assert(closed.map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.session_value)) ==
+        Set((1L, t("2026-01-01 09:00:00"), t("2026-01-01 09:10:00"), 2L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("sessionize emits via event-time timeout once the watermark passes") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess_to")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(SessionEvent(7L, t("2026-01-01 09:00:00"), 1.0))
+      q.processAllAvailable()
+      // another user's much-later event advances the watermark past
+      // 09:00 + gap + 30min watermark delay ...
+      in.addData(SessionEvent(8L, t("2026-01-01 12:00:00"), 1.0))
+      q.processAllAvailable()
+      // ... and the next batch fires user 7's timeout.
+      in.addData(SessionEvent(8L, t("2026-01-01 12:01:00"), 1.0))
+      q.processAllAvailable()
+      val users = spark.table("sess_to")
+        .as[graft.streaming.UserSession].collect().map(_.user_id).toSet
+      assert(users.contains(7L))
+    } finally q.stop()
+  }
+}

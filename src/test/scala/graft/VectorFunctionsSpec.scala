@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+class VectorFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def calc(a: Seq[Float], b: Seq[Float],
+                   f: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Double =
+    Seq((a, b)).toDF("a", "b").select(f(col("a"), col("b")).as("r"))
+      .collect()(0).getDouble(0)
+
+  test("dot / cosine / l2 on known vectors") {
+    assert(calc(Seq(1f, 2f, 3f), Seq(4f, 5f, 6f), dot) == 32.0)
+    assert(math.abs(calc(Seq(1f, 0f), Seq(0f, 1f), cosine)) < 1e-12)
+    assert(math.abs(calc(Seq(2f, 0f), Seq(5f, 0f), cosine) - 1.0) < 1e-12)
+    assert(calc(Seq(1f, 1f), Seq(4f, 5f), l2Sq) == 25.0)
+    assert(calc(Seq(0f, 3f), Seq(4f, 0f), l2Distance) == 5.0)
+  }
+
+  test("cosine of antiparallel vectors is -1") {
+    assert(math.abs(calc(Seq(1f, 2f), Seq(-1f, -2f), cosine) + 1.0) < 1e-12)
+  }
+}
