@@ -73,14 +73,13 @@ object Annotations {
       .select(col("doc_id"), structureCol.as("structure"))
       .orderBy(col("doc_id"))
 
-  /** p06: dominant-token topic (most frequent token, ties → smallest).
-    * The count is folded into a sortable "inverted-count || token" key so
-    * both engines argmin the same string. */
-  private[operators] def topicCol: Column = {
-    val keyed = transform(array_distinct(toks), x =>
-      concat(lpad((lit(1000000) - size(filter(toks, tk => tk === x))).cast("string"), 7, "0"), x))
-    substring(array_min(keyed), 8, 1000000)
-  }
+  /** p06: dominant-token topic (most frequent token, ties → smallest by
+    * binary UTF-8 order) — a native one-pass expression; the DuckDB oracle
+    * keeps the naive count-per-distinct-token argmin form and produces
+    * identical values (asserted by NativeExpressionsSpec and the
+    * correctness gate). */
+  private[operators] def topicCol: Column =
+    graft.functions.NativeExpressions.dominantToken(t)
 
   private[operators] val topicSql =
     s"""substr(list_min([concat(lpad(CAST(1000000 - len(list_filter($toksSql, tk -> tk = x)) AS VARCHAR), 7, '0'), x)

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.NativeExpressions
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 
@@ -35,14 +36,26 @@ object Dedup {
   private val toksSql =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 
-  /** doc_id + distinct 3-gram shingle array. */
+  /** doc_id + distinct 3-gram shingle array (native expression — one pass
+    * per row; value-identical to TextFunctions.shingles and its SQL
+    * mirror, asserted by NativeExpressionsSpec). */
   private def shingleDf(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), shingles(col("text"), 3).as("sh"))
+      .select(col("doc_id"), NativeExpressions.wordShingles(col("text"), 3).as("sh"))
 
   private val shingleCte =
     s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
        |s AS (SELECT doc_id, ${shinglesSql("toks", 3)} AS sh FROM t)""".stripMargin
+
+  /** All ordered pairs (a, b) with a before b from a sorted array — the
+    * map-side replacement for a posting×posting self-join. Output is
+    * O(|ids|²), so callers must bound the array first (df cap); within
+    * that bound it avoids the self-join's double evaluation of the
+    * upstream plan and its join shuffle. */
+  private def pairsOf(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)),
+        y => struct(x.as("a"), y.as("b")))))
 
   /** dd_exact: exact dedup on the normalized md5 fingerprint, keep-min-id.
     * One map-side-combinable shuffle on the fingerprint. */
@@ -58,17 +71,12 @@ object Dedup {
     * joins; band-bucket fan-in ∝ dup-cluster size. */
   def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
     val sh = shingleDf(spark, sfDir)
-    val withAb = sh
-      .withColumn("hs", transform(col("sh"), s => md5(s)))
-      .withColumn("av", transform(col("hs"), h => hexLong(h, 8)))
-      .withColumn("bv", transform(col("hs"), h => hexLong(substring(h, 9, 8), 8)))
-    val sigs = (0 until K).map { i =>
-      array_min(zip_with(col("av"), col("bv"), (a, b) => (a + lit(i.toLong) * b) % lit(P)))
-        .as(s"sig$i")
-    }
-    val sigDf = withAb.select(col("doc_id") +: col("sh") +: sigs: _*)
+    // all K signatures in one native pass (one md5 per shingle)
+    val sigDf = sh.select(col("doc_id"), col("sh"),
+      NativeExpressions.minHashSigs(col("sh"), K, P).as("sigs"))
     val bandKeys = array((0 until BANDS).map { b =>
-      concat_ws(":", lit(b) +: (0 until R).map(r => col(s"sig${b * R + r}")): _*)
+      concat_ws(":", lit(b) +: (0 until R).map(r =>
+        element_at(col("sigs"), b * R + r + 1)): _*)
     }: _*)
     val bands = sigDf.select(col("doc_id"), explode(bandKeys).as("bk"))
     val cands = bands.as("x").join(bands.as("y"),
@@ -87,22 +95,32 @@ object Dedup {
   }
 
   /** dd_ngram_jaccard: exact shingle-Jaccard pairs via the inverted index
-    * (posting-list self-join) with a stop-shingle df cap bounding the
-    * worst-case fan-in at scale. */
+    * with a stop-shingle df cap bounding the worst-case fan-in at scale.
+    *
+    * The plan is shaped so the shingle arrays — the expensive part:
+    * higher-order-function lambdas evaluate interpreted, ~µs per token —
+    * are computed exactly ONCE: doc sizes ride along on each posting row
+    * (no separate sizes join), the df cap is a count window over the same
+    * `s`-partitioning the pair stage needs (one shuffle, no posting⋈df
+    * join re-evaluating the scan), and pairs explode map-side from the
+    * per-shingle id list, which the df cap has already bounded to
+    * [[MaxShingleDf]] — never a posting×posting self-join (which would
+    * re-evaluate the whole upstream twice). */
   def ddNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleDf(spark, sfDir)
-    val posting = sh.select(col("doc_id"), explode(col("sh")).as("s"))
-    val rare = posting.join(
-      posting.groupBy(col("s")).count().filter(col("count") <= MaxShingleDf).select("s"),
-      "s")
-    val pairs = rare.as("x").join(rare.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"))
-    val sizes = sh.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+    val posting = shingleDf(spark, sfDir)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
+        explode(col("sh")).as("s"))
+    val rare = posting
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .filter(col("df") <= MaxShingleDf)
+    val pairs = rare.groupBy(col("s"))
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("p.a.n")).as("n_a"), first(col("p.b.n")).as("n_b"))
     pairs
-      .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")), "id_a")
-      .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")), "id_b")
       .withColumn("j_ppm", expr("inter * 1000000L div (n_a + n_b - inter)"))
       .filter(col("j_ppm") >= JaccardThresholdPpm)
       .select(col("id_a"), col("id_b"), col("inter"), col("j_ppm"))
@@ -112,15 +130,10 @@ object Dedup {
   /** dd_simhash: 32-bit SimHash over the token multiset, 4×8-bit band
     * blocking, Hamming-verified pairs. */
   def ddSimhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val hv = transform(tokens(col("text")), t => hexLong(md5(t), 8))
-    val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), hv.as("hv"), size(hv).cast("long").as("n"))
-    val fp = (0 until 32).map { j =>
-      val cnt = size(filter(col("hv"),
-        v => shiftrightunsigned(v, j).bitwiseAND(lit(1L)) === lit(1L))).cast("long")
-      when(cnt * 2 >= col("n"), lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val fpDf = base.select(col("doc_id"), fp.as("fp"))
+    // native one-pass fingerprint (one md5 per token; bit-identical to the
+    // 32×filter-count Column form and the DuckDB mirror)
+    val fpDf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
     val bandKeys = array((0 until 4).map { b =>
       concat_ws(":", lit(b), shiftrightunsigned(col("fp"), 8 * b).bitwiseAND(lit(255L)))
     }: _*)

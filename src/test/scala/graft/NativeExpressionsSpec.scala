@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.NativeExpressions._
+import graft.functions.TextFunctions._
+
+/** The native expressions must be value-identical to the Column/HOF
+  * compositions they replace (which the DuckDB oracle mirrors). */
+class NativeExpressionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val samples = Seq(
+    "", "   ", "one", "a b", "a b c", "a b c d e f g",
+    "dup dup dup words words here", "tab\tand\nnewline  split",
+    "x " * 200 + "tail y z")
+
+  test("wordShingles == HOF shingles on edge cases and real docs") {
+    val docs = samples.toDF("text")
+      .union(spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
+    val diff = docs.select(
+      shingles(col("text"), 3).as("hof"),
+      wordShingles(col("text"), 3).as("native"))
+      .filter(not(col("hof") <=> col("native")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("dominantToken == naive count-per-distinct argmin") {
+    val docs = samples.toDF("text")
+      .union(spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
+    val ts = tokens(col("text"))
+    val keyed = transform(array_distinct(ts), x =>
+      concat(lpad((lit(1000000) - size(filter(ts, tk => tk === x))).cast("string"), 7, "0"), x))
+    val naive = substring(array_min(keyed), 8, 1000000)
+    val diff = docs.select(naive.as("hof"), dominantToken(col("text")).as("native"))
+      .filter(not(col("hof") <=> col("native")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("minHashSigs == HOF minhash chain") {
+    val k = 16
+    val p = 4294967291L
+    val docs = samples.toDF("text")
+      .union(spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
+      .select(shingles(col("text"), 3).as("sh"))
+    val hs = transform(col("sh"), s => md5(s))
+    val av = transform(hs, h => hexLong(h, 8))
+    val bv = transform(hs, h => hexLong(substring(h, 9, 8), 8))
+    val hof = array((0 until k).map { i =>
+      array_min(zip_with(av, bv, (a, b) => (a + lit(i.toLong) * b) % lit(p)))
+    }: _*)
+    val diff = docs.select(hof.as("hof"), minHashSigs(col("sh"), k, p).as("native"))
+      .filter(not(col("hof") <=> col("native")))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("simHash32 == HOF simhash chain") {
+    val docs = samples.toDF("text")
+      .union(spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
+    val hv = transform(tokens(col("text")), t => hexLong(md5(t), 8))
+    val n = size(hv).cast("long")
+    val hof = (0 until 32).map { j =>
+      val cnt = size(filter(hv,
+        v => shiftrightunsigned(v, j).bitwiseAND(lit(1L)) === lit(1L))).cast("long")
+      when(cnt * 2 >= n, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val diff = docs.select(hof.as("hof"), simHash32(col("text")).as("native"))
+      .filter(not(col("hof") <=> col("native")))
+      .count()
+    assert(diff == 0)
+  }
+}
