@@ -129,10 +129,17 @@ object Analytics {
   /** As-of join: each event picks the latest order (keyed by
     * o_custkey % 15 = user_id) with o_orderdate <= ts - 25 years.
     *
-    * Built as the scalable union+window plan (one shuffle on the key,
-    * no row explosion): tag both sides, sort by (key, time), carry the
-    * last-seen order forward with last_value(ignoreNulls).
-    */
+    * Built as the union+window plan (tag both sides, carry the last-seen
+    * order forward), but partitioned by the COMPOSITE (k, month-chunk):
+    * a bare-k window funnels the whole union into |k|=15 sort tasks — a
+    * hard parallelism ceiling at scale. Two passes instead:
+    *   1. within each (k, chunk), the ordinary last_value carry;
+    *   2. a per-(k, chunk) boundary state — the chunk's final order as a
+    *      (t, orderkey, price) struct, max'd over all PRIOR chunks via a
+    *      window on the tiny chunk table — broadcast back, filling events
+    *      whose chunk has no earlier order.
+    * Chunk width is a tuning knob: month here; at 100 TB pick whatever
+    * bounds one (k, chunk)'s rows to a task. */
   def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(
@@ -150,17 +157,34 @@ object Analytics {
         col("o_orderkey").as("o_orderkey_in"),
         col("o_totalprice").as("o_totalprice_in"),
         lit(0).as("is_event"))
+    val uni = ev.unionByName(ord)
+      .withColumn("c", date_trunc("month", col("t")))
     // Orders sort before events at identical timestamps (is_event asc) so an
     // order with o_orderdate == t is visible to the event, matching <=.
-    val w = Window.partitionBy(col("k"))
+    val wIn = Window.partitionBy(col("k"), col("c"))
       .orderBy(col("t"), col("is_event"), col("o_orderkey_in").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, 0)
-    ev.unionByName(ord)
-      .withColumn("o_orderkey", last(col("o_orderkey_in"), ignoreNulls = true).over(w))
-      .withColumn("o_totalprice", last(col("o_totalprice_in"), ignoreNulls = true).over(w))
+    val within = uni
+      .withColumn("ok_w", last(col("o_orderkey_in"), ignoreNulls = true).over(wIn))
+      .withColumn("op_w", last(col("o_totalprice_in"), ignoreNulls = true).over(wIn))
+    // Boundary state: per (k, chunk) the final order struct; struct max
+    // = lexicographic (t, orderkey) = the same row the carry would pick.
+    val chunkLast = uni.filter(col("is_event") === 0)
+      .groupBy(col("k"), col("c"))
+      .agg(max(struct(col("t"), col("o_orderkey_in").as("ok"),
+        col("o_totalprice_in").as("op"))).as("fin"))
+    val wCarry = Window.partitionBy(col("k")).orderBy(col("c"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = uni.select(col("k"), col("c")).distinct()
+      .join(chunkLast, Seq("k", "c"), "left")
+      .withColumn("prev", max(col("fin")).over(wCarry))
+      .select(col("k"), col("c"),
+        col("prev.ok").as("ok_p"), col("prev.op").as("op_p"))
+    within.join(broadcast(carry), Seq("k", "c"))
       .filter(col("is_event") === 1)
-      .select(col("event_id"), col("k"), col("o_orderkey"),
-        cents(col("o_totalprice")).as("price_cents"))
+      .select(col("event_id"), col("k"),
+        coalesce(col("ok_w"), col("ok_p")).as("o_orderkey"),
+        cents(coalesce(col("op_w"), col("op_p"))).as("price_cents"))
       .orderBy(col("event_id"))
   }
 

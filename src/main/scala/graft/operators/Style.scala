@@ -96,8 +96,41 @@ object Style {
       .select(col("doc_id"), genPromptCol.as("prompt"))
       .orderBy(col("doc_id"))
 
+  /** p17_phrases: per-author distinctive phrases (reference:
+    * features/phrases.py:22 — per-author n-gram counts vs corpus, the one
+    * style feature that is genuinely distributed: it aggregates across
+    * the author's whole corpus instead of within a row). `source` is the
+    * author axis of the synthetic schema.
+    *
+    * Scale shape: one shuffle on (source, phrase) with map-side combine;
+    * corpus totals derive from the author counts by a second tiny
+    * aggregation on phrase (no rescan); the top-5-per-author window runs
+    * over the distinctive subset only, partitioned by author (authors
+    * scale with the corpus — no parallelism ceiling). */
+  def p17Phrases(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.wordShingles
+    val posting = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(wordShingles(t, 2)).as("phrase"))
+    val bySrc = posting.groupBy(col("source"), col("phrase"))
+      .agg(count(lit(1)).as("cnt_a"))
+    val corpus = bySrc.groupBy(col("phrase"))
+      .agg(sum(col("cnt_a")).as("cnt_c"))
+    val distinctive = bySrc.join(corpus, "phrase")
+      .withColumn("ratio_ppm", expr("cnt_a * 1000000L div cnt_c"))
+      .filter(col("cnt_a") >= 2 && col("ratio_ppm") >= 200000)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("ratio_ppm").desc, col("cnt_a").desc, col("phrase"))
+    distinctive
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 5)
+      .select(col("source"), col("phrase"), col("cnt_a"), col("cnt_c"),
+        col("ratio_ppm"), col("rank"))
+      .orderBy(col("source"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p17_style"   -> (p17Style _),
+    "p17_phrases" -> (p17Phrases _),
     "p18_prompts" -> (p18Prompts _))
 
   // ---- DuckDB oracle ----
@@ -170,6 +203,21 @@ object Style {
          |       WHEN n_tokens // GREATEST(n_sentences, 1) < 15 THEN 'medium'
          |       ELSE 'slow' END AS pacing
          |FROM f ORDER BY doc_id""".stripMargin,
+    "p17_phrases" ->
+      s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
+         |s AS (SELECT source, ${graft.functions.TextFunctions.shinglesSql("toks", 2)} AS sh FROM t),
+         |posting AS (SELECT source, unnest(sh) AS phrase FROM s),
+         |a AS (SELECT source, phrase, CAST(count(*) AS BIGINT) AS cnt_a FROM posting GROUP BY 1, 2),
+         |c AS (SELECT phrase, CAST(sum(cnt_a) AS BIGINT) AS cnt_c FROM a GROUP BY 1),
+         |d AS (SELECT source, a.phrase, cnt_a, cnt_c,
+         |    cnt_a * 1000000 // cnt_c AS ratio_ppm
+         |  FROM a JOIN c ON a.phrase = c.phrase
+         |  WHERE cnt_a >= 2 AND cnt_a * 1000000 // cnt_c >= 200000),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY ratio_ppm DESC, cnt_a DESC, phrase) AS rank FROM d)
+         |SELECT source, phrase, cnt_a, cnt_c, CAST(ratio_ppm AS BIGINT) AS ratio_ppm,
+         |  CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
     "p18_prompts" ->
       s"""SELECT doc_id, $genPromptSql AS prompt
          |FROM documents ORDER BY doc_id""".stripMargin)
