@@ -6,7 +6,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -179,6 +179,72 @@ object NativeExpressions {
     }
   }
 
+  /** Reads a numeric ArrayData as doubles (float elements cast exactly). */
+  private def doubles(a: ArrayData, elem: DataType): Array[Double] = elem match {
+    case DoubleType => a.toDoubleArray()
+    case FloatType =>
+      val out = new Array[Double](a.numElements())
+      var i = 0
+      while (i < out.length) { out(i) = a.getFloat(i).toDouble; i += 1 }
+      out
+    case other => throw new IllegalArgumentException(s"vector element type $other")
+  }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Cosine similarity over two equal-length numeric arrays — the native
+    * form of VectorFunctions.cosine. The three accumulations run in the
+    * same left-to-right IEEE order as the HOF folds (and the unrolled
+    * DuckDB mirror), so values are bit-identical. Zero-norm inputs yield
+    * NaN/Infinity (the HOF form would raise ANSI divide-by-zero). */
+  case class CosineSim(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "cosine_sim"
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): CosineSim =
+      copy(left = newLeft, right = newRight)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = doubles(a.asInstanceOf[ArrayData], elemType(left))
+      val y = doubles(b.asInstanceOf[ArrayData], elemType(right))
+      var dot = 0.0; var nx = 0.0; var ny = 0.0
+      var i = 0
+      while (i < x.length) {
+        dot += x(i) * y(i)
+        nx += x(i) * x(i)
+        ny += y(i) * y(i)
+        i += 1
+      }
+      dot / (math.sqrt(nx) * math.sqrt(ny))
+    }
+  }
+
+  /** Squared L2 distance — native form of VectorFunctions.l2Sq, same
+    * accumulation order. */
+  case class L2SqDist(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = DoubleType
+    override def prettyName: String = "l2sq_dist"
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): L2SqDist =
+      copy(left = newLeft, right = newRight)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = doubles(a.asInstanceOf[ArrayData], elemType(left))
+      val y = doubles(b.asInstanceOf[ArrayData], elemType(right))
+      var acc = 0.0
+      var i = 0
+      while (i < x.length) {
+        val d = x(i) - y(i)
+        acc += d * d
+        i += 1
+      }
+      acc
+    }
+  }
+
   // ---- Column wrappers ----
 
   def wordShingles(c: Column, n: Int): Column =
@@ -192,4 +258,10 @@ object NativeExpressions {
 
   def dominantToken(c: Column): Column =
     ColumnBridge.column(DominantToken(ColumnBridge.expression(c)))
+
+  def cosineSim(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def l2SqDist(a: Column, b: Column): Column =
+    ColumnBridge.column(L2SqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

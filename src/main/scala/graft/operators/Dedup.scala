@@ -162,7 +162,7 @@ object Dedup {
     e.as("x").join(e.as("y"),
         col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
-        round(VectorFunctions.cosine(col("x.v"), col("y.v")) * 1000000, 0)
+        round(NativeExpressions.cosineSim(col("x.v"), col("y.v")) * 1000000, 0)
           .cast("long").as("cos_ppm"))
       .filter(col("cos_ppm") >= CosineThresholdPpm)
       .orderBy(col("id_a"), col("id_b"))

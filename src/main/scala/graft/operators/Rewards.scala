@@ -301,6 +301,113 @@ object Rewards {
        |         WHEN $vr > 20 THEN 600000 ELSE 400000 END END AS BIGINT)""".stripMargin
   }
 
+  /** Exact integer division as a Column (numerator made divisible first so
+    * the double division is exact; results stay well under 2^53). */
+  private def idiv(a: Column, b: Column): Column =
+    ((a - pmod(a, b)) / b).cast("long")
+
+  /** rw_emoji_variety per training/rewards/emoji_variety.py:5-20
+    * (distinct/total emoji ratio bins; integer cross-multiplication keeps
+    * both engines exact at the bin edges). */
+  private def emojiVarietyRewardPpm: Column = {
+    val emos = regexp_extract_all(t, lit(EmojiClass), lit(0))
+    val total = size(emos).cast("long")
+    val uniq = size(array_distinct(emos)).cast("long")
+    when(total === 0, lit(0L))
+      .when(uniq * 10 >= total * 9, lit(1000000L))
+      .when(uniq * 10 >= total * 7, lit(800000L))
+      .when(uniq * 2 >= total, lit(600000L))
+      .otherwise(lit(400000L))
+  }
+
+  private val emojiVarietyRewardSql = {
+    val emos = s"regexp_extract_all(text, '$EmojiClass')"
+    s"""CAST(CASE WHEN length($emos) = 0 THEN 0
+       |  WHEN length(list_distinct($emos)) * 10 >= length($emos) * 9 THEN 1000000
+       |  WHEN length(list_distinct($emos)) * 10 >= length($emos) * 7 THEN 800000
+       |  WHEN length(list_distinct($emos)) * 2 >= length($emos) THEN 600000
+       |  ELSE 400000 END AS BIGINT)""".stripMargin
+  }
+
+  private val NewsletterRe =
+    "(?i)(sign\\s*up|subscribe|join).{0,30}(newsletter)|(register|join).{0,30}(webinar|event)|link in (bio|profile|comments)"
+  private val ActionRe =
+    "(?i)link in (bio|comments|description)|dm me for|email me at|call (me|us) at|limited time offer|exclusive (deal|offer)"
+
+  /** rw_fabrication per training/rewards/fabrication.py:52-113 — the
+    * deterministic per-row subset (URL injection 0.7, promo phrases 0.3,
+    * action phrases 0.4; the NER-based name/org checks need a language
+    * model and are out of deterministic scope). */
+  private def fabricationRewardPpm: Column = {
+    val p = when(urlCount(t) > 0, lit(700000L)).otherwise(lit(0L)) +
+      when(t.rlike(NewsletterRe), lit(300000L)).otherwise(lit(0L)) +
+      when(t.rlike(ActionRe), lit(400000L)).otherwise(lit(0L))
+    greatest(lit(0L), lit(1000000L) - p)
+  }
+
+  private val fabricationRewardSql =
+    s"""CAST(GREATEST(0, 1000000
+       |  - (CASE WHEN length(regexp_extract_all(text, 'https?://\\S+')) > 0 THEN 700000 ELSE 0 END)
+       |  - (CASE WHEN regexp_matches(text, '$NewsletterRe') THEN 300000 ELSE 0 END)
+       |  - (CASE WHEN regexp_matches(text, '$ActionRe') THEN 400000 ELSE 0 END)) AS BIGINT)""".stripMargin
+
+  /** rw_bullets per training/rewards/bullet_style.py:36-40 (no requested
+    * style in the synthesized requirement → 1.0 iff any bullet style is
+    * detected, via the same line classifiers as p17). */
+  private def bulletRewardPpm: Column = {
+    val lines = split(t, "\n")
+    def has(re: String) = size(filter(lines, l => l.rlike(re))) > 0
+    when(has("^\\s*[0-9]+[.)]\\s+") || has("^\\s*[A-Za-z][.)]\\s+") ||
+      has("^\\s*[-*•]\\s+") || t.contains("•"), lit(1000000L))
+      .otherwise(lit(0L))
+  }
+
+  private val bulletRewardSql = {
+    def has(re: String) =
+      s"length(list_filter(regexp_split_to_array(text, '\\n'), l -> regexp_matches(l, '$re'))) > 0"
+    s"""CAST(CASE WHEN ${has("^\\s*[0-9]+[.)]\\s+")} OR ${has("^\\s*[A-Za-z][.)]\\s+")}
+       |  OR ${has("^\\s*[-*•]\\s+")} OR contains(text, '•') THEN 1000000 ELSE 0 END AS BIGINT)""".stripMargin
+  }
+
+  /** rw_topic_shifts per training/rewards/topics.py:12-31 — the spaCy
+    * paragraph-similarity re-expressed as adjacent-paragraph token
+    * Jaccard (deterministic, same dataflow): <3 sentences → 0.5, else
+    * 1 - |0.5 - avg adjacent similarity|. */
+  private def topicShiftRewardPpm: Column = {
+    val paras = filter(split(t, "\n\n"), p => length(trim(p)) > 0)
+    val np = size(paras)
+    val sims = zip_with(
+      slice(paras, lit(1), greatest(np - 1, lit(0))),
+      slice(paras, lit(2), greatest(np - 1, lit(0))),
+      (a, b) => {
+        val ta = array_distinct(filter(split(a, "\\s+"), x => length(x) > lit(0)))
+        val tb = array_distinct(filter(split(b, "\\s+"), x => length(x) > lit(0)))
+        val inter = size(array_intersect(ta, tb)).cast("long")
+        val uni = size(ta).cast("long") + size(tb).cast("long") - inter
+        when(uni > 0, ((inter * 1000000L - pmod(inter * 1000000L, uni)) / uni).cast("long"))
+          .otherwise(lit(1000000L))
+      })
+    val nSims = size(sims).cast("long")
+    val avg = when(nSims > 0, idiv(aggregate(sims, lit(0L), (acc, v) => acc + v), nSims))
+      .otherwise(lit(500000L))
+    when(sentenceCount(t) < 3, lit(500000L))
+      .otherwise(lit(1000000L) - abs(lit(500000L) - avg))
+  }
+
+  private val topicShiftRewardSql = {
+    val paras = "list_filter(regexp_split_to_array(text, '\\n\\n'), p -> trim(p) != '')"
+    def toksOf(p: String) =
+      s"list_distinct(list_filter(regexp_split_to_array($p, '\\s+'), x -> x != ''))"
+    val inter = s"len(list_intersect(${toksOf(s"$paras[i-1]")}, ${toksOf(s"$paras[i]")}))"
+    val uni = s"(len(${toksOf(s"$paras[i-1]")}) + len(${toksOf(s"$paras[i]")}) - $inter)"
+    val sims = s"[CASE WHEN $uni > 0 THEN $inter * 1000000 // $uni ELSE 1000000 END FOR i IN range(2, len($paras) + 1)]"
+    val sentCount =
+      "length(list_filter(regexp_split_to_array(text, '[.!?]+'), s -> trim(s) != ''))"
+    s"""CAST(CASE WHEN $sentCount < 3 THEN 500000
+       |  ELSE 1000000 - abs(500000 - (CASE WHEN len($sims) > 0
+       |    THEN CAST(list_sum($sims) AS BIGINT) // len($sims) ELSE 500000 END)) END AS BIGINT)""".stripMargin
+  }
+
   /** rw_rewards: all reward columns + the uniform-weight aggregate
     * (training/rewards/aggregator.py re-expressed with equal weights). */
   def rwRewards(spark: SparkSession, sfDir: String): DataFrame =
@@ -314,9 +421,13 @@ object Rewards {
         vocabRewardPpm.as("r_vocab"),
         dividerRewardPpm.as("r_divider"),
         cjkRewardPpm.as("r_cjk"),
-        structureRewardPpm.as("r_structure"))
+        structureRewardPpm.as("r_structure"),
+        emojiVarietyRewardPpm.as("r_emoji_variety"),
+        fabricationRewardPpm.as("r_fabrication"),
+        bulletRewardPpm.as("r_bullets"),
+        topicShiftRewardPpm.as("r_topic_shifts"))
       .withColumn("r_total",
-        expr("(r_length + r_hashtags + r_emoji + r_punct + r_linebreaks + r_vocab + r_divider + r_cjk + r_structure) div 9"))
+        expr("(r_length + r_hashtags + r_emoji + r_punct + r_linebreaks + r_vocab + r_divider + r_cjk + r_structure + r_emoji_variety + r_fabrication + r_bullets + r_topic_shifts) div 13"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -334,11 +445,17 @@ object Rewards {
          |    $vocabRewardSql AS r_vocab,
          |    $dividerRewardSql AS r_divider,
          |    $cjkRewardSql AS r_cjk,
-         |    $structureRewardSql AS r_structure
+         |    $structureRewardSql AS r_structure,
+         |    $emojiVarietyRewardSql AS r_emoji_variety,
+         |    $fabricationRewardSql AS r_fabrication,
+         |    $bulletRewardSql AS r_bullets,
+         |    $topicShiftRewardSql AS r_topic_shifts
          |  FROM documents)
          |SELECT doc_id, r_length, r_hashtags, r_emoji, r_punct, r_linebreaks,
-         |  r_vocab, r_divider, r_cjk, r_structure,
+         |  r_vocab, r_divider, r_cjk, r_structure, r_emoji_variety,
+         |  r_fabrication, r_bullets, r_topic_shifts,
          |  (r_length + r_hashtags + r_emoji + r_punct + r_linebreaks
-         |   + r_vocab + r_divider + r_cjk + r_structure) // 9 AS r_total
+         |   + r_vocab + r_divider + r_cjk + r_structure + r_emoji_variety
+         |   + r_fabrication + r_bullets + r_topic_shifts) // 13 AS r_total
          |FROM r ORDER BY doc_id""".stripMargin)
 }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.NativeExpressions.{cosineSim, l2SqDist}
 import graft.functions.VectorFunctions._
 
 /** Similarity search + clustering over `embeddings` (64-dim float
@@ -58,7 +59,7 @@ object Similarity {
   def ssBruteTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val cand = vecs(spark, sfDir)
       .join(broadcast(queriesDf(spark, sfDir)), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("q_id"), col("vec_id"), cosineSim(col("qv"), col("v")).as("cos"))
     topKPerQuery(cand, TopK)
   }
 
@@ -70,7 +71,7 @@ object Similarity {
       .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
     vecs(spark, sfDir).crossJoin(broadcast(centArr))
       .withColumn("best", array_min(transform(col("cents"),
-        c => struct(l2Sq(col("v"), c.getField("cv")).as("d"), c.getField("c_id").as("c_id")))))
+        c => struct(l2SqDist(col("v"), c.getField("cv")).as("d"), c.getField("c_id").as("c_id")))))
       .select(col("vec_id"), col("v"),
         col("best.c_id").as("cluster"), col("best.d").as("dist2"))
   }
@@ -82,13 +83,13 @@ object Similarity {
       .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
     val probes = queriesDf(spark, sfDir).crossJoin(broadcast(centArr))
       .withColumn("probe", explode(slice(array_sort(transform(col("cents"),
-        c => struct(l2Sq(col("qv"), c.getField("cv")).as("d"), c.getField("c_id").as("c_id")))),
+        c => struct(l2SqDist(col("qv"), c.getField("cv")).as("d"), c.getField("c_id").as("c_id")))),
         1, NProbe)))
       .select(col("q_id"), col("qv"), col("probe.c_id").as("cluster"))
     val cand = assignments(spark, sfDir)
       .join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), cosine(col("qv"), col("v")).as("cos"))
+      .select(col("q_id"), col("vec_id"), cosineSim(col("qv"), col("v")).as("cos"))
     topKPerQuery(cand, TopK)
   }
 
