@@ -46,6 +46,15 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("v"))
 
+  /** Exactly-once-per-event-id dedup inside the watermark horizon — the
+    * streaming form of dd_exact for at-least-once sources. State is one
+    * key per event_id and is dropped once the watermark passes, so it
+    * stays bounded by (arrival rate × watermark delay). */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Session assembly via flatMapGroupsWithState: events within
     * [[SessionGapMs]] of the previous event extend the session; a closed
     * session is emitted either when a later event arrives past the gap or

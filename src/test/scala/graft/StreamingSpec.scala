@@ -8,6 +8,7 @@ import org.apache.spark.sql.streaming.OutputMode
 import graft.streaming.{EventStreams, SessionEvent}
 
 case class WEvent(ts: Timestamp, event_type: String, value: Double)
+case class DEvent(event_id: Long, ts: Timestamp, value: Double)
 
 class StreamingSpec extends SparkSpec {
   import spark.implicits._
@@ -34,6 +35,26 @@ class StreamingSpec extends SparkSpec {
         (t("2026-01-01 10:00:00"), "view", 2L, 3.0),
         (t("2026-01-01 10:00:00"), "click", 1L, 5.0),
         (t("2026-01-01 11:00:00"), "view", 1L, 3.0)))
+    } finally q.stop()
+  }
+
+  test("dedupEvents drops redelivered event ids within the watermark") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[DEvent]
+    val q = EventStreams.dedupEvents(in.toDF())
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        DEvent(1L, t("2026-01-01 10:00:00"), 1.0),
+        DEvent(1L, t("2026-01-01 10:00:01"), 1.0), // redelivery
+        DEvent(2L, t("2026-01-01 10:00:02"), 2.0))
+      q.processAllAvailable()
+      in.addData(DEvent(2L, t("2026-01-01 10:01:00"), 2.0)) // redelivery
+      q.processAllAvailable()
+      val ids = spark.table("dedup").select("event_id")
+        .as[Long].collect().toSeq
+      assert(ids.sorted == Seq(1L, 2L))
     } finally q.stop()
   }
 
