@@ -128,7 +128,15 @@ object Dedup {
   }
 
   /** dd_simhash: 32-bit SimHash over the token multiset, 4×8-bit band
-    * blocking, Hamming-verified pairs. */
+    * blocking, Hamming-verified pairs.
+    *
+    * Output is all near-dup PAIRS, which is quadratic in cluster size by
+    * definition — measured at 20× replica density the plan stays
+    * output-bound (enumeration streams through the band join; the hamming
+    * test sits in the join condition so failed candidates never reach the
+    * distinct). For corpora with huge identical clusters, collapse equal
+    * fingerprints to representatives first and derive same-fp pairs
+    * implicitly — same information, linear output. */
   def ddSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     // native one-pass fingerprint (one md5 per token; bit-identical to the
     // 32×filter-count Column form and the DuckDB mirror)
@@ -138,14 +146,14 @@ object Dedup {
       concat_ws(":", lit(b), shiftrightunsigned(col("fp"), 8 * b).bitwiseAND(lit(255L)))
     }: _*)
     val bands = fpDf.select(col("doc_id"), col("fp"), explode(bandKeys).as("bk"))
+    // hamming test lives in the join condition: failed candidates die in
+    // the join output instead of flowing through the distinct
     bands.as("x").join(bands.as("y"),
-        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id") &&
+          bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= HammingMax)
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
       .distinct()
-      .withColumn("hamming", bit_count(col("fp_a").bitwiseXOR(col("fp_b"))).cast("long"))
-      .filter(col("hamming") <= HammingMax)
-      .select(col("id_a"), col("id_b"), col("hamming"))
       .orderBy(col("id_a"), col("id_b"))
   }
 
