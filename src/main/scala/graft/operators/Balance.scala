@@ -35,13 +35,16 @@ object Balance {
       Annotations.structureCol.as("structure"),
       emojiUsage(t).as("emoji_usage"),
       lengthBucket(t).as("max_length"))
+    val bucketed = Sampling.withBuckets(base,
+      md5(concat(lit("bal#"), col("doc_id").cast("string"))))
+    val counts = Sampling.bucketCounts(bucketed, comboCols)
     // avg_target = max(1, min(1000, total // n_combos)) — 5-balance.py:145-148.
-    val target = base.groupBy(comboCols.map(col): _*)
-      .agg(count(lit(1)).as("__n"))
-      .agg(expr("CAST(greatest(1, least(1000, sum(__n) div count(1))) AS LONG)")
+    // Derived from the tiny bucket-count table, not a second scan of base.
+    val target = counts
+      .agg(expr("CAST(greatest(1, least(1000, sum(__cnt) div " +
+        s"count(DISTINCT ${comboCols.mkString(", ")}))) AS LONG)")
         .as("__avg_target"))
-    val ranked = Sampling.hashRank(base, comboCols,
-      md5(concat(lit("bal#"), col("doc_id").cast("string"))),
+    val ranked = Sampling.rankFromCounts(bucketed, counts, comboCols,
       col("doc_id"), "__rn")
     ranked.crossJoin(broadcast(target))
       .filter(col("__rn") <= col("__avg_target"))

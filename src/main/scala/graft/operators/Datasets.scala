@@ -95,9 +95,12 @@ object Datasets {
         explode(array(fams.map(lit): _*)).as("family"))
       .select(col("doc_id"), col("family"),
         groupKeyCol(col("family")).as("group_key"))
-    val counts = base.groupBy("group_key").agg(count(lit(1)).as("__cnt"))
-    val ranked = Sampling.hashRank(base, Seq("group_key"),
-      md5(concat(lit("split#"), col("doc_id").cast("string"), lit("#"), col("family"))),
+    val bucketed = Sampling.withBuckets(base,
+      md5(concat(lit("split#"), col("doc_id").cast("string"), lit("#"), col("family"))))
+    val bCounts = Sampling.bucketCounts(bucketed, Seq("group_key"))
+    // group totals from the tiny bucket-count table — no second base scan
+    val counts = bCounts.groupBy("group_key").agg(sum(col("__cnt")).as("__cnt"))
+    val ranked = Sampling.rankFromCounts(bucketed, bCounts, Seq("group_key"),
       col("doc_id"), "__rn")
     ranked.join(broadcast(counts), "group_key")
       .select(col("doc_id"), col("family"), col("group_key"),

@@ -15,8 +15,7 @@ import graft.functions.TextFunctions.nibble
   * parallelism ceiling at 100 TB (the same failure mode the round-1 as-of
   * join had).
   *
-  * [[hashRank]] computes the exact same rank in two passes with bounded
-  * task sizes:
+  * The rank is computed in two passes with bounded task sizes:
   *   1. bucket each row by the first two hex chars of its hash (256
   *      buckets; bucket order == hash order because the bucket is a prefix),
   *      aggregate per-(group, bucket) counts — a tiny table (|groups|*256)
@@ -25,34 +24,49 @@ import graft.functions.TextFunctions.nibble
   *      sort task sees ~1/256 of a group — and add the bucket offset.
   *
   * The result is identical to the single-window formulation, which is what
-  * the DuckDB oracle uses.
+  * the DuckDB oracle uses. The tiny counts table from pass 1 is exposed so
+  * callers can derive group totals / population targets from it instead of
+  * re-scanning the input (each aggregate branch of a DataFrame DAG is a
+  * separate evaluation of the scan).
   */
 object Sampling {
 
-  /** Adds `rankCol` = 1-based rank of the row within its `groupCols` group
-    * under `(hashCol asc, tieCol asc)` ordering. `hashCol` must be a
-    * lowercase hex string (md5). */
-  def hashRank(df: DataFrame, groupCols: Seq[String], hashCol: Column,
-               tieCol: Column, rankCol: String): DataFrame = {
-    val withH = df
-      .withColumn("__h", hashCol)
+  /** Adds `__h` (the hash) and `__b` (its first-two-hex-chars bucket). */
+  def withBuckets(df: DataFrame, hashCol: Column): DataFrame =
+    df.withColumn("__h", hashCol)
       .withColumn("__b", nibble(substring(col("__h"), 1, 1)) * 16 +
         nibble(substring(col("__h"), 2, 1)))
-    // Pass 1: per-(group, bucket) counts -> running offset before each
-    // bucket. |groups|*256 rows: the window here sorts a tiny table.
-    val offW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
-    val offsets = withH.groupBy((groupCols :+ "__b").map(col): _*)
+
+  /** Per-(group, bucket) counts — tiny (|groups|*256). */
+  def bucketCounts(bucketed: DataFrame, groupCols: Seq[String]): DataFrame =
+    bucketed.groupBy((groupCols :+ "__b").map(col): _*)
       .agg(count(lit(1)).as("__cnt"))
+
+  /** Adds `rankCol` = 1-based rank within the group under
+    * `(hash asc, tieCol asc)`, given [[withBuckets]] output and its
+    * [[bucketCounts]]. */
+  def rankFromCounts(bucketed: DataFrame, counts: DataFrame,
+                     groupCols: Seq[String], tieCol: Column, rankCol: String): DataFrame = {
+    val offW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
+    val offsets = counts
       .withColumn("__off",
         coalesce(sum(col("__cnt")).over(offW) - col("__cnt"), lit(0L)))
       .drop("__cnt")
-    // Pass 2: rank within (group, bucket) only; add the bucket offset.
     val inBucketW = Window
       .partitionBy((groupCols :+ "__b").map(col): _*)
       .orderBy(col("__h"), tieCol)
-    withH
+    bucketed
       .join(broadcast(offsets), groupCols :+ "__b")
       .withColumn(rankCol, row_number().over(inBucketW) + col("__off"))
       .drop("__h", "__b", "__off")
+  }
+
+  /** One-call form: rank of each row within its `groupCols` group under
+    * `(hashCol asc, tieCol asc)` ordering. `hashCol` must be a lowercase
+    * hex string (md5). */
+  def hashRank(df: DataFrame, groupCols: Seq[String], hashCol: Column,
+               tieCol: Column, rankCol: String): DataFrame = {
+    val b = withBuckets(df, hashCol)
+    rankFromCounts(b, bucketCounts(b, groupCols), groupCols, tieCol, rankCol)
   }
 }
