@@ -70,8 +70,8 @@ object Manifest {
       checksum = checksum)
   }
 
-  /** The feature-extraction pass: batched decode over the manifest. */
-  def mmManifest(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Batched decode over the manifest (shared by manifest + frames). */
+  private def decoded(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     manifest(spark, sfDir)
       .as[MediaAsset]
@@ -81,11 +81,30 @@ object Manifest {
         it.map(decodeStub(_, md))
       }
       .toDF()
-      .orderBy(col("media_id"))
   }
 
+  /** The feature-extraction pass: batched decode over the manifest. */
+  def mmManifest(spark: SparkSession, sfDir: String): DataFrame =
+    decoded(spark, sfDir).orderBy(col("media_id"))
+
+  /** mm_frames: frame sampling for video assets — one row per sampled
+    * frame (every 24th index ≈ 1/s at 24 fps) with a deterministic stub
+    * luma standing in for the decoded frame feature. Shuffle-free explode
+    * fan-out: scan → decode → filter(video) → explode(frame sequence);
+    * output bounded by n_frames/24 per asset. */
+  def mmFrames(spark: SparkSession, sfDir: String): DataFrame =
+    decoded(spark, sfDir)
+      .filter(col("media_type") === "video")
+      .select(col("media_id"), col("n_bytes"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(24L))).as("frame_idx"))
+      .select(col("media_id"), col("frame_idx"),
+        expr("frame_idx * 1000 div 24").as("t_offset_ms"),
+        expr("(n_bytes * 7 + frame_idx * 13) % 256").as("luma"))
+      .orderBy(col("media_id"), col("frame_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_manifest" -> (mmManifest _))
+    "mm_manifest" -> (mmManifest _),
+    "mm_frames"   -> (mmFrames _))
 
   /** The stub decode is arithmetic over byte counts, so unlike real codec
     * output it IS mirrorable — a full-strength oracle instead of the
@@ -103,5 +122,18 @@ object Manifest {
          |    THEN 1 + strlen(text) % 240 ELSE 1 END AS n_frames,
          |  md5(text) AS checksum
          |FROM documents ORDER BY media_id""".stripMargin
+    },
+    "mm_frames" -> {
+      val bucketSql = graft.functions.TextFunctions.hashBucketSql("text", 3)
+      s"""WITH v AS (
+         |  SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |    1 + strlen(text) % 240 AS n_frames
+         |  FROM documents
+         |  WHERE ['image', 'audio', 'video'][($bucketSql) + 1] = 'video')
+         |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+         |  CAST(frame_idx * 1000 // 24 AS BIGINT) AS t_offset_ms,
+         |  CAST((n_bytes * 7 + frame_idx * 13) % 256 AS BIGINT) AS luma
+         |FROM (SELECT media_id, n_bytes, unnest(range(0, n_frames, 24)) AS frame_idx FROM v)
+         |ORDER BY media_id, frame_idx""".stripMargin
     })
 }

@@ -157,6 +157,34 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** dd_simhash_clusters: the dense-corpus form of dd_simhash — docs with
+    * IDENTICAL fingerprints collapse to a keep-min-id representative
+    * first (complete-graph pairs inside a cluster are implied, never
+    * materialized), and the band join runs over distinct fingerprints
+    * only. Output is linear in corpus size + quadratic only in the number
+    * of DISTINCT near-identical fingerprints — this is the variant to run
+    * when replica density would make the all-pairs output explode (see
+    * BASELINE.md's 20× stress). */
+  def ddSimhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val fpDf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
+    val groups = fpDf.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+    val bandKeys = array((0 until 4).map { b =>
+      concat_ws(":", lit(b), shiftrightunsigned(col("fp"), 8 * b).bitwiseAND(lit(255L)))
+    }: _*)
+    val bands = groups.select(col("fp"), col("rep_id"), col("n_docs"),
+      explode(bandKeys).as("bk"))
+    bands.as("x").join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.rep_id") < col("y.rep_id") &&
+          bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= HammingMax)
+      .select(col("x.rep_id").as("rep_a"), col("y.rep_id").as("rep_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"),
+        col("x.n_docs").as("n_a"), col("y.n_docs").as("n_b"))
+      .distinct()
+      .orderBy(col("rep_a"), col("rep_b"))
+  }
+
   /** dd_embedding: cosine near-dup pairs, sign-LSH bucketed on the first
     * 8 dimensions (bucket count should grow with N — 16+ bits at 100 TB). */
   def ddEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
@@ -181,6 +209,7 @@ object Dedup {
     "dd_minhash_lsh"   -> (ddMinhashLsh _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_simhash"       -> (ddSimhash _),
+    "dd_simhash_clusters" -> (ddSimhashClusters _),
     "dd_embedding"     -> (ddEmbedding _))
 
   // ---- DuckDB oracle ----
@@ -208,6 +237,19 @@ object Dedup {
 
   private def cosineSql(a: String, b: String): String =
     VectorFunctions.cosineSql(a, b)
+
+  /** Shared fp CTE chain: documents → per-doc 32-bit simhash. */
+  private def simhashFpCte: String =
+    s"""t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+       |h AS (SELECT doc_id, [${hexLongSql("md5(x)", 8)} FOR x IN toks] AS hv FROM t),
+       |c AS (SELECT doc_id, CAST(len(hv) AS BIGINT) AS n,
+       |    $simhashCntsSql
+       |  FROM h),
+       |f AS (SELECT doc_id, CAST($simhashFpSql AS BIGINT) AS fp FROM c)""".stripMargin
+
+  private val simhashBandsSql =
+    """[concat(0, ':', (fp // 1) % 256), concat(1, ':', (fp // 256) % 256),
+      |    concat(2, ':', (fp // 65536) % 256), concat(3, ':', (fp // 16777216) % 256)]""".stripMargin
 
   private val embSignBucketSql = (1 to 8).map { j =>
     s"(CASE WHEN v[$j] > 0 THEN ${1L << (j - 1)} ELSE 0 END)"
@@ -252,12 +294,7 @@ object Dedup {
          |WHERE inter * 1000000 // (a.n + b.n - inter) >= $JaccardThresholdPpm
          |ORDER BY id_a, id_b""".stripMargin,
     "dd_simhash" ->
-      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |h AS (SELECT doc_id, [${hexLongSql("md5(x)", 8)} FOR x IN toks] AS hv FROM t),
-         |c AS (SELECT doc_id, CAST(len(hv) AS BIGINT) AS n,
-         |    $simhashCntsSql
-         |  FROM h),
-         |f AS (SELECT doc_id, CAST($simhashFpSql AS BIGINT) AS fp FROM c),
+      s"""WITH $simhashFpCte,
          |bd AS (SELECT doc_id, fp, unnest([
          |    concat(0, ':', (fp // 1) % 256), concat(1, ':', (fp // 256) % 256),
          |    concat(2, ':', (fp // 65536) % 256), concat(3, ':', (fp // 16777216) % 256)]) AS bk
@@ -268,6 +305,17 @@ object Dedup {
          |SELECT id_a, id_b, CAST(bit_count(xor(fp_a, fp_b)) AS BIGINT) AS hamming
          |FROM cand WHERE bit_count(xor(fp_a, fp_b)) <= $HammingMax
          |ORDER BY id_a, id_b""".stripMargin,
+    "dd_simhash_clusters" ->
+      s"""WITH $simhashFpCte,
+         |g AS (SELECT fp, min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM f GROUP BY fp),
+         |bd AS (SELECT fp, rep_id, n_docs, unnest($simhashBandsSql) AS bk FROM g)
+         |SELECT DISTINCT x.rep_id AS rep_a, y.rep_id AS rep_b,
+         |  CAST(bit_count(xor(x.fp, y.fp)) AS BIGINT) AS hamming,
+         |  x.n_docs AS n_a, y.n_docs AS n_b
+         |FROM bd x JOIN bd y ON x.bk = y.bk AND x.rep_id < y.rep_id
+         |  AND bit_count(xor(x.fp, y.fp)) <= $HammingMax
+         |ORDER BY rep_a, rep_b""".stripMargin,
     "dd_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, v, $embSignBucketSql AS bkt FROM e)
