@@ -155,17 +155,54 @@ object Datasets {
       .select(col("doc_id"), t.as("chosen"), col("rejected"))
       .orderBy(col("doc_id"))
 
+  /** p24_dpo_ready: the reference pipeline's final artifact
+    * (24-dpo-ready) — the DPO split of the assembled dataset with
+    * violation negatives attached to post-generation rows. Pure
+    * composition of p22 ⋈ p23 ⋈ p24 on (doc_id, family): the stages
+    * chain as plan builders, no materialization between them. */
+  def p24DpoReady(spark: SparkSession, sfDir: String): DataFrame =
+    p22Dataset(spark, sfDir)
+      .join(p23Split(spark, sfDir).select(col("doc_id"), col("family"),
+        col("group_key"), col("split")), Seq("doc_id", "family"))
+      .join(p24Negatives(spark, sfDir).select(col("doc_id"), col("rejected")),
+        Seq("doc_id"))
+      .filter(col("split") === "dpo")
+      .select(col("doc_id"), col("family"), col("group_key"), col("system"),
+        col("prompt"), col("chosen"),
+        when(col("family") === "post-generation", col("rejected")).as("rejected"))
+      .orderBy(col("doc_id"), col("family"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p22_dataset"   -> (p22Dataset _),
     "p23_split"     -> (p23Split _),
-    "p24_negatives" -> (p24Negatives _))
+    "p24_negatives" -> (p24Negatives _),
+    "p24_dpo_ready" -> (p24DpoReady _))
 
   // ---- DuckDB oracle ----
 
   private val groupKeySql =
     s"CASE WHEN f = 'post-generation' THEN concat('post-', ${Annotations.structureSql}) ELSE f END"
 
-  val oracle: Map[String, String] = Map(
+  /** p24_dpo_ready oracle: the three stage oracles as CTEs, re-joined. */
+  private def dpoReadySql(p22: String, p23: String, p24: String): String =
+    s"""WITH a AS ($p22),
+       |s AS ($p23),
+       |n AS ($p24)
+       |SELECT a.doc_id, a.family, s.group_key, a.system, a.prompt, a.chosen,
+       |  CASE WHEN a.family = 'post-generation' THEN n.rejected END AS rejected
+       |FROM a
+       |JOIN s ON a.doc_id = s.doc_id AND a.family = s.family
+       |JOIN n ON a.doc_id = n.doc_id
+       |WHERE s.split = 'dpo'
+       |ORDER BY a.doc_id, a.family""".stripMargin
+
+  val oracle: Map[String, String] = {
+    val base = oracleBase
+    base + ("p24_dpo_ready" -> dpoReadySql(
+      base("p22_dataset"), base("p23_split"), base("p24_negatives")))
+  }
+
+  private def oracleBase: Map[String, String] = Map(
     "p22_dataset" ->
       s"""WITH posts AS (
          |  SELECT doc_id, text,
