@@ -121,10 +121,17 @@ object Kernels {
   private def at(a: ArrayData, i: Int, isFloat: Boolean): Double =
     if (isFloat) a.getFloat(i).toDouble else a.getDouble(i)
 
+  private def sameDim(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"vector dimension mismatch: ${n} vs ${b.numElements()}")
+    n
+  }
+
   def cosine(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     var dot = 0.0; var nx = 0.0; var ny = 0.0
     var i = 0
-    val n = a.numElements()
+    val n = sameDim(a, b)
     while (i < n) {
       val x = at(a, i, aFloat)
       val y = at(b, i, bFloat)
@@ -139,7 +146,7 @@ object Kernels {
   def l2Sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     var acc = 0.0
     var i = 0
-    val n = a.numElements()
+    val n = sameDim(a, b)
     while (i < n) {
       val d = at(a, i, aFloat) - at(b, i, bFloat)
       acc += d * d

@@ -1,6 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -30,11 +31,48 @@ object NativeExpressions {
 
   private val K = "graft.functions.Kernels"
 
+  // Input-type validation (AbstractDataType/TypeCollection are
+  // private[sql], so these are hand-rolled checkInputDataTypes bodies
+  // rather than ExpectsInputTypes mixins).
+
+  private def expectType(
+      name: String, pos: String, actual: DataType, ok: Boolean, want: String): TypeCheckResult =
+    if (ok) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$name requires $want for its $pos argument, got ${actual.catalogString}")
+
+  private[functions] def checkString(name: String, e: Expression): TypeCheckResult =
+    expectType(name, "only", e.dataType, e.dataType == StringType, "STRING")
+
+  private[functions] def checkStringArray(name: String, e: Expression): TypeCheckResult =
+    expectType(name, "only", e.dataType,
+      e.dataType.isInstanceOf[ArrayType] &&
+        e.dataType.asInstanceOf[ArrayType].elementType == StringType,
+      "ARRAY<STRING>")
+
+  private def isVec(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) | ArrayType(DoubleType, _) => true
+    case _ => false
+  }
+
+  /** Both sides must be float[] or double[] — anything else (array<int>,
+    * string, …) is an analysis-time failure instead of a runtime
+    * ClassCastException. Equal length is asserted at runtime by
+    * [[Kernels.cosine]]/[[Kernels.l2Sq]] (length is data, not schema). */
+  private[functions] def checkVecVec(
+      name: String, l: Expression, r: Expression): TypeCheckResult =
+    if (!isVec(l.dataType))
+      expectType(name, "left", l.dataType, ok = false, "ARRAY<FLOAT> or ARRAY<DOUBLE>")
+    else
+      expectType(name, "right", r.dataType, isVec(r.dataType), "ARRAY<FLOAT> or ARRAY<DOUBLE>")
+
   /** Distinct word n-gram shingles, first-occurrence order — the native
     * form of [[TextFunctions.shingles]] (texts shorter than n tokens fall
     * back to the whole token string). */
   case class WordShingles(child: Expression, n: Int)
       extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkString(prettyName, child)
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def prettyName: String = "word_shingles"
     override protected def withNewChildInternal(newChild: Expression): WordShingles =
@@ -50,6 +88,8 @@ object NativeExpressions {
     * sig_i = min over shingles of (a + i·b) mod p. */
   case class MinHashSigs(child: Expression, k: Int, p: Long)
       extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkStringArray(prettyName, child)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def prettyName: String = "minhash_sigs"
     override protected def withNewChildInternal(newChild: Expression): MinHashSigs =
@@ -65,6 +105,8 @@ object NativeExpressions {
     * j set (ties and the zero-token edge set the bit). */
   case class SimHash32(child: Expression)
       extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkString(prettyName, child)
     override def dataType: DataType = LongType
     override def prettyName: String = "simhash32"
     override protected def withNewChildInternal(newChild: Expression): SimHash32 =
@@ -79,6 +121,8 @@ object NativeExpressions {
     * (the order Spark's array_sort uses). Blank text → null. */
   case class DominantToken(child: Expression)
       extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkString(prettyName, child)
     override def dataType: DataType = StringType
     override def nullable: Boolean = true
     override def prettyName: String = "dominant_token"
@@ -106,6 +150,8 @@ object NativeExpressions {
     * would raise ANSI divide-by-zero). */
   case class CosineSim(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkVecVec(prettyName, left, right)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "cosine_sim"
     override protected def withNewChildrenInternal(
@@ -123,6 +169,8 @@ object NativeExpressions {
     * accumulation order. */
   case class L2SqDist(left: Expression, right: Expression)
       extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkVecVec(prettyName, left, right)
     override def dataType: DataType = DoubleType
     override def prettyName: String = "l2sq_dist"
     override protected def withNewChildrenInternal(

@@ -81,9 +81,12 @@ object Annotations {
   private[operators] def topicCol: Column =
     graft.functions.NativeExpressions.dominantToken(t)
 
+  // Argmin sentinel 10^9 (pad 10): safe for any document under a billion
+  // repeats of one token — far past plausible row width; the native
+  // DominantToken kernel itself has no limit.
   private[operators] val topicSql =
-    s"""substr(list_min([concat(lpad(CAST(1000000 - len(list_filter($toksSql, tk -> tk = x)) AS VARCHAR), 7, '0'), x)
-       |  FOR x IN list_distinct($toksSql)]), 8)""".stripMargin
+    s"""substr(list_min([concat(lpad(CAST(1000000000 - len(list_filter($toksSql, tk -> tk = x)) AS VARCHAR), 10, '0'), x)
+       |  FOR x IN list_distinct($toksSql)]), 11)""".stripMargin
 
   def p06Topic(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)

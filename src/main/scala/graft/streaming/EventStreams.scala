@@ -87,7 +87,10 @@ object EventStreams {
         val t = e.ts.getTime
         cur = cur match {
           case Some(s) if t - s.last <= SessionGapMs =>
-            Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.value + e.value))
+            // min on start: a late-but-in-watermark event from a previous
+            // batch may precede the open session's start and must extend
+            // it backwards, matching the batch q_sessionize semantics.
+            Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1, s.value + e.value))
           case Some(s) =>
             closed += close(userId, s)
             Some(SessionState(t, t, 1, e.value))

@@ -31,8 +31,8 @@ class NativeExpressionsSpec extends SparkSpec {
       .union(spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
     val ts = tokens(col("text"))
     val keyed = transform(array_distinct(ts), x =>
-      concat(lpad((lit(1000000) - size(filter(ts, tk => tk === x))).cast("string"), 7, "0"), x))
-    val naive = substring(array_min(keyed), 8, 1000000)
+      concat(lpad((lit(1000000000) - size(filter(ts, tk => tk === x))).cast("string"), 10, "0"), x))
+    val naive = substring(array_min(keyed), 11, 1000000)
     val diff = docs.select(naive.as("hof"), dominantToken(col("text")).as("native"))
       .filter(not(col("hof") <=> col("native")))
       .count()

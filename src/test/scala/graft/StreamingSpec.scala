@@ -80,6 +80,29 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize extends a session backwards for late-in-watermark events") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(SessionEvent(5L, t("2026-01-01 10:00:00"), 1.0))
+      q.processAllAvailable()
+      // Late by 10 minutes but still inside the 30-minute watermark: must
+      // merge AND pull session_start back to 09:50 (batch q_sessionize
+      // would put both events in one session starting at the earlier ts).
+      in.addData(SessionEvent(5L, t("2026-01-01 09:50:00"), 2.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(5L, t("2026-01-01 13:00:00"), 4.0)) // closes it
+      q.processAllAvailable()
+      val closed = spark.table("sess_late")
+        .as[graft.streaming.UserSession].collect().toSet
+      assert(closed.map(s => (s.user_id, s.session_start, s.session_end, s.n_events, s.session_value)) ==
+        Set((5L, t("2026-01-01 09:50:00"), t("2026-01-01 10:00:00"), 2L, 3.0)))
+    } finally q.stop()
+  }
+
   test("sessionize emits via event-time timeout once the watermark passes") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[SessionEvent]

@@ -23,4 +23,22 @@ class VectorFunctionsSpec extends SparkSpec {
   test("cosine of antiparallel vectors is -1") {
     assert(math.abs(calc(Seq(1f, 2f), Seq(-1f, -2f), cosine) + 1.0) < 1e-12)
   }
+
+  test("native kernels reject mismatched vector dimensions at runtime") {
+    val e = intercept[Exception] {
+      calc(Seq(1f, 2f, 3f), Seq(1f, 2f), graft.functions.NativeExpressions.cosineSim)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("dimension mismatch")))
+  }
+
+  test("native vector expressions reject non-float arrays at analysis time") {
+    val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      df.select(graft.functions.NativeExpressions.cosineSim(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.toUpperCase.contains("DATATYPE_MISMATCH") ||
+      e.getMessage.contains("requires"))
+  }
 }
