@@ -1,9 +1,12 @@
 package graft.functions
 
 import java.security.MessageDigest
+import java.util.regex.Pattern
 
 import scala.collection.mutable
 
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -141,6 +144,217 @@ object Kernels {
       i += 1
     }
     dot / (math.sqrt(nx) * math.sqrt(ny))
+  }
+
+  // ---- one-pass reward statistics ----
+
+  private val BulletNum = Pattern.compile("^\\s*[0-9]+[.)]\\s+")
+  private val BulletLet = Pattern.compile("^\\s*[A-Za-z][.)]\\s+")
+  private val BulletSym = Pattern.compile("^\\s*[-*•]\\s+")
+  private val EmojiRe = Pattern.compile(TextFunctions.EmojiClass)
+
+  /** Deterministic sentiment lexicon for the arc re-expression
+    * (training/rewards/base.py get_sentiment_scores replaces VADER with an
+    * exact token-membership count; case-sensitive so both engines compare
+    * raw tokens). */
+  val PosWords: Array[String] = Array("good", "great", "love", "happy",
+    "excellent", "win", "best", "amazing", "success", "growth")
+  val NegWords: Array[String] = Array("bad", "terrible", "hate", "sad",
+    "poor", "fail", "worst", "awful", "loss", "problem")
+  private val posSet = { val s = new java.util.HashSet[String](); PosWords.foreach(s.add); s }
+  private val negSet = { val s = new java.util.HashSet[String](); NegWords.foreach(s.add); s }
+
+  /** Spark's `trim`/DuckDB's `trim` strip ASCII 0x20 only — NOT Java's
+    * String.trim (which strips all control chars <= 0x20). */
+  private def trimSpaces(s: String): String = {
+    var i = 0
+    var j = s.length
+    while (i < j && s.charAt(i) == ' ') i += 1
+    while (j > i && s.charAt(j - 1) == ' ') j -= 1
+    if (i == 0 && j == s.length) s else s.substring(i, j)
+  }
+
+  private def isAsciiAlpha(w: String): Boolean = {
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      if (!((c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z'))) return false
+      i += 1
+    }
+    w.nonEmpty
+  }
+
+  private def lowerAscii(w: String): String = {
+    val a = new Array[Char](w.length)
+    var i = 0
+    while (i < w.length) {
+      val c = w.charAt(i)
+      a(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      i += 1
+    }
+    new String(a)
+  }
+
+  private def isCharRun(s: String, c: Char): Boolean = {
+    if (s.length < 3) return false
+    var i = 0
+    while (i < s.length) {
+      if (s.charAt(i) != c) return false
+      i += 1
+    }
+    true
+  }
+
+  private def distinctSet(toks: Array[String]): java.util.HashSet[String] = {
+    val set = new java.util.HashSet[String](toks.length * 2)
+    toks.foreach(set.add)
+    set
+  }
+
+  /** |a ∩ b| for two distinct-element sets. */
+  private def interSize(a: java.util.HashSet[String], b: java.util.HashSet[String]): Int = {
+    val (small, big) = if (a.size <= b.size) (a, b) else (b, a)
+    var n = 0
+    val it = small.iterator()
+    while (it.hasNext) if (big.contains(it.next())) n += 1
+    n
+  }
+
+  /** All per-row statistics the reward suite needs that would otherwise
+    * run as interpreted HOF lambda chains — one pass over the text.
+    * Field semantics mirror the Column/DuckDB formulations exactly (see
+    * RewardStats in [[NativeExpressions]] for the schema and
+    * RewardsKernelSpec for the equivalence assertions):
+    *
+    *  - awords_*: whitespace tokens matching ^[A-Za-z]+$, lowercased
+    *  - sent_*: token-count moments over "[.!?]+"-split, space-trim
+    *    non-blank sentences
+    *  - sim_avg_ppm: mean adjacent-paragraph distinct-token Jaccard in
+    *    ppm (floor div; 1000000 for an empty union; 500000 with <2 paras)
+    *  - arc: 0 Neutral (<3 sentences) / 1 Rising / 2 Falling / 3 Flat /
+    *    4 Variable over per-sentence lexicon scores (pos − neg counts)
+    *  - flow_transitions: adjacent sentence pairs with <2 shared
+    *    distinct tokens
+    *  - bullet/divider flags per training/rewards/bullet_style.py:36-40,
+    *    divider.py:7-35 line classifiers
+    *  - emo_*: total + distinct [[TextFunctions.EmojiClass]] matches
+    */
+  def rewardStats(text: UTF8String): InternalRow = {
+    val s = text.toString
+
+    // Alpha-word vocabulary
+    val toks = tokenize(s)
+    var awTotal = 0
+    val awSet = new java.util.HashSet[String]()
+    var i = 0
+    while (i < toks.length) {
+      val w = toks(i)
+      if (isAsciiAlpha(w)) {
+        awTotal += 1
+        awSet.add(lowerAscii(w))
+      }
+      i += 1
+    }
+
+    // Sentences: token-count moments, lexicon scores, flow transitions
+    val sents = s.split("[.!?]+", -1).filter(x => trimSpaces(x).nonEmpty)
+    val sentToks = sents.map(tokenize)
+    val sentN = sents.length
+    var sentSum = 0L
+    var sentSumSq = 0L
+    val scores = new Array[Long](sentN)
+    i = 0
+    while (i < sentN) {
+      val st = sentToks(i)
+      val n = st.length.toLong
+      sentSum += n
+      sentSumSq += n * n
+      var sc = 0L
+      var j = 0
+      while (j < st.length) {
+        if (posSet.contains(st(j))) sc += 1
+        else if (negSet.contains(st(j))) sc -= 1
+        j += 1
+      }
+      scores(i) = sc
+      i += 1
+    }
+    val arc =
+      if (sentN < 3) 0
+      else {
+        val first = scores(0)
+        val middle = scores(sentN / 2)
+        val last = scores(sentN - 1)
+        if (first < middle && middle < last && last > 0) 1
+        else if (first > middle && middle > last && last < 0) 2
+        else if (last == first && middle == 0) 3
+        else 4
+      }
+    var flowTransitions = 0
+    if (sentN >= 2) {
+      var prev = distinctSet(sentToks(0))
+      i = 1
+      while (i < sentN) {
+        val cur = distinctSet(sentToks(i))
+        if (interSize(prev, cur) < 2) flowTransitions += 1
+        prev = cur
+        i += 1
+      }
+    }
+
+    // Adjacent-paragraph distinct-token Jaccard (ppm, floor division)
+    val paras = s.split("\n\n", -1).filter(x => trimSpaces(x).nonEmpty)
+    val nSims = math.max(paras.length - 1, 0)
+    var simAvg = 500000L
+    if (nSims > 0) {
+      var simSum = 0L
+      var prev = distinctSet(tokenize(paras(0)))
+      i = 1
+      while (i < paras.length) {
+        val cur = distinctSet(tokenize(paras(i)))
+        val inter = interSize(prev, cur).toLong
+        val uni = prev.size.toLong + cur.size.toLong - inter
+        simSum += (if (uni > 0) inter * 1000000L / uni else 1000000L)
+        prev = cur
+        i += 1
+      }
+      simAvg = simSum / nSims
+    }
+
+    // Line classifiers: bullets + dividers
+    val lines = s.split("\n", -1)
+    var bulletAny = s.contains("•")
+    var divDash = false
+    var divEq = false
+    var divStar = false
+    var divTilde = false
+    i = 0
+    while (i < lines.length) {
+      val l = lines(i)
+      if (!bulletAny &&
+        (BulletNum.matcher(l).find() || BulletLet.matcher(l).find() ||
+          BulletSym.matcher(l).find())) bulletAny = true
+      val tl = trimSpaces(l)
+      if (!divDash && isCharRun(tl, '-')) divDash = true
+      if (!divEq && isCharRun(tl, '=')) divEq = true
+      if (!divStar && isCharRun(tl, '*')) divStar = true
+      if (!divTilde && isCharRun(tl, '~')) divTilde = true
+      i += 1
+    }
+
+    // Emoji variety
+    val m = EmojiRe.matcher(s)
+    var emoTotal = 0
+    val emoSet = new java.util.HashSet[String]()
+    while (m.find()) {
+      emoTotal += 1
+      emoSet.add(m.group())
+    }
+
+    new GenericInternalRow(Array[Any](
+      awTotal, awSet.size, sentN, sentSum, sentSumSq, simAvg, arc,
+      flowTransitions, bulletAny, divDash, divEq, divStar, divTilde,
+      emoTotal, emoSet.size))
   }
 
   def l2Sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {

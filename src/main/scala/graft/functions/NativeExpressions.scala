@@ -136,6 +136,45 @@ object NativeExpressions {
         ${ev.isNull} = (${ev.value} == null);""")
   }
 
+  /** Schema of [[RewardStats]] — see [[Kernels.rewardStats]] for field
+    * semantics. */
+  val rewardStatsType: StructType = StructType(Seq(
+    StructField("awords_total", IntegerType, nullable = false),
+    StructField("awords_distinct", IntegerType, nullable = false),
+    StructField("sent_n", IntegerType, nullable = false),
+    StructField("sent_sum", LongType, nullable = false),
+    StructField("sent_sumsq", LongType, nullable = false),
+    StructField("sim_avg_ppm", LongType, nullable = false),
+    StructField("arc", IntegerType, nullable = false),
+    StructField("flow_transitions", IntegerType, nullable = false),
+    StructField("bullet_any", BooleanType, nullable = false),
+    StructField("div_dash", BooleanType, nullable = false),
+    StructField("div_eq", BooleanType, nullable = false),
+    StructField("div_star", BooleanType, nullable = false),
+    StructField("div_tilde", BooleanType, nullable = false),
+    StructField("emo_total", IntegerType, nullable = false),
+    StructField("emo_distinct", IntegerType, nullable = false)))
+
+  /** Every reward-suite per-row statistic in one text pass — replaces a
+    * dozen interpreted HOF lambda chains (vocab distinct ratio, sentence
+    * moments, paragraph Jaccard, bullet/divider line scans, emoji
+    * variety) with a single [[Kernels.rewardStats]] call. Downstream
+    * GetStructField references share one evaluation via whole-stage
+    * codegen subexpression elimination. */
+  case class RewardStats(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkString(prettyName, child)
+    override def dataType: DataType = rewardStatsType
+    override def prettyName: String = "reward_stats"
+    override protected def withNewChildInternal(newChild: Expression): RewardStats =
+      copy(child = newChild)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.rewardStats(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.rewardStats($c)")
+  }
+
   private def isFloatArr(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType match {
       case FloatType => true
@@ -197,6 +236,9 @@ object NativeExpressions {
 
   def dominantToken(c: Column): Column =
     ColumnBridge.column(DominantToken(ColumnBridge.expression(c)))
+
+  def rewardStats(c: Column): Column =
+    ColumnBridge.column(RewardStats(ColumnBridge.expression(c)))
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))

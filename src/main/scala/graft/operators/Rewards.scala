@@ -23,7 +23,6 @@ import graft.functions.TextFunctions._
 object Rewards {
 
   private val t = col("text")
-  private def toks = tokens(t)
 
   /** rw_length per training/rewards/length.py:6-57
     * (precise_post_length_reward with the text's own bucket). */
@@ -178,12 +177,11 @@ object Rewards {
 
   /** rw_vocab per training/rewards/vocabulary.py:30-74; requested level =
     * doc_id % 4 over [rich, developed, normal, conservative]. */
-  private def vocabRewardPpm: Column = {
-    val words = transform(filter(toks, w => w.rlike("^[A-Za-z]+$")), w => lower(w))
-    val total = size(words).cast("double")
-    val ratio = size(array_distinct(words)).cast("double") / total
+  private def vocabRewardPpm(st: Column): Column = {
+    val total = st.getField("awords_total").cast("double")
+    val ratio = st.getField("awords_distinct").cast("double") / greatest(total, lit(1.0))
     val req = col("doc_id") % 4
-    when(size(words) === 0, lit(200000L))
+    when(st.getField("awords_total") === 0, lit(200000L))
       .when(req === 0, // rich
         when(ratio > 0.5, 1000000L).when(ratio > 0.4, 800000L)
           .when(ratio > 0.3, 500000L).otherwise(300000L))
@@ -226,11 +224,9 @@ object Rewards {
 
   /** rw_divider per training/rewards/divider.py:7-35; requested divider =
     * doc_id % 4 over [-, =, *, ~]; full-line runs of >=3. */
-  private def dividerRewardPpm: Column = {
-    val found = Seq("-", "=", "*", "~").map { ch =>
-      val q = java.util.regex.Pattern.quote(ch)
-      size(filter(split(t, "\n"), l => trim(l).rlike("^" + q + "{3,}$"))) > 0
-    }
+  private def dividerRewardPpm(st: Column): Column = {
+    val found = Seq("div_dash", "div_eq", "div_star", "div_tilde")
+      .map(st.getField)
     val reqFound = when(col("doc_id") % 4 === 0, found(0))
       .when(col("doc_id") % 4 === 1, found(1))
       .when(col("doc_id") % 4 === 2, found(2))
@@ -259,14 +255,11 @@ object Rewards {
   /** rw_structure per training/rewards/structure.py:8-70; requested =
     * doc_id % 3 over [short, long, balanced]. Sentence-length sums/squares
     * are integer-exact before the double avg/variance. */
-  private def structureRewardPpm: Column = {
-    val sents = filter(split(t, "[.!?]+"), s => length(trim(s)) > lit(0))
-    val lens = transform(sents, s => size(filter(split(s, "\\s+"), x => length(x) > lit(0))).cast("long"))
-    val n = size(lens).cast("long")
-    val sumL = aggregate(lens, lit(0L), (acc, v) => acc + v)
-    val sumSq = aggregate(lens, lit(0L), (acc, v) => acc + v * v)
-    val avg = sumL.cast("double") / n.cast("double")
-    val variance = sumSq.cast("double") / n.cast("double") - avg * avg
+  private def structureRewardPpm(st: Column): Column = {
+    val n = st.getField("sent_n").cast("long")
+    val nD = greatest(n, lit(1L)).cast("double")
+    val avg = st.getField("sent_sum").cast("double") / nD
+    val variance = st.getField("sent_sumsq").cast("double") / nD - avg * avg
     val req = col("doc_id") % 3
     when(n < 2, lit(300000L))
       .when(req === 0, // short
@@ -301,18 +294,12 @@ object Rewards {
        |         WHEN $vr > 20 THEN 600000 ELSE 400000 END END AS BIGINT)""".stripMargin
   }
 
-  /** Exact integer division as a Column (numerator made divisible first so
-    * the double division is exact; results stay well under 2^53). */
-  private def idiv(a: Column, b: Column): Column =
-    ((a - pmod(a, b)) / b).cast("long")
-
   /** rw_emoji_variety per training/rewards/emoji_variety.py:5-20
     * (distinct/total emoji ratio bins; integer cross-multiplication keeps
     * both engines exact at the bin edges). */
-  private def emojiVarietyRewardPpm: Column = {
-    val emos = regexp_extract_all(t, lit(EmojiClass), lit(0))
-    val total = size(emos).cast("long")
-    val uniq = size(array_distinct(emos)).cast("long")
+  private def emojiVarietyRewardPpm(st: Column): Column = {
+    val total = st.getField("emo_total").cast("long")
+    val uniq = st.getField("emo_distinct").cast("long")
     when(total === 0, lit(0L))
       .when(uniq * 10 >= total * 9, lit(1000000L))
       .when(uniq * 10 >= total * 7, lit(800000L))
@@ -354,13 +341,8 @@ object Rewards {
   /** rw_bullets per training/rewards/bullet_style.py:36-40 (no requested
     * style in the synthesized requirement → 1.0 iff any bullet style is
     * detected, via the same line classifiers as p17). */
-  private def bulletRewardPpm: Column = {
-    val lines = split(t, "\n")
-    def has(re: String) = size(filter(lines, l => l.rlike(re))) > 0
-    when(has("^\\s*[0-9]+[.)]\\s+") || has("^\\s*[A-Za-z][.)]\\s+") ||
-      has("^\\s*[-*•]\\s+") || t.contains("•"), lit(1000000L))
-      .otherwise(lit(0L))
-  }
+  private def bulletRewardPpm(st: Column): Column =
+    when(st.getField("bullet_any"), lit(1000000L)).otherwise(lit(0L))
 
   private val bulletRewardSql = {
     def has(re: String) =
@@ -373,26 +355,9 @@ object Rewards {
     * paragraph-similarity re-expressed as adjacent-paragraph token
     * Jaccard (deterministic, same dataflow): <3 sentences → 0.5, else
     * 1 - |0.5 - avg adjacent similarity|. */
-  private def topicShiftRewardPpm: Column = {
-    val paras = filter(split(t, "\n\n"), p => length(trim(p)) > 0)
-    val np = size(paras)
-    val sims = zip_with(
-      slice(paras, lit(1), greatest(np - 1, lit(0))),
-      slice(paras, lit(2), greatest(np - 1, lit(0))),
-      (a, b) => {
-        val ta = array_distinct(filter(split(a, "\\s+"), x => length(x) > lit(0)))
-        val tb = array_distinct(filter(split(b, "\\s+"), x => length(x) > lit(0)))
-        val inter = size(array_intersect(ta, tb)).cast("long")
-        val uni = size(ta).cast("long") + size(tb).cast("long") - inter
-        when(uni > 0, ((inter * 1000000L - pmod(inter * 1000000L, uni)) / uni).cast("long"))
-          .otherwise(lit(1000000L))
-      })
-    val nSims = size(sims).cast("long")
-    val avg = when(nSims > 0, idiv(aggregate(sims, lit(0L), (acc, v) => acc + v), nSims))
-      .otherwise(lit(500000L))
-    when(sentenceCount(t) < 3, lit(500000L))
-      .otherwise(lit(1000000L) - abs(lit(500000L) - avg))
-  }
+  private def topicShiftRewardPpm(st: Column): Column =
+    when(st.getField("sent_n") < 3, lit(500000L))
+      .otherwise(lit(1000000L) - abs(lit(500000L) - st.getField("sim_avg_ppm")))
 
   private val topicShiftRewardSql = {
     val paras = "list_filter(regexp_split_to_array(text, '\\n\\n'), p -> trim(p) != '')"
@@ -408,34 +373,143 @@ object Rewards {
        |    THEN CAST(list_sum($sims) AS BIGINT) // len($sims) ELSE 500000 END)) END AS BIGINT)""".stripMargin
   }
 
-  /** rw_rewards: all reward columns + the uniform-weight aggregate
-    * (training/rewards/aggregator.py re-expressed with equal weights). */
-  def rwRewards(spark: SparkSession, sfDir: String): DataFrame =
+  /** rw_tone per training/rewards/tone.py:7-40 — required tone category
+    * synthesized from doc_id % 3 (positive/neutral/negative; the
+    * reference's tone_map image); the VADER sentiment arc is re-expressed
+    * as the deterministic lexicon arc from [[graft.functions.Kernels
+    * .rewardStats]] (0 Neutral / 1 Rising / 2 Falling / 3 Flat /
+    * 4 Variable). */
+  private def toneRewardPpm(st: Column): Column = {
+    val arc = st.getField("arc")
+    when(col("doc_id") % 3 === 0, when(arc === 1, lit(1000000L)).otherwise(lit(600000L)))
+      .when(col("doc_id") % 3 === 2, when(arc === 2, lit(1000000L)).otherwise(lit(600000L)))
+      .otherwise(when(arc === 0 || arc === 3, lit(1000000L)).otherwise(lit(600000L)))
+  }
+
+  /** rw_narrative per training/rewards/narrative.py:6-22: +0.4 when
+    * pacing has data (>=3 sentences), +0.3 when the sentiment arc shows
+    * movement (not Neutral/Flat), +0.3 when flow is smooth (<=1
+    * adjacent-sentence keyword transitions). */
+  private def narrativeRewardPpm(st: Column): Column = {
+    val n = st.getField("sent_n")
+    val arc = st.getField("arc")
+    when(n >= 3, lit(400000L)).otherwise(lit(0L)) +
+      when(arc =!= 0 && arc =!= 3, lit(300000L)).otherwise(lit(0L)) +
+      when(n >= 3 && st.getField("flow_transitions") <= 1, lit(300000L)).otherwise(lit(0L))
+  }
+
+  /** rw_semantic per training/rewards/semantic.py:8-26: no sentences 0.5,
+    * 1-2 sentences 0.6, else 0.5 + 0.25 (pacing has data) + 0.25 when the
+    * arc shows movement. */
+  private def semanticRewardPpm(st: Column): Column = {
+    val arc = st.getField("arc")
+    when(st.getField("sent_n") === 0, lit(500000L))
+      .when(st.getField("sent_n") < 3, lit(600000L))
+      .otherwise(lit(750000L) + when(arc =!= 0 && arc =!= 3, lit(250000L)).otherwise(lit(0L)))
+  }
+
+  private val allRewardCols = Seq(
+    "r_length", "r_hashtags", "r_emoji", "r_punct", "r_linebreaks",
+    "r_vocab", "r_divider", "r_cjk", "r_structure", "r_emoji_variety",
+    "r_fabrication", "r_bullets", "r_topic_shifts", "r_tone",
+    "r_narrative", "r_semantic")
+
+  /** rw_rewards: all 16 reward columns + the uniform-weight aggregate
+    * (training/rewards/aggregator.py re-expressed with equal weights).
+    * The HOF-heavy statistics come from one native [[graft.functions
+    * .NativeExpressions.RewardStats]] pass shared across columns. */
+  def rwRewards(spark: SparkSession, sfDir: String): DataFrame = {
+    val st = col("st")
     Tables.documents(spark, sfDir)
+      .select(col("doc_id"), t,
+        graft.functions.NativeExpressions.rewardStats(t).as("st"))
       .select(col("doc_id"),
         lengthRewardPpm.as("r_length"),
         hashtagRewardPpm.as("r_hashtags"),
         emojiRewardPpm.as("r_emoji"),
         punctRewardPpm.as("r_punct"),
         linebreakRewardPpm.as("r_linebreaks"),
-        vocabRewardPpm.as("r_vocab"),
-        dividerRewardPpm.as("r_divider"),
+        vocabRewardPpm(st).as("r_vocab"),
+        dividerRewardPpm(st).as("r_divider"),
         cjkRewardPpm.as("r_cjk"),
-        structureRewardPpm.as("r_structure"),
-        emojiVarietyRewardPpm.as("r_emoji_variety"),
+        structureRewardPpm(st).as("r_structure"),
+        emojiVarietyRewardPpm(st).as("r_emoji_variety"),
         fabricationRewardPpm.as("r_fabrication"),
-        bulletRewardPpm.as("r_bullets"),
-        topicShiftRewardPpm.as("r_topic_shifts"))
+        bulletRewardPpm(st).as("r_bullets"),
+        topicShiftRewardPpm(st).as("r_topic_shifts"),
+        toneRewardPpm(st).as("r_tone"),
+        narrativeRewardPpm(st).as("r_narrative"),
+        semanticRewardPpm(st).as("r_semantic"))
       .withColumn("r_total",
-        expr("(r_length + r_hashtags + r_emoji + r_punct + r_linebreaks + r_vocab + r_divider + r_cjk + r_structure + r_emoji_variety + r_fabrication + r_bullets + r_topic_shifts) div 13"))
+        expr(s"(${allRewardCols.mkString(" + ")}) div ${allRewardCols.length}"))
       .orderBy(col("doc_id"))
+  }
+
+  // ---- arc / flow DuckDB machinery (mirrors Kernels.rewardStats) ----
+
+  private val sentsSql =
+    "list_filter(regexp_split_to_array(text, '[.!?]+'), s -> trim(s) != '')"
+
+  private def sentToksSql(s: String) =
+    s"list_filter(regexp_split_to_array($s, '\\s+'), x -> x != '')"
+
+  private def wordListSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private val scoresSql = {
+    val pos = wordListSql(graft.functions.Kernels.PosWords)
+    val neg = wordListSql(graft.functions.Kernels.NegWords)
+    s"""[CAST(len(list_filter(${sentToksSql("s")}, x -> list_contains($pos, x))) AS BIGINT)
+       | - CAST(len(list_filter(${sentToksSql("s")}, x -> list_contains($neg, x))) AS BIGINT)
+       | FOR s IN $sentsSql]""".stripMargin
+  }
+
+  /** Sentiment-arc code over the per-sentence lexicon scores: 0 Neutral
+    * (<3 sentences) / 1 Rising / 2 Falling / 3 Flat / 4 Variable;
+    * middle = scores[n/2] zero-based == scores[n//2 + 1] one-based. */
+  private val arcSql =
+    """CASE WHEN len(scores) < 3 THEN 0
+      |  WHEN scores[1] < scores[len(scores)//2 + 1]
+      |    AND scores[len(scores)//2 + 1] < scores[len(scores)]
+      |    AND scores[len(scores)] > 0 THEN 1
+      |  WHEN scores[1] > scores[len(scores)//2 + 1]
+      |    AND scores[len(scores)//2 + 1] > scores[len(scores)]
+      |    AND scores[len(scores)] < 0 THEN 2
+      |  WHEN scores[len(scores)] = scores[1]
+      |    AND scores[len(scores)//2 + 1] = 0 THEN 3
+      |  ELSE 4 END""".stripMargin
+
+  private val flowTransitionsSql =
+    s"""len(list_filter(range(2, len(sents) + 1), i ->
+       |  len(list_intersect(list_distinct(${sentToksSql("sents[i-1]")}),
+       |      list_distinct(${sentToksSql("sents[i]")}))) < 2))""".stripMargin
+
+  private val toneRewardSql =
+    """CAST(CASE WHEN doc_id % 3 = 0 THEN CASE WHEN arc = 1 THEN 1000000 ELSE 600000 END
+      |  WHEN doc_id % 3 = 2 THEN CASE WHEN arc = 2 THEN 1000000 ELSE 600000 END
+      |  ELSE CASE WHEN arc = 0 OR arc = 3 THEN 1000000 ELSE 600000 END END AS BIGINT)""".stripMargin
+
+  private val narrativeRewardSql =
+    """CAST((CASE WHEN n_sents >= 3 THEN 400000 ELSE 0 END)
+      |  + (CASE WHEN arc != 0 AND arc != 3 THEN 300000 ELSE 0 END)
+      |  + (CASE WHEN n_sents >= 3 AND flow_transitions <= 1 THEN 300000 ELSE 0 END) AS BIGINT)""".stripMargin
+
+  private val semanticRewardSql =
+    """CAST(CASE WHEN n_sents = 0 THEN 500000 WHEN n_sents < 3 THEN 600000
+      |  ELSE 750000 + CASE WHEN arc != 0 AND arc != 3 THEN 250000 ELSE 0 END END AS BIGINT)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "rw_rewards" -> (rwRewards _))
 
   val oracle: Map[String, String] = Map(
     "rw_rewards" ->
-      s"""WITH r AS (
+      s"""WITH a AS (
+         |  SELECT doc_id, text, $scoresSql AS scores, $sentsSql AS sents
+         |  FROM documents),
+         |b AS (
+         |  SELECT doc_id, text, $arcSql AS arc, len(sents) AS n_sents,
+         |    $flowTransitionsSql AS flow_transitions
+         |  FROM a),
+         |r AS (
          |  SELECT doc_id,
          |    $lengthRewardSql AS r_length,
          |    $hashtagRewardSql AS r_hashtags,
@@ -449,13 +523,12 @@ object Rewards {
          |    $emojiVarietyRewardSql AS r_emoji_variety,
          |    $fabricationRewardSql AS r_fabrication,
          |    $bulletRewardSql AS r_bullets,
-         |    $topicShiftRewardSql AS r_topic_shifts
-         |  FROM documents)
-         |SELECT doc_id, r_length, r_hashtags, r_emoji, r_punct, r_linebreaks,
-         |  r_vocab, r_divider, r_cjk, r_structure, r_emoji_variety,
-         |  r_fabrication, r_bullets, r_topic_shifts,
-         |  (r_length + r_hashtags + r_emoji + r_punct + r_linebreaks
-         |   + r_vocab + r_divider + r_cjk + r_structure + r_emoji_variety
-         |   + r_fabrication + r_bullets + r_topic_shifts) // 13 AS r_total
+         |    $topicShiftRewardSql AS r_topic_shifts,
+         |    $toneRewardSql AS r_tone,
+         |    $narrativeRewardSql AS r_narrative,
+         |    $semanticRewardSql AS r_semantic
+         |  FROM b)
+         |SELECT doc_id, ${allRewardCols.mkString(", ")},
+         |  (${allRewardCols.mkString(" + ")}) // ${allRewardCols.length} AS r_total
          |FROM r ORDER BY doc_id""".stripMargin)
 }
