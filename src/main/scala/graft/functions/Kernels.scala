@@ -368,4 +368,27 @@ object Kernels {
     }
     acc
   }
+
+  /** Sign-LSH bucket: bit p is set when dot(v, planes(p)) > 0. The
+    * accumulation is strict left-to-right (0 + w_0·v_0 + w_1·v_1 + …), the
+    * same IEEE sequence the ±-literal DuckDB mirror evaluates, so the sign
+    * — and hence the bucket — is identical in both engines. */
+  def signLshBucket(v: ArrayData, planes: Array[Array[Double]], isFloat: Boolean): Long = {
+    var b = 0L
+    var p = 0
+    while (p < planes.length) {
+      val w = planes(p)
+      require(v.numElements() == w.length,
+        s"vector dimension mismatch: ${v.numElements()} vs plane ${w.length}")
+      var acc = 0.0
+      var j = 0
+      while (j < w.length) {
+        acc += w(j) * at(v, j, isFloat)
+        j += 1
+      }
+      if (acc > 0) b |= 1L << p
+      p += 1
+    }
+    b
+  }
 }

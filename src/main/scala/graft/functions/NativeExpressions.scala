@@ -223,6 +223,26 @@ object NativeExpressions {
         s"$K.l2Sq($a, $b, ${isFloatArr(left)}, ${isFloatArr(right)})")
   }
 
+  /** Sign-LSH bucket over a float/double vector for a fixed ±1 hyperplane
+    * matrix (carried into generated code as a plan reference object). */
+  case class SignLshBucket(child: Expression, planes: Seq[Seq[Double]])
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkVecVec(prettyName, child, child)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sign_lsh_bucket"
+    override protected def withNewChildInternal(newChild: Expression): SignLshBucket =
+      copy(child = newChild)
+    @transient private lazy val matrix: Array[Array[Double]] =
+      planes.map(_.toArray).toArray
+    override def nullSafeEval(input: Any): Any =
+      Kernels.signLshBucket(input.asInstanceOf[ArrayData], matrix, isFloatArr(child))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("planes", matrix, "double[][]")
+      defineCodeGen(ctx, ev, c => s"$K.signLshBucket($c, $ref, ${isFloatArr(child)})")
+    }
+  }
+
   // ---- Column wrappers ----
 
   def wordShingles(c: Column, n: Int): Column =
@@ -239,6 +259,9 @@ object NativeExpressions {
 
   def rewardStats(c: Column): Column =
     ColumnBridge.column(RewardStats(ColumnBridge.expression(c)))
+
+  def signLshBucket(c: Column, planes: Seq[Seq[Double]]): Column =
+    ColumnBridge.column(SignLshBucket(ColumnBridge.expression(c), planes))
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -23,6 +23,22 @@ object Similarity {
 
   val TopK = 5
   val NProbe = 2
+  val NPlanes = 8 // sign-LSH bits → 256 buckets (grow with corpus size)
+  val Dim = 64
+
+  /** ±1 hyperplane weight for (plane p, dimension j), derived from
+    * md5("p:j")'s top bit — deterministic public arithmetic; the DuckDB
+    * oracle inlines the signs this same function generates, and both
+    * engines accumulate the dot product in the same IEEE order
+    * ([[graft.functions.Kernels.signLshBucket]]). */
+  def planeSign(p: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"$p:$j".getBytes("UTF-8"))
+    if ((d(0) & 0x80) != 0) 1.0 else -1.0
+  }
+
+  private val planes: Seq[Seq[Double]] =
+    (0 until NPlanes).map(p => (0 until Dim).map(j => planeSign(p, j)))
 
   private def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
@@ -93,6 +109,28 @@ object Similarity {
     topKPerQuery(cand, TopK)
   }
 
+  /** ss_lsh_topk: random-hyperplane sign-LSH ANN. Corpus vectors hash to
+    * one 8-bit sign bucket (map-only native pass); each query multiprobes
+    * its own bucket plus the [[NPlanes]] single-bit flips (recall knob),
+    * and cosine top-k runs over the probed buckets only. Scale shape: the
+    * query probe set is broadcast, the corpus is never shuffled, and the
+    * candidate fan-in per query is the probed buckets' occupancy —
+    * ~(1+NPlanes)/2^NPlanes of the corpus — instead of all N. */
+  def ssLshTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.signLshBucket
+    val bk = vecs(spark, sfDir)
+      .select(col("vec_id"), col("v"), signLshBucket(col("v"), planes).as("bkt"))
+    val qb = queriesDf(spark, sfDir)
+      .select(col("q_id"), col("qv"), signLshBucket(col("qv"), planes).as("bkt"))
+    val probeArr = array(col("bkt") +: (0 until NPlanes).map(i =>
+      col("bkt").bitwiseXOR(lit(1L << i))): _*)
+    val probes = qb.select(col("q_id"), col("qv"), explode(probeArr).as("probe"))
+    val cand = bk.join(broadcast(probes),
+        col("bkt") === col("probe") && col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosineSim(col("qv"), col("v")).as("cos"))
+    topKPerQuery(cand, TopK)
+  }
+
   /** p21_cluster_assign: per-vector nearest seed centroid + distance. */
   def p21ClusterAssign(spark: SparkSession, sfDir: String): DataFrame =
     assignments(spark, sfDir)
@@ -118,6 +156,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_brute_topk"      -> (ssBruteTopk _),
     "ss_ivf_topk"        -> (ssIvfTopk _),
+    "ss_lsh_topk"        -> (ssLshTopk _),
     "p21_cluster_assign" -> (p21ClusterAssign _),
     "p21_kmeans"         -> (p21Kmeans _))
 
@@ -165,6 +204,28 @@ object Similarity {
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
          |  CAST(round(cos*1000000, 0) AS BIGINT) AS cos_ppm
          |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ss_lsh_topk" -> {
+      def dotSql(v: String, p: Int): String =
+        "(0" + (0 until Dim).map(j =>
+          (if (planeSign(p, j) > 0) " + " else " - ") + s"$v[${j + 1}]").mkString + ")"
+      def bucketSql(v: String): String =
+        (0 until NPlanes).map(p =>
+          s"(CASE WHEN ${dotSql(v, p)} > 0 THEN ${1L << p} ELSE 0 END)").mkString(" + ")
+      val probeList =
+        ("bkt" +: (0 until NPlanes).map(i => s"xor(bkt, ${1L << i})")).mkString("[", ", ", "]")
+      s"""WITH $eCte, $qCte,
+         |bk AS (SELECT vec_id, v, CAST(${bucketSql("v")} AS BIGINT) AS bkt FROM e),
+         |qb AS (SELECT q_id, qv, CAST(${bucketSql("qv")} AS BIGINT) AS bkt FROM q),
+         |probes AS (SELECT q_id, qv, unnest($probeList) AS probe FROM qb),
+         |cand AS (SELECT p.q_id, b.vec_id, ${cosineSql("p.qv", "b.v")} AS cos
+         |  FROM probes p JOIN bk b ON b.bkt = p.probe AND b.vec_id != p.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM cand)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  CAST(round(cos*1000000, 0) AS BIGINT) AS cos_ppm
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+    },
     "p21_cluster_assign" ->
       s"""WITH $eCte, $cCte,
          |$asgCte

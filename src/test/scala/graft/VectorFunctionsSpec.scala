@@ -33,6 +33,19 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(messages(e).exists(_.contains("dimension mismatch")))
   }
 
+  test("signLshBucket sets bit p iff dot(v, plane_p) > 0") {
+    import graft.functions.NativeExpressions.signLshBucket
+    // plane 0 = [+1, -1], plane 1 = [+1, +1]
+    val planes = Seq(Seq(1.0, -1.0), Seq(1.0, 1.0))
+    def bucket(v: Seq[Double]): Long =
+      Seq(Tuple1(v)).toDF("v")
+        .select(signLshBucket(col("v"), planes).as("b")).as[Long].head()
+    assert(bucket(Seq(3.0, 1.0)) == 3L)  // dot0=2>0, dot1=4>0
+    assert(bucket(Seq(1.0, 3.0)) == 2L)  // dot0=-2, dot1=4>0
+    assert(bucket(Seq(-1.0, -3.0)) == 1L) // dot0=2>0, dot1=-4
+    assert(bucket(Seq(1.0, 1.0)) == 2L)  // dot0=0 NOT > 0
+  }
+
   test("native vector expressions reject non-float arrays at analysis time") {
     val df = Seq((Seq(1, 2), Seq(3, 4))).toDF("a", "b")
     val e = intercept[org.apache.spark.sql.AnalysisException] {
