@@ -1,0 +1,87 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
+
+/** Output-side helpers: partitioned/bucketed batch parquet and streaming
+  * file/foreachBatch sinks.
+  *
+  * Scale rules encoded here:
+  *  - partition columns must be LOW cardinality (tier, date, split —
+  *    never doc_id): each distinct value is a directory;
+  *  - repartition on the partition columns before writing so each
+  *    partition directory is written by the tasks owning it (without
+  *    this, every task appends a file to every directory →
+  *    tasks × partitions small files);
+  *  - bucketing persists the shuffle: two tables bucketed by the same
+  *    key join without exchanging either side;
+  *  - streaming writes go through exactly-once file-sink commits, with
+  *    Trigger.AvailableNow for catch-up/backfill runs.
+  */
+object Sinks {
+
+  /** Batch parquet partitioned by `partitionCols`, one shuffle on the
+    * partition key so files-per-directory ≈ its task count, not
+    * tasks × directories. */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String]): Unit =
+    df.repartition(partitionCols.map(col): _*)
+      .write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Bucketed + sorted table for co-located joins: `SortMergeJoin` over
+    * two tables bucketed by the same key on the same count needs no
+    * exchange at read time. (Table sink — bucketing metadata lives in the
+    * catalog.) */
+  def bucketedTable(df: DataFrame, table: String, bucketCol: String, nBuckets: Int): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .bucketBy(nBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** Streaming parquet file sink (exactly-once via the file-sink commit
+    * log). Caller starts it: `.start()` for continuous,
+    * `.trigger(AvailableNow)` already applied for drain-and-stop runs. */
+  def streamingParquet[T](ds: Dataset[T], path: String, checkpoint: String): DataStreamWriter[T] =
+    ds.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .outputMode(OutputMode.Append)
+      .trigger(Trigger.AvailableNow())
+
+  /** Streaming dedup-upsert into a batch parquet target via foreachBatch:
+    * each micro-batch keeps the min-`orderCol` row per `keyCol` within
+    * the batch and appends only keys not already present in the target —
+    * the batch side of dd_exact for at-least-once streams whose
+    * redeliveries outlive the watermark horizon (the in-horizon path is
+    * EventStreams.dedupEvents). The anti-join reads only the target's
+    * `keyCol` column (parquet column pruning). */
+  def dedupUpsertParquet[T](
+      ds: Dataset[T],
+      path: String,
+      checkpoint: String,
+      keyCol: String,
+      orderCol: String): DataStreamWriter[T] =
+    ds.writeStream
+      .outputMode(OutputMode.Update)
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: Dataset[T], _: Long) =>
+        val spark = batch.sparkSession
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col(keyCol)).orderBy(col(orderCol))
+        val inBatch = batch.toDF()
+          .withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        val fresh =
+          if (!new java.io.File(path).exists()) inBatch
+          else inBatch.join(spark.read.parquet(path).select(keyCol),
+            Seq(keyCol), "left_anti")
+        fresh.write.mode(SaveMode.Append).parquet(path)
+        ()
+      }
+}

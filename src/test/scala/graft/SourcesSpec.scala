@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.{PostsJsonl, Sinks}
+
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(prefix: String): String =
+    Files.createTempDirectory(prefix).toString
+
+  private def writeLines(path: String, lines: Seq[String]): Unit =
+    Files.write(Paths.get(path), lines.mkString("\n").getBytes("UTF-8"))
+
+  test("PostsJsonl reads flat and wrapped lines into one post table") {
+    val dir = tmpDir("jsonl")
+    val f = s"$dir/posts.jsonl"
+    writeLines(f, Seq(
+      """{"post_text": "flat post", "follower_count": 100, "total_likes_count": 5, "comments_count": 2, "shares_count": 1}""",
+      """{"posts": [{"post_text": "wrapped a", "follower_count": 10}, {"post_text": "wrapped b", "comments_count": 3}]}""",
+      """not json at all"""))
+    val all = PostsJsonl.read(spark, f)
+    assert(all.count() == 4) // 1 flat + 2 wrapped + 1 corrupt
+    assert(all.filter(col("is_corrupt")).count() == 1)
+    val posts = PostsJsonl.posts(spark, f)
+      .select("post_text", "follower_count", "comments_count")
+      .as[(String, Long, Long)].collect().toSet
+    assert(posts == Set(
+      ("flat post", 100L, 2L),
+      ("wrapped a", 10L, 0L),
+      ("wrapped b", 0L, 3L)))
+  }
+
+  test("partitionedParquet round-trips and prunes partitions at read") {
+    val out = tmpDir("part") + "/t"
+    val df = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "A", 30.0))
+      .toDF("id", "tier", "v")
+    Sinks.partitionedParquet(df, out, Seq("tier"))
+    val back = spark.read.parquet(out)
+    assert(back.count() == 3)
+    val pruned = back.filter(col("tier") === "A")
+    assert(pruned.count() == 2)
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(tier"), plan)
+  }
+
+  test("bucketedTable joins co-located without a shuffle exchange") {
+    val n = 4
+    Sinks.bucketedTable(
+      Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("k", "a"), "bt_left", "k", n)
+    Sinks.bucketedTable(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "b"), "bt_right", "k", n)
+    try {
+      val joined = spark.table("bt_left").join(spark.table("bt_right"), "k")
+      assert(joined.count() == 2)
+      val plan = joined.queryExecution.executedPlan.toString
+      // Bucketing replaces both exchanges: no shuffle anywhere in the join.
+      assert(!plan.contains("Exchange hashpartitioning"), plan)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bt_left")
+      spark.sql("DROP TABLE IF EXISTS bt_right")
+    }
+  }
+
+  test("streamingParquet drains a stream exactly once with AvailableNow") {
+    implicit val sql = spark.sqlContext
+    val dir = tmpDir("stream")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    in.addData((1L, "a"), (2L, "b"))
+    val q = Sinks.streamingParquet(
+      in.toDF().toDF("id", "s"), s"$dir/out", s"$dir/ckpt").start()
+    q.awaitTermination(60000)
+    assert(spark.read.parquet(s"$dir/out").count() == 2)
+  }
+
+  test("dedupUpsertParquet keeps first row per key across batches") {
+    implicit val sql = spark.sqlContext
+    val dir = tmpDir("upsert")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+
+    def drain(): Unit = {
+      val q = Sinks.dedupUpsertParquet(
+        in.toDF().toDF("k", "seq", "s"),
+        s"$dir/out", s"$dir/ckpt", "k", "seq").start()
+      q.awaitTermination(60000)
+    }
+
+    in.addData((1L, 1L, "first-1"), (1L, 2L, "dup-1"), (2L, 1L, "first-2"))
+    drain()
+    in.addData((2L, 5L, "redelivered-2"), (3L, 1L, "first-3"))
+    drain()
+
+    val rows = spark.read.parquet(s"$dir/out")
+      .select("k", "s").as[(Long, String)].collect().toSet
+    assert(rows == Set((1L, "first-1"), (2L, "first-2"), (3L, "first-3")))
+  }
+}
