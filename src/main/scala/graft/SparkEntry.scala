@@ -35,6 +35,7 @@ object SparkEntry {
     "q_events_funnel" -> (Analytics.eventsFunnel _),
     "q_sessionize"    -> (Analytics.sessionize _),
     "q_asof_join"     -> (Analytics.asofJoin _),
+    "q_range_join"    -> (Analytics.rangeJoin _),
     "q_events_window" -> (Analytics.eventsWindowed _),
   )
 
@@ -138,6 +139,18 @@ object SparkEntry {
         |  CAST(round(o_totalprice*100, 0) AS BIGINT) AS price_cents
         |FROM carried WHERE is_event = 1
         |ORDER BY event_id""".stripMargin,
+    "q_range_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id % 15 AS k,
+        |    CAST(ts AS TIMESTAMP) - INTERVAL 25 YEAR AS t
+        |  FROM events)
+        |SELECT e.event_id,
+        |  count(o.o_orderdate) AS n_orders,
+        |  CAST(round(coalesce(sum(o.o_totalprice), 0)*100, 0) AS BIGINT) AS price_cents
+        |FROM e LEFT JOIN orders o ON o.o_custkey % 15 = e.k
+        |  AND o.o_orderdate >= e.t - INTERVAL 7 DAY AND o.o_orderdate <= e.t
+        |GROUP BY e.event_id
+        |ORDER BY e.event_id""".stripMargin,
     "q_events_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n,
         |  CAST(round(sum(value)*100, 0) AS BIGINT) AS v

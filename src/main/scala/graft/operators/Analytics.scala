@@ -188,6 +188,51 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** Range join: each event aggregates its key's orders whose o_orderdate
+    * falls in the trailing 7-day window [t-7d, t] — the interval-join
+    * shape Spark has no native operator for.
+    *
+    * A theta-join on the range predicate alone is O(events × orders) per
+    * key. Instead both sides bucket onto 7-day time chunks and equi-join
+    * on (k, chunk): an interval of width w probes at most
+    * ceil(w/chunk)+1 = 2 chunks (exploded map-side on the event side),
+    * the range predicate prunes inside the hash join, and a matching
+    * order lives in exactly one chunk so no dedup pass is needed.
+    * Parallelism scales with keys × time span, never |k| alone; chunk
+    * width is the knob balancing probe fan-out (width ≪ interval → many
+    * probes) against bucket occupancy (width ≫ interval → stale rows
+    * scanned). */
+  def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val weekSec = 7L * 86400L
+    def chunkOf(c: org.apache.spark.sql.Column) =
+      floor(unix_timestamp(c) / lit(weekSec)).cast("long")
+    val ev = Tables.events(spark, sfDir)
+      .select(
+        col("event_id"),
+        (col("user_id") % 15).as("k"),
+        (col("ts") - expr("INTERVAL 25 YEARS")).as("t"))
+      .withColumn("w", explode(array_distinct(array(
+        chunkOf(col("t") - expr("INTERVAL 7 DAYS")), chunkOf(col("t"))))))
+      .as("e")
+    val ord = Tables.orders(spark, sfDir)
+      .select(
+        (col("o_custkey") % 15).as("k"),
+        col("o_orderdate").as("ot"),
+        col("o_totalprice"))
+      .withColumn("w", chunkOf(col("ot")))
+      .as("o")
+    ev.join(ord,
+        col("e.k") === col("o.k") && col("e.w") === col("o.w") &&
+          col("o.ot") >= col("e.t") - expr("INTERVAL 7 DAYS") &&
+          col("o.ot") <= col("e.t"),
+        "left")
+      .groupBy(col("event_id"))
+      .agg(
+        count(col("ot")).as("n_orders"),
+        cents(coalesce(sum(col("o_totalprice")), lit(0.0))).as("price_cents"))
+      .orderBy(col("event_id"))
+  }
+
   /** Tumbling 1-hour event aggregation (batch mirror of the streaming path). */
   def eventsWindowed(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
