@@ -102,9 +102,27 @@ object Manifest {
         expr("(n_bytes * 7 + frame_idx * 13) % 256").as("luma"))
       .orderBy(col("media_id"), col("frame_idx"))
 
+  /** mm_audio_windows: fixed 1-second analysis windows over audio assets —
+    * one row per window with a stub duration (derived from the byte
+    * stream; a real decoder would read the container header) and a stub
+    * RMS energy standing in for the decoded feature. Same shuffle-free
+    * explode fan-out as mm_frames; the final ragged window is truncated
+    * to the remaining duration. */
+  def mmAudioWindows(spark: SparkSession, sfDir: String): DataFrame =
+    decoded(spark, sfDir)
+      .filter(col("media_type") === "audio")
+      .withColumn("duration_ms", expr("100L + (n_bytes * 3L) % 30000L"))
+      .select(col("media_id"), col("n_bytes"), col("duration_ms"),
+        explode(sequence(lit(0L), expr("(duration_ms - 1L) div 1000L"), lit(1L))).as("win_idx"))
+      .select(col("media_id"), col("win_idx"),
+        expr("least(duration_ms - win_idx * 1000L, 1000L)").as("win_ms"),
+        expr("(n_bytes * 11L + win_idx * 17L) % 1000L").as("energy"))
+      .orderBy(col("media_id"), col("win_idx"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "mm_manifest" -> (mmManifest _),
-    "mm_frames"   -> (mmFrames _))
+    "mm_manifest"      -> (mmManifest _),
+    "mm_frames"        -> (mmFrames _),
+    "mm_audio_windows" -> (mmAudioWindows _))
 
   /** The stub decode is arithmetic over byte counts, so unlike real codec
     * output it IS mirrorable — a full-strength oracle instead of the
@@ -135,5 +153,19 @@ object Manifest {
          |  CAST((n_bytes * 7 + frame_idx * 13) % 256 AS BIGINT) AS luma
          |FROM (SELECT media_id, n_bytes, unnest(range(0, n_frames, 24)) AS frame_idx FROM v)
          |ORDER BY media_id, frame_idx""".stripMargin
+    },
+    "mm_audio_windows" -> {
+      val bucketSql = graft.functions.TextFunctions.hashBucketSql("text", 3)
+      s"""WITH a AS (
+         |  SELECT doc_id AS media_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+         |    100 + (strlen(text) * 3) % 30000 AS duration_ms
+         |  FROM documents
+         |  WHERE ['image', 'audio', 'video'][($bucketSql) + 1] = 'audio')
+         |SELECT media_id, CAST(win_idx AS BIGINT) AS win_idx,
+         |  CAST(LEAST(duration_ms - win_idx * 1000, 1000) AS BIGINT) AS win_ms,
+         |  CAST((n_bytes * 11 + win_idx * 17) % 1000 AS BIGINT) AS energy
+         |FROM (SELECT media_id, n_bytes, duration_ms,
+         |    unnest(range(0, (duration_ms - 1) // 1000 + 1, 1)) AS win_idx FROM a)
+         |ORDER BY media_id, win_idx""".stripMargin
     })
 }

@@ -64,9 +64,9 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
-  /** tx_quality: length/punctuation/stopword/dup-line ratios + an
-    * integer-exact composite score. */
-  def txQuality(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Per-document quality base (shared by tx_quality and
+    * tx_quality_dist): ratios + composite score, all integer-exact. */
+  private def qualityBase(spark: SparkSession, sfDir: String): DataFrame = {
     val t = col("text")
     val nTok = tokenCount(t).cast("long")
     val punct = regexp_count(t, lit("[,.;:!?]")).cast("long")
@@ -75,7 +75,7 @@ object TextOps {
     val nLines = size(lines).cast("long")
     val nDistinctLines = size(array_distinct(lines)).cast("long")
     docsOrdered(spark, sfDir)
-      .select(col("doc_id"),
+      .select(col("doc_id"), col("source"),
         length(t).cast("long").as("n_chars"),
         nTok.as("n_tokens"),
         punct.as("n_punct"),
@@ -83,14 +83,41 @@ object TextOps {
         nLines.as("n_lines"),
         nDistinctLines.as("n_dlines"))
       .selectExpr(
-        "doc_id", "n_chars", "n_tokens",
+        "doc_id", "source", "n_chars", "n_tokens",
         "n_punct * 1000000L div greatest(n_chars, 1L) AS punct_ppm",
         "n_stops * 1000000L div greatest(n_tokens, 1L) AS stop_ppm",
         "(n_lines - n_dlines) * 1000000L div greatest(n_lines, 1L) AS dup_line_ppm")
       .withColumn("quality_ppm",
         expr("least(1000000L, n_tokens * 20000L) div 2 + stop_ppm div 4 + (1000000L - dup_line_ppm) div 4"))
-      .orderBy(col("doc_id"))
   }
+
+  /** tx_quality: length/punctuation/stopword/dup-line ratios + an
+    * integer-exact composite score. */
+  def txQuality(spark: SparkSession, sfDir: String): DataFrame =
+    qualityBase(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"),
+        col("punct_ppm"), col("stop_ppm"), col("dup_line_ppm"),
+        col("quality_ppm"))
+      .orderBy(col("doc_id"))
+
+  /** tx_quality_dist: per-source quality-score distribution — count +
+    * exact p25/p50/p75/p95 (one map-side-combinable shuffle on source;
+    * Spark's exact `percentile` and DuckDB's `quantile_cont` both
+    * linear-interpolate, the same equivalence p01's cutoffs rely on). At
+    * 100 TB swap `percentile` for `approx_percentile` — same plan shape,
+    * bounded sketch state instead of a per-group sorted buffer. */
+  def txQualityDist(spark: SparkSession, sfDir: String): DataFrame =
+    qualityBase(spark, sfDir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        expr("percentile(quality_ppm, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"))
+      .select(col("source"), col("n_docs"),
+        round(element_at(col("ps"), 1), 0).cast("long").as("p25"),
+        round(element_at(col("ps"), 2), 0).cast("long").as("p50"),
+        round(element_at(col("ps"), 3), 0).cast("long").as("p75"),
+        round(element_at(col("ps"), 4), 0).cast("long").as("p95"))
+      .orderBy(col("source"))
 
   /** tx_fingerprint: normalized md5 fingerprint (case/punct-jitter-robust
     * exact-dup key; reference dedup norm per 7-clean-topics.py charset
@@ -101,10 +128,11 @@ object TextOps {
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "tx_tokens"      -> (txTokens _),
-    "tx_langid"      -> (txLangid _),
-    "tx_quality"     -> (txQuality _),
-    "tx_fingerprint" -> (txFingerprint _))
+    "tx_tokens"       -> (txTokens _),
+    "tx_langid"       -> (txLangid _),
+    "tx_quality"      -> (txQuality _),
+    "tx_quality_dist" -> (txQualityDist _),
+    "tx_fingerprint"  -> (txFingerprint _))
 
   private val sqlTokens =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
@@ -152,6 +180,32 @@ object TextOps {
          |    + (n_stops * 1000000 // GREATEST(n_tokens, 1)) // 4
          |    + (1000000 - (n_lines - n_dlines) * 1000000 // GREATEST(n_lines, 1)) // 4 AS BIGINT) AS quality_ppm
          |FROM q ORDER BY doc_id""".stripMargin,
+    "tx_quality_dist" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    CAST(length(text) AS BIGINT) AS n_chars,
+         |    CAST(length($sqlTokens) AS BIGINT) AS n_tokens,
+         |    CAST(length(regexp_extract_all(text, '[,.;:!?]')) AS BIGINT) AS n_punct,
+         |    CAST(${sqlTokenHits(EnStops)} AS BIGINT) AS n_stops,
+         |    CAST(length(list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) != '')) AS BIGINT) AS n_lines,
+         |    CAST(length(list_distinct(list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) != ''))) AS BIGINT) AS n_dlines
+         |  FROM documents),
+         |s AS (
+         |  SELECT source,
+         |    CAST(LEAST(1000000, n_tokens * 20000) // 2
+         |      + (n_stops * 1000000 // GREATEST(n_tokens, 1)) // 4
+         |      + (1000000 - (n_lines - n_dlines) * 1000000 // GREATEST(n_lines, 1)) // 4 AS BIGINT) AS quality_ppm
+         |  FROM q),
+         |d AS (
+         |  SELECT source, count(*) AS n_docs,
+         |    quantile_cont(quality_ppm, [0.25, 0.5, 0.75, 0.95]) AS ps
+         |  FROM s GROUP BY source)
+         |SELECT source, n_docs,
+         |  CAST(round(ps[1], 0) AS BIGINT) AS p25,
+         |  CAST(round(ps[2], 0) AS BIGINT) AS p50,
+         |  CAST(round(ps[3], 0) AS BIGINT) AS p75,
+         |  CAST(round(ps[4], 0) AS BIGINT) AS p95
+         |FROM d ORDER BY source""".stripMargin,
     "tx_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp

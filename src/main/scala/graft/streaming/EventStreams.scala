@@ -55,6 +55,26 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join: each view pairs with the same user's
+    * purchases that land within [view.ts, view.ts + 30 min] — the
+    * streaming form of q_range_join's trailing-window semantics
+    * (attribution direction reversed: purchases look back at views).
+    * State on both sides is bounded by the watermark plus the interval:
+    * a view can be dropped once the watermark passes ts + 30 min, a
+    * purchase once it passes its own ts — Spark derives both eviction
+    * thresholds from this exact range predicate. Inputs need
+    * (user_id, ts, value). */
+  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views.withWatermark("ts", "10 minutes").alias("v")
+    val p = purchases.withWatermark("ts", "10 minutes").alias("p")
+    v.join(p,
+      expr("""v.user_id = p.user_id AND
+              p.ts >= v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTES"""))
+      .select(col("v.user_id").as("user_id"),
+        col("v.ts").as("view_ts"), col("p.ts").as("purchase_ts"),
+        col("p.value").as("purchase_value"))
+  }
+
   /** Session assembly via flatMapGroupsWithState: events within
     * [[SessionGapMs]] of the previous event extend the session; a closed
     * session is emitted either when a later event arrives past the gap or

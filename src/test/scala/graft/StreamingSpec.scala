@@ -80,6 +80,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("attributionJoin pairs purchases with in-window views of the same user") {
+    implicit val sql = spark.sqlContext
+    case class V(user_id: Long, ts: Timestamp, value: Double)
+    val views = MemoryStream[SessionEvent]
+    val purchases = MemoryStream[SessionEvent]
+    val q = EventStreams.attributionJoin(views.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("attr")
+      .outputMode(OutputMode.Append).start()
+    try {
+      views.addData(
+        SessionEvent(1L, t("2026-01-01 10:00:00"), 0.0),
+        SessionEvent(2L, t("2026-01-01 10:00:00"), 0.0))
+      purchases.addData(
+        SessionEvent(1L, t("2026-01-01 10:20:00"), 9.99), // in window
+        SessionEvent(1L, t("2026-01-01 11:30:00"), 5.00), // past 30 min
+        SessionEvent(2L, t("2026-01-01 09:50:00"), 3.00)) // before the view
+      q.processAllAvailable()
+      val rows = spark.table("attr")
+        .select("user_id", "purchase_value")
+        .as[(Long, Double)].collect().toSet
+      assert(rows == Set((1L, 9.99)))
+    } finally q.stop()
+  }
+
   test("sessionize extends a session backwards for late-in-watermark events") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[SessionEvent]
