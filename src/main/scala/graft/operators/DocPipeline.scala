@@ -59,6 +59,29 @@ object DocPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The same two-pass quantile tiering over REAL post columns — the form
+    * a JSONL-sourced pipeline uses ([[graft.sources.PostsJsonl.posts]]
+    * feeds it directly). Ratio per 1-find-gradient.py:21-28: engagement
+    * metrics floored at 0, zero/absent followers → 0, clamp applied, all
+    * in integer ppm. The synthetic-table p01 above derives its metrics
+    * from doc_id only because the test schema has no follower columns. */
+  def engagementTiers(posts: DataFrame, clampPpm: Long = 50000L): DataFrame = {
+    val eng = posts.withColumn("ratio_ppm",
+      when(col("follower_count") <= 0, lit(0L))
+        .otherwise(least(lit(clampPpm), expr(
+          """(greatest(comments_count, 0L) + greatest(total_likes_count, 0L)
+            |  + greatest(shares_count, 0L)) * 1000000L div follower_count""".stripMargin))))
+    val cuts = eng.agg(
+      expr("percentile(ratio_ppm, 0.80)").as("top_cut"),
+      expr("percentile(ratio_ppm, 0.40)").as("bot_cut"))
+    eng.crossJoin(broadcast(cuts))
+      .withColumn("tier",
+        when(col("ratio_ppm") >= col("top_cut"), "Tier A (Top 20%)")
+          .when(col("ratio_ppm") < col("bot_cut"), "Tier C (Bottom 40%)")
+          .otherwise("Tier B (Middle 40%)"))
+      .drop("top_cut", "bot_cut")
+  }
+
   /** p02: emoji count / frequency / usage bins + length buckets.
     * Reference: 2-label.py:20-88 (default bins, post_length_analysis).
     */

@@ -34,6 +34,27 @@ class SourcesSpec extends SparkSpec {
       ("wrapped b", 0L, 3L)))
   }
 
+  test("JSONL posts flow end-to-end into engagement tiering") {
+    val dir = tmpDir("e2e")
+    val f = s"$dir/posts.jsonl"
+    // 10 posts with ratios 0%, 1%, ..., 9% of followers
+    writeLines(f, (0 until 10).map { i =>
+      s"""{"post_text": "post $i", "follower_count": 1000, "total_likes_count": ${i * 10}, "comments_count": 0, "shares_count": 0}"""
+    })
+    val tiers = graft.operators.DocPipeline
+      .engagementTiers(PostsJsonl.posts(spark, f))
+      .select("post_text", "ratio_ppm", "tier")
+      .as[(String, Long, String)].collect()
+      .map { case (p, _, t) => p -> t }.toMap
+    // ratios ppm: 0..90000 clamped at 50000 → 0,10000,...,40000,50000×5
+    // top 20% cutoff = 50000 → posts 5-9 are A; bottom 40% cutoff
+    // (p40 of 0,10000,20000,30000,40000,50000,50000,50000,50000,50000
+    //  = 36000) → posts 0-3 (<36000) are C, post 4 (40000) is B.
+    assert((5 to 9).forall(i => tiers(s"post $i") == "Tier A (Top 20%)"))
+    assert(tiers("post 4") == "Tier B (Middle 40%)")
+    assert((0 to 3).forall(i => tiers(s"post $i") == "Tier C (Bottom 40%)"))
+  }
+
   test("partitionedParquet round-trips and prunes partitions at read") {
     val out = tmpDir("part") + "/t"
     val df = Seq((1L, "A", 10.0), (2L, "B", 20.0), (3L, "A", 30.0))
