@@ -48,7 +48,13 @@ object Bench {
         .groupBy("o_orderpriority").count())
     }
 
-    val results = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+    // Optional subset (comma-separated names) for stress/spot runs.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => only.forall(_.contains(n)))
+
+    val results = selected.map { name =>
       val t0 = System.nanoTime()
       try runOnce(name)
       catch {

@@ -152,6 +152,7 @@ object Kernels {
   private val BulletLet = Pattern.compile("^\\s*[A-Za-z][.)]\\s+")
   private val BulletSym = Pattern.compile("^\\s*[-*•]\\s+")
   private val EmojiRe = Pattern.compile(TextFunctions.EmojiClass)
+  private val TailHashtagRe = Pattern.compile("#[A-Za-z0-9_]+")
 
   /** Deterministic sentiment lexicon for the arc re-expression
     * (training/rewards/base.py get_sentiment_scores replaces VADER with an
@@ -321,7 +322,7 @@ object Kernels {
       simAvg = simSum / nSims
     }
 
-    // Line classifiers: bullets + dividers
+    // Line classifiers: bullets + dividers; tail hashtags
     val lines = s.split("\n", -1)
     var bulletAny = s.contains("•")
     var divDash = false
@@ -341,6 +342,11 @@ object Kernels {
       if (!divTilde && isCharRun(tl, '~')) divTilde = true
       i += 1
     }
+    var tailHashtags = 0
+    if (lines.nonEmpty) {
+      val tm = TailHashtagRe.matcher(lines(lines.length - 1))
+      while (tm.find()) tailHashtags += 1
+    }
 
     // Emoji variety
     val m = EmojiRe.matcher(s)
@@ -351,10 +357,27 @@ object Kernels {
       emoSet.add(m.group())
     }
 
+    // Punctuation-family counts (single char scan)
+    var nPeriod = 0L; var nComma = 0L; var nExclaim = 0L
+    var nQuestion = 0L; var nSemicolon = 0L
+    i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '.' => nPeriod += 1
+        case ',' => nComma += 1
+        case '!' => nExclaim += 1
+        case '?' => nQuestion += 1
+        case ';' => nSemicolon += 1
+        case _ =>
+      }
+      i += 1
+    }
+
     new GenericInternalRow(Array[Any](
       awTotal, awSet.size, sentN, sentSum, sentSumSq, simAvg, arc,
       flowTransitions, bulletAny, divDash, divEq, divStar, divTilde,
-      emoTotal, emoSet.size))
+      emoTotal, emoSet.size, lines.length, tailHashtags,
+      nPeriod, nComma, nExclaim, nQuestion, nSemicolon))
   }
 
   def l2Sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {

@@ -153,7 +153,14 @@ object NativeExpressions {
     StructField("div_star", BooleanType, nullable = false),
     StructField("div_tilde", BooleanType, nullable = false),
     StructField("emo_total", IntegerType, nullable = false),
-    StructField("emo_distinct", IntegerType, nullable = false)))
+    StructField("emo_distinct", IntegerType, nullable = false),
+    StructField("n_lines", IntegerType, nullable = false),
+    StructField("tail_hashtags", IntegerType, nullable = false),
+    StructField("n_period", LongType, nullable = false),
+    StructField("n_comma", LongType, nullable = false),
+    StructField("n_exclaim", LongType, nullable = false),
+    StructField("n_question", LongType, nullable = false),
+    StructField("n_semicolon", LongType, nullable = false)))
 
   /** Every reward-suite per-row statistic in one text pass — replaces a
     * dozen interpreted HOF lambda chains (vocab distinct ratio, sentence

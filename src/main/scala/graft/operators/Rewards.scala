@@ -52,9 +52,8 @@ object Rewards {
 
   /** rw_hashtags per training/rewards/hashtags.py:6-14 (tail line,
     * <=3 free then -0.2 each). */
-  private def hashtagRewardPpm: Column = {
-    val tail = element_at(split(t, "\n"), -1)
-    val n = regexp_count(tail, lit("#[A-Za-z0-9_]+")).cast("long")
+  private def hashtagRewardPpm(st: Column): Column = {
+    val n = st.getField("tail_hashtags").cast("long")
     when(n <= 3, lit(1000000L))
       .otherwise(greatest(lit(0L), lit(1000000L) - lit(200000L) * (n - 3)))
   }
@@ -64,12 +63,16 @@ object Rewards {
       |  ELSE GREATEST(0, 1000000 - 200000 * (length(regexp_extract_all(regexp_split_to_array(text, '\n')[-1], '#[A-Za-z0-9_]+')) - 3)) END AS BIGINT)""".stripMargin
 
   /** rw_emoji per training/rewards/emoji.py:40-66
-    * (enhanced_emoji_usage_reward; required bin = doc_id % 6). */
-  private def emojiRewardPpm: Column = {
-    val order = Seq("none", "very low", "low", "medium", "high", "extreme")
-    val actualIdx = order.zipWithIndex.foldLeft(lit(0)) { case (acc, (lab, i)) =>
-      when(emojiUsage(t) === lab, lit(i)).otherwise(acc)
-    }
+    * (enhanced_emoji_usage_reward; required bin = doc_id % 6). Usage bin
+    * from the kernel's emoji count — same frequency arithmetic as
+    * TextFunctions.emojiUsage (emo_total == emojiCount, asserted by
+    * RewardStatsSpec). */
+  private def emojiRewardPpm(st: Column): Column = {
+    val f = when(length(t) > 0,
+      st.getField("emo_total").cast("double") / length(t)).otherwise(lit(0.0))
+    val actualIdx = when(f <= 0.0, lit(0)).when(f <= 0.0005, lit(1))
+      .when(f <= 0.001, lit(2)).when(f <= 0.005, lit(3))
+      .when(f <= 0.01, lit(4)).otherwise(lit(5))
     val reqIdx = (col("doc_id") % 6).cast("int")
     val d = abs(reqIdx - actualIdx)
     when(d === 0, lit(1000000L)).when(d === 1, lit(700000L))
@@ -87,18 +90,20 @@ object Rewards {
 
   /** rw_punct per training/rewards/punctuation.py:29-66: five punctuation
     * families, requested level derived from doc_id parity, thresholds on
-    * count/length; per-type scores in integer millis, averaged exactly. */
+    * count/length; per-type scores in integer millis, averaged exactly.
+    * (field, sqlChar, k, low, normal, heavy) — counts from the kernel's
+    * single char scan. */
   private val punctTypes = Seq(
-    (".", 0, 0.01, 0.02, 0.03),
-    (",", 1, 0.01, 0.02, 0.03),
-    ("!", 2, 0.001, 0.005, 0.01),
-    ("?", 3, 0.001, 0.005, 0.01),
-    (";", 4, 0.0005, 0.001, 0.002))
+    ("n_period", ".", 0, 0.01, 0.02, 0.03),
+    ("n_comma", ",", 1, 0.01, 0.02, 0.03),
+    ("n_exclaim", "!", 2, 0.001, 0.005, 0.01),
+    ("n_question", "?", 3, 0.001, 0.005, 0.01),
+    ("n_semicolon", ";", 4, 0.0005, 0.001, 0.002))
 
-  private def punctRewardPpm: Column = {
+  private def punctRewardPpm(st: Column): Column = {
     val len = length(t).cast("double")
-    val typeScores = punctTypes.map { case (ch, k, lo, nm, hv) =>
-      val freq = charCount(t, ch).cast("double") / len
+    val typeScores = punctTypes.map { case (field, _, k, lo, nm, hv) =>
+      val freq = st.getField(field).cast("double") / len
       val heavy = ((col("doc_id") + k) % 2) === 0
       when(length(t) === 0, lit(300L * 1000))
         .when(heavy,
@@ -115,7 +120,7 @@ object Rewards {
   }
 
   private val punctRewardSql = {
-    val parts = punctTypes.map { case (ch, k, lo, nm, hv) =>
+    val parts = punctTypes.map { case (_, ch, k, lo, nm, hv) =>
       val esc = if (ch == "'") "''" else ch
       val freq = s"(CAST(length(text) - length(replace(text, '$esc', '')) AS DOUBLE) / length(text))"
       s"""(CASE WHEN length(text) = 0 THEN 300000
@@ -132,8 +137,8 @@ object Rewards {
 
   /** rw_linebreaks per training/rewards/linebreaks.py:28-72; requested
     * style = doc_id % 4 over [frequent, fewer, none, moderate]. */
-  private def linebreakRewardPpm: Column = {
-    val nLines = size(split(t, "\n")).cast("double")
+  private def linebreakRewardPpm(st: Column): Column = {
+    val nLines = st.getField("n_lines").cast("double")
     val ratio = when(length(t) === 0 || nLines <= 1, lit(0.0))
       .otherwise((nLines - 1) / length(t).cast("double") * 100)
     val req = col("doc_id") % 4
@@ -425,10 +430,10 @@ object Rewards {
         graft.functions.NativeExpressions.rewardStats(t).as("st"))
       .select(col("doc_id"),
         lengthRewardPpm.as("r_length"),
-        hashtagRewardPpm.as("r_hashtags"),
-        emojiRewardPpm.as("r_emoji"),
-        punctRewardPpm.as("r_punct"),
-        linebreakRewardPpm.as("r_linebreaks"),
+        hashtagRewardPpm(st).as("r_hashtags"),
+        emojiRewardPpm(st).as("r_emoji"),
+        punctRewardPpm(st).as("r_punct"),
+        linebreakRewardPpm(st).as("r_linebreaks"),
         vocabRewardPpm(st).as("r_vocab"),
         dividerRewardPpm(st).as("r_divider"),
         cjkRewardPpm.as("r_cjk"),

@@ -117,6 +117,23 @@ class RewardStatsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("punct/line/hashtag counts == Column formulations") {
+    val st = rewardStats(t)
+    val tail = element_at(split(t, "\n"), -1)
+    val checks = Seq(
+      charCount(t, ".").cast("long") -> st.getField("n_period"),
+      charCount(t, ",").cast("long") -> st.getField("n_comma"),
+      charCount(t, "!").cast("long") -> st.getField("n_exclaim"),
+      charCount(t, "?").cast("long") -> st.getField("n_question"),
+      charCount(t, ";").cast("long") -> st.getField("n_semicolon"),
+      size(split(t, "\n")) -> st.getField("n_lines"),
+      regexp_count(tail, lit("#[A-Za-z0-9_]+")) -> st.getField("tail_hashtags"))
+    val cond = checks.map { case (hof, k) => hof =!= k }.reduce(_ || _)
+    val extra = Seq("#one #two tail #three #four", "line\n#tag1 #tag2",
+      "a.b,c!d?e;f\n\n#x").toDF("text")
+    assert(docs.union(extra).filter(cond).count() == 0)
+  }
+
   test("arc codes on known shapes") {
     val rows = Seq(
       "flat here. also flat. still flat." -> 3, // all-zero scores: flat
