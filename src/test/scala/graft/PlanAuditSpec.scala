@@ -27,6 +27,30 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("fact tables are never the build side of a broadcast join") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    // The round-1 scale-killers: a broadcast whose subtree scans a fact
+    // table is a driver/executor OOM at 100x — unless a keyless global
+    // aggregate reduced it to one row first.
+    val facts = Seq("lineitem", "orders", "events")
+    Seq("q3_shipping", "q5_local", "q_asof_join", "q_range_join",
+      "q_topk_window", "q_sessionize").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
+      plan.foreach {
+        case b: BroadcastExchangeExec =>
+          val keyless = b.toString.contains("keys=[], functions=")
+          val factScans = b.collectLeaves().collect {
+            case f: FileSourceScanExec =>
+              f.relation.location.rootPaths.mkString(",")
+          }.filter(p => facts.exists(t => p.contains(s"$t.parquet")))
+          assert(keyless || factScans.isEmpty,
+            s"$name broadcasts a fact-table scan: $factScans")
+        case _ =>
+      }
+    }
+  }
+
   test("q_range_join hash-joins on the chunk key, not a theta scan") {
     val plan = SparkEntry.queries("q_range_join")(spark, sfDir)
       .queryExecution.executedPlan.toString

@@ -22,8 +22,22 @@ class RewardStatsSpec extends SparkSpec {
     "  spaced sentence  .  another one  !   ",
     "tab\tsplit\nnewline mix. second sentence here? third one now.")
 
+  /** Seeded fuzz corpus: random concatenations of the pieces that drive
+    * every kernel branch (sentence/paragraph breaks, bullets, dividers,
+    * lexicon words, emoji, CJK, tabs, hashtags). */
+  private val fuzz: Seq[String] = {
+    val rnd = new scala.util.Random(42)
+    val pieces = Array(
+      "good", "bad", "Foo", "bar9", "好的", "x", "#tag", "•", "- ", "1. ",
+      "---", "===", "~~~", ".", ",", "!", "?", ";", " ", "  ", "\t",
+      "\n", "\n\n", "🙂", "🚀", "win", "loss", "the")
+    (0 until 300).map { _ =>
+      (0 until rnd.nextInt(40)).map(_ => pieces(rnd.nextInt(pieces.length))).mkString
+    }
+  }
+
   private def docs =
-    samples.toDF("text")
+    (samples ++ fuzz).toDF("text")
       .union(spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
 
   private val t = col("text")

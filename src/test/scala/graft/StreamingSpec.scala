@@ -127,6 +127,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming sessionize partitions the real events table exactly like batch q_sessionize") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+
+    // Batch truth: per-session (user_id, n_events, value_cents).
+    val batch = graft.operators.Analytics.sessionize(spark, sfDir)
+      .select(col("user_id"), col("n_events"), col("session_value"))
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"), col("value"))
+      .as[SessionEvent].collect()
+
+    val in = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(events.toIndexedSeq)
+      q.processAllAvailable()
+      // A far-future sentinel advances the watermark past every open
+      // session's (last + gap); its own session is excluded below. The
+      // extra empty-ish batch lets the event-time timeouts fire.
+      val sentinelTs = new Timestamp(events.map(_.ts.getTime).max + 86400000L)
+      in.addData(SessionEvent(-1L, sentinelTs, 0.0))
+      q.processAllAvailable()
+      in.addData(SessionEvent(-1L, new Timestamp(sentinelTs.getTime + 86400000L), 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("sess_eq")
+        .filter(col("user_id") >= 0)
+        .select(col("user_id"), col("n_events"),
+          round(col("session_value") * 100, 0).cast("long"))
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("sessionize emits via event-time timeout once the watermark passes") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[SessionEvent]
