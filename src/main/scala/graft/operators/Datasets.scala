@@ -66,13 +66,22 @@ object Datasets {
   def p22Dataset(spark: SparkSession, sfDir: String): DataFrame = {
     def fam(name: String, prompt: Column, chosen: Column): Column =
       struct(lit(name).as("family"), prompt.as("prompt"), chosen.as("chosen"))
+    // Annotations materialize ONCE below the explode — each md5/token
+    // pipeline runs per document, not per (document, family) reference.
     Tables.documents(spark, sfDir)
+      .select(col("doc_id"), t,
+        Annotations.topicCol.as("__topic"),
+        Annotations.opinionCol.as("__opinion"),
+        Annotations.toneCol.as("__tone"),
+        Annotations.structureCol.as("__structure"))
       .select(col("doc_id"), explode(array(
-        fam("topic", concat(lit(topicPre), t, lit(topicPost)), Annotations.topicCol),
-        fam("opinion", concat(lit(opinionPre), t, lit(opinionPost)), Annotations.opinionCol),
-        fam("tone", concat(lit(tonePre), t, lit(tonePost)), Annotations.toneCol),
-        fam("structure", concat(lit(structurePre), t, lit(structurePost)), Annotations.structureCol),
-        fam("post-generation", Style.genPromptCol, t))).as("f"))
+        fam("topic", concat(lit(topicPre), t, lit(topicPost)), col("__topic")),
+        fam("opinion", concat(lit(opinionPre), t, lit(opinionPost)), col("__opinion")),
+        fam("tone", concat(lit(tonePre), t, lit(tonePost)), col("__tone")),
+        fam("structure", concat(lit(structurePre), t, lit(structurePost)), col("__structure")),
+        fam("post-generation",
+          Style.genPromptFrom(col("__structure"), col("__topic"), col("__tone"), t),
+          t))).as("f"))
       .select(col("doc_id"), col("f.family"), lit(SystemMessage).as("system"),
         col("f.prompt"), col("f.chosen"))
       .orderBy(col("doc_id"), col("family"))

@@ -78,15 +78,23 @@ object Style {
       .orderBy(col("doc_id"))
   }
 
+  /** Generation-prompt template over already-computed annotation columns
+    * (lets p22 materialize structure/topic/tone once below its explode
+    * instead of re-evaluating the md5/token pipelines per family). */
+  private[operators] def genPromptFrom(
+      structure: Column, topic: Column, tone: Column, text: Column): Column =
+    concat(
+      lit("Write a "), structure,
+      lit(" social media post about \""), topic,
+      lit("\" in a "), tone,
+      lit(" tone.\n**Length**: "), lengthBucket(text),
+      lit("\n**Emoji Usage**: "), emojiUsage(text))
+
   /** Generation-prompt column (p18 template; shared with p22's
     * post-generation family). */
   private[operators] def genPromptCol: Column =
-    concat(
-      lit("Write a "), Annotations.structureCol,
-      lit(" social media post about \""), Annotations.topicCol,
-      lit("\" in a "), Annotations.toneCol,
-      lit(" tone.\n**Length**: "), lengthBucket(t),
-      lit("\n**Emoji Usage**: "), emojiUsage(t))
+    genPromptFrom(Annotations.structureCol, Annotations.topicCol,
+      Annotations.toneCol, t)
 
   /** p18: generation-prompt assembly from extracted features
     * (18-generate-prompts.py template semantics over this engine's
