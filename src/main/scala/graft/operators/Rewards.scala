@@ -419,6 +419,25 @@ object Rewards {
     "r_fabrication", "r_bullets", "r_topic_shifts", "r_tone",
     "r_narrative", "r_semantic")
 
+  /** training/rewards/weights.example.json doubled to integers (0.5 → 1,
+    * default 1.0 → 2) so the weighted mean is exact integer arithmetic in
+    * both engines: structure and coherence (≈ r_semantic) at half weight,
+    * everything else per `weights.get(name, 1.0)`. */
+  private val weightX2: Map[String, Long] =
+    Map("r_structure" -> 1L, "r_semantic" -> 1L).withDefaultValue(2L)
+
+  private def weightedTotalExpr: String = {
+    val terms = allRewardCols.map(c => s"$c * ${weightX2(c)}L").mkString(" + ")
+    val wsum = allRewardCols.map(weightX2).sum
+    s"($terms) div ${wsum}L"
+  }
+
+  private def weightedTotalSql: String = {
+    val terms = allRewardCols.map(c => s"$c * ${weightX2(c)}").mkString(" + ")
+    val wsum = allRewardCols.map(weightX2).sum
+    s"($terms) // $wsum"
+  }
+
   /** rw_rewards: all 16 reward columns + the uniform-weight aggregate
     * (training/rewards/aggregator.py re-expressed with equal weights).
     * The HOF-heavy statistics come from one native [[graft.functions
@@ -447,6 +466,7 @@ object Rewards {
         semanticRewardPpm(st).as("r_semantic"))
       .withColumn("r_total",
         expr(s"(${allRewardCols.mkString(" + ")}) div ${allRewardCols.length}"))
+      .withColumn("r_total_weighted", expr(weightedTotalExpr))
       .orderBy(col("doc_id"))
   }
 
@@ -534,6 +554,7 @@ object Rewards {
          |    $semanticRewardSql AS r_semantic
          |  FROM b)
          |SELECT doc_id, ${allRewardCols.mkString(", ")},
-         |  (${allRewardCols.mkString(" + ")}) // ${allRewardCols.length} AS r_total
+         |  (${allRewardCols.mkString(" + ")}) // ${allRewardCols.length} AS r_total,
+         |  $weightedTotalSql AS r_total_weighted
          |FROM r ORDER BY doc_id""".stripMargin)
 }

@@ -119,6 +119,30 @@ object TextOps {
         round(element_at(col("ps"), 4), 0).cast("long").as("p95"))
       .orderBy(col("source"))
 
+  /** Corpus-rarity cutoff: a shingle in ≤ this many docs is "novel". */
+  val RareDf = 2L
+
+  /** tx_corpus_novelty: corpus-relative novelty scoring — the fraction of
+    * a document's 3-gram shingles that are corpus-rare (df ≤ [[RareDf]]).
+    * High novelty = unique content; near-zero = boilerplate/template mass
+    * (the curation signal dedup thresholds miss). Two shuffles at any
+    * scale: df via a count window on the shingle partitioning, then the
+    * per-doc fraction re-aggregates on doc_id; shingle arrays are
+    * computed once (native expression) and sizes ride the posting rows. */
+  def txCorpusNovelty(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.wordShingles
+    val posting = docsOrdered(spark, sfDir)
+      .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("s"))
+    posting
+      .withColumn("df", count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") <= RareDf, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("novelty_ppm", expr("n_rare * 1000000L div n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
   /** tx_fingerprint: normalized md5 fingerprint (case/punct-jitter-robust
     * exact-dup key; reference dedup norm per 7-clean-topics.py charset
     * rules, re-expressed). */
@@ -132,6 +156,7 @@ object TextOps {
     "tx_langid"       -> (txLangid _),
     "tx_quality"      -> (txQuality _),
     "tx_quality_dist" -> (txQualityDist _),
+    "tx_corpus_novelty" -> (txCorpusNovelty _),
     "tx_fingerprint"  -> (txFingerprint _))
 
   private val sqlTokens =
@@ -206,6 +231,18 @@ object TextOps {
          |  CAST(round(ps[3], 0) AS BIGINT) AS p75,
          |  CAST(round(ps[4], 0) AS BIGINT) AS p95
          |FROM d ORDER BY source""".stripMargin,
+    "tx_corpus_novelty" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+         |s AS (SELECT doc_id, ${graft.functions.TextFunctions.shinglesSql("toks", 3)} AS sh FROM t),
+         |posting AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+         |df AS (SELECT sg, count(*) AS df FROM posting GROUP BY sg)
+         |SELECT p.doc_id,
+         |  CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(sum(CASE WHEN df.df <= ${RareDf} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+         |  CAST(sum(CASE WHEN df.df <= ${RareDf} THEN 1 ELSE 0 END) * 1000000
+         |    // count(*) AS BIGINT) AS novelty_ppm
+         |FROM posting p JOIN df USING (sg)
+         |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
     "tx_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
