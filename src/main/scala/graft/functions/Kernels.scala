@@ -373,11 +373,15 @@ object Kernels {
       i += 1
     }
 
+    var scoreSum = 0L
+    i = 0
+    while (i < sentN) { scoreSum += scores(i); i += 1 }
+
     new GenericInternalRow(Array[Any](
       awTotal, awSet.size, sentN, sentSum, sentSumSq, simAvg, arc,
       flowTransitions, bulletAny, divDash, divEq, divStar, divTilde,
       emoTotal, emoSet.size, lines.length, tailHashtags,
-      nPeriod, nComma, nExclaim, nQuestion, nSemicolon))
+      nPeriod, nComma, nExclaim, nQuestion, nSemicolon, scoreSum))
   }
 
   def l2Sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {

@@ -160,7 +160,8 @@ object NativeExpressions {
     StructField("n_comma", LongType, nullable = false),
     StructField("n_exclaim", LongType, nullable = false),
     StructField("n_question", LongType, nullable = false),
-    StructField("n_semicolon", LongType, nullable = false)))
+    StructField("n_semicolon", LongType, nullable = false),
+    StructField("score_sum", LongType, nullable = false)))
 
   /** Every reward-suite per-row statistic in one text pass — replaces a
     * dozen interpreted HOF lambda chains (vocab distinct ratio, sentence

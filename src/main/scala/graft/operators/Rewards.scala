@@ -472,15 +472,15 @@ object Rewards {
 
   // ---- arc / flow DuckDB machinery (mirrors Kernels.rewardStats) ----
 
-  private val sentsSql =
+  private[operators] val sentsSql =
     "list_filter(regexp_split_to_array(text, '[.!?]+'), s -> trim(s) != '')"
 
-  private def sentToksSql(s: String) =
+  private[operators] def sentToksSql(s: String) =
     s"list_filter(regexp_split_to_array($s, '\\s+'), x -> x != '')"
 
   private def wordListSql(ws: Seq[String]) = ws.map(w => s"'$w'").mkString("[", ", ", "]")
 
-  private val scoresSql = {
+  private[operators] val scoresSql = {
     val pos = wordListSql(graft.functions.Kernels.PosWords)
     val neg = wordListSql(graft.functions.Kernels.NegWords)
     s"""[CAST(len(list_filter(${sentToksSql("s")}, x -> list_contains($pos, x))) AS BIGINT)
@@ -503,7 +503,7 @@ object Rewards {
       |    AND scores[len(scores)//2 + 1] = 0 THEN 3
       |  ELSE 4 END""".stripMargin
 
-  private val flowTransitionsSql =
+  private[operators] val flowTransitionsSql =
     s"""len(list_filter(range(2, len(sents) + 1), i ->
        |  len(list_intersect(list_distinct(${sentToksSql("sents[i-1]")}),
        |      list_distinct(${sentToksSql("sents[i]")}))) < 2))""".stripMargin

@@ -28,6 +28,27 @@ object Style {
     size(filter(lines, l => trim(l).rlike("^" + q + "{3,}$"))).cast("long")
   }
 
+  // Profanity lexicon (features/profanity.py:7-32 — the two multi-word
+  // keys are unreachable in the reference's single-token lookup and are
+  // dropped here too).
+  private val ProfHeavy = Seq("clusterfuck", "fuck", "fucker", "fuckin",
+    "fucking", "goddamn", "motherfucker")
+  private val ProfModerate = Seq("apeshit", "bastard", "bullshit", "bitch",
+    "damn", "damnit", "horseshit", "shit")
+  private val ProfLight = Seq("arsehole", "ass", "asshole", "bollocks",
+    "hell", "piss", "pissed")
+
+  /** Max-severity category over the first 1000 lowercased tokens
+    * (features/profanity.py:34-40). */
+  private def profanityCol: Column = {
+    val toks1k = slice(tokens(lower(t)), 1, 1000)
+    def has(set: Seq[String]) = arrays_overlap(toks1k, array(set.map(lit): _*))
+    when(has(ProfHeavy), "heavy")
+      .when(has(ProfModerate), "moderate")
+      .when(has(ProfLight), "light")
+      .otherwise("none")
+  }
+
   /** p17: style features. */
   def p17Style(spark: SparkSession, sfDir: String): DataFrame = {
     val nSent = sentenceCount(t).cast("long")
@@ -41,6 +62,7 @@ object Style {
     val dEq = dividerCount("=")
     val dStar = dividerCount("*")
     val dTilde = dividerCount("~")
+    val st = graft.functions.NativeExpressions.rewardStats(t)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
         distinctTokenCount(t).cast("long").as("vocab_distinct"),
@@ -54,7 +76,14 @@ object Style {
         charCount(t, "!").cast("long").as("n_exclaim"),
         charCount(t, "?").cast("long").as("n_question"),
         nNum.as("n_num"), nLet.as("n_let"), nSym.as("n_sym"),
-        dDash.as("d1"), dEq.as("d2"), dStar.as("d3"), dTilde.as("d4"))
+        dDash.as("d1"), dEq.as("d2"), dStar.as("d3"), dTilde.as("d4"),
+        profanityCol.as("profanity"),
+        // 17-writing-style.py:314-324 average-sentiment arc (lexicon
+        // scores — integer cross-multiplication for the ±0.2 thresholds)
+        // and :274-284 flow via keyword-overlap transitions.
+        st.getField("sent_n").cast("long").as("__sn"),
+        st.getField("score_sum").as("__ss"),
+        st.getField("flow_transitions").cast("long").as("__ft"))
       .selectExpr(
         "doc_id", "vocab_distinct", "n_sentences",
         "n_tokens * 1000000L div greatest(n_sentences, 1L) AS avg_sent_len_ppm",
@@ -74,7 +103,18 @@ object Style {
           |     ELSE '~' END AS divider_style""".stripMargin,
         """CASE WHEN n_tokens div greatest(n_sentences, 1L) < 8 THEN 'fast'
           |     WHEN n_tokens div greatest(n_sentences, 1L) < 15 THEN 'medium'
-          |     ELSE 'slow' END AS pacing""".stripMargin)
+          |     ELSE 'slow' END AS pacing""".stripMargin,
+        "profanity",
+        // avg lexicon score vs ±0.2 by integer cross-multiplication:
+        // sum/n > 0.2  ⟺  5·sum > n (n > 0 inside the branch)
+        """CASE WHEN __sn < 3 THEN 'Short/Not Enough Data for Arc'
+          |     WHEN __ss * 5 > __sn THEN 'Positive'
+          |     WHEN __ss * 5 < -__sn THEN 'Negative'
+          |     ELSE 'Neutral' END AS sentiment_arc""".stripMargin,
+        """CASE WHEN __sn < 3 THEN 'Short/Not Enough Data'
+          |     WHEN __ft <= 1 THEN 'Smooth'
+          |     WHEN __ft <= 3 THEN 'Moderate'
+          |     ELSE 'Choppy' END AS flow""".stripMargin)
       .orderBy(col("doc_id"))
   }
 
@@ -155,6 +195,9 @@ object Style {
   private def dividerCountSql(re: String): String =
     s"length(list_filter($linesSql, l -> regexp_matches(trim(l), '$re')))"
 
+  private def profListSql(ws: Seq[String]): String =
+    ws.map(w => s"'$w'").mkString("[", ", ", "]")
+
   private def charCountSql(ch: String): String = {
     val esc = if (ch == "'") "''" else ch
     s"(length(text) - length(replace(text, '$esc', '')))"
@@ -189,7 +232,10 @@ object Style {
          |    CAST(${dividerCountSql("^-{3,}$")} AS BIGINT) AS d1,
          |    CAST(${dividerCountSql("^={3,}$")} AS BIGINT) AS d2,
          |    CAST(${dividerCountSql("^\\*{3,}$")} AS BIGINT) AS d3,
-         |    CAST(${dividerCountSql("^~{3,}$")} AS BIGINT) AS d4
+         |    CAST(${dividerCountSql("^~{3,}$")} AS BIGINT) AS d4,
+         |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')[1:1000] AS ptoks,
+         |    ${Rewards.sentsSql} AS sents,
+         |    ${Rewards.scoresSql} AS scores
          |  FROM documents)
          |SELECT doc_id, vocab_distinct, n_sentences,
          |  n_tokens * 1000000 // GREATEST(n_sentences, 1) AS avg_sent_len_ppm,
@@ -209,7 +255,19 @@ object Style {
          |       ELSE '~' END AS divider_style,
          |  CASE WHEN n_tokens // GREATEST(n_sentences, 1) < 8 THEN 'fast'
          |       WHEN n_tokens // GREATEST(n_sentences, 1) < 15 THEN 'medium'
-         |       ELSE 'slow' END AS pacing
+         |       ELSE 'slow' END AS pacing,
+         |  CASE WHEN list_has_any(ptoks, ${profListSql(ProfHeavy)}) THEN 'heavy'
+         |       WHEN list_has_any(ptoks, ${profListSql(ProfModerate)}) THEN 'moderate'
+         |       WHEN list_has_any(ptoks, ${profListSql(ProfLight)}) THEN 'light'
+         |       ELSE 'none' END AS profanity,
+         |  CASE WHEN len(scores) < 3 THEN 'Short/Not Enough Data for Arc'
+         |       WHEN list_sum(scores) * 5 > len(scores) THEN 'Positive'
+         |       WHEN list_sum(scores) * 5 < -len(scores) THEN 'Negative'
+         |       ELSE 'Neutral' END AS sentiment_arc,
+         |  CASE WHEN len(sents) < 3 THEN 'Short/Not Enough Data'
+         |       WHEN ${Rewards.flowTransitionsSql} <= 1 THEN 'Smooth'
+         |       WHEN ${Rewards.flowTransitionsSql} <= 3 THEN 'Moderate'
+         |       ELSE 'Choppy' END AS flow
          |FROM f ORDER BY doc_id""".stripMargin,
     "p17_phrases" ->
       s"""WITH t AS (SELECT source, $toksSql AS toks FROM documents),
