@@ -28,7 +28,7 @@ object Balance {
 
   private val comboCols = Seq("structure", "emoji_usage", "max_length")
 
-  def p05Balance(spark: SparkSession, sfDir: String): DataFrame = {
+  private def prepared(spark: SparkSession, sfDir: String) = {
     val t = col("text")
     val base = Tables.documents(spark, sfDir).select(
       col("doc_id"),
@@ -46,14 +46,47 @@ object Balance {
         .as("__avg_target"))
     val ranked = Sampling.rankFromCounts(bucketed, counts, comboCols,
       col("doc_id"), "__rn")
+    (counts, target, ranked)
+  }
+
+  def p05Balance(spark: SparkSession, sfDir: String): DataFrame = {
+    val (_, target, ranked) = prepared(spark, sfDir)
     ranked.crossJoin(broadcast(target))
       .filter(col("__rn") <= col("__avg_target"))
       .select(col("doc_id"), col("structure"), col("emoji_usage"), col("max_length"))
       .orderBy(col("doc_id"))
   }
 
+  /** p05_upsample: the reference's pass-3 up-sampling (5-balance.py's
+    * augment-to-target for under-populated combos) with the RNG+wordnet
+    * synonym augmenter re-expressed deterministically: a combo with
+    * `total < avg_target` receives `need = avg_target − total` augmented
+    * copies, slot s (0-based, s < need) copying the combo's row ranked
+    * (s mod total) + 1 in hash order — round-robin, so copies spread
+    * evenly over source rows, and `aug_tag` stands in for the synonym
+    * variant id. Shuffle shape identical to p05_balance plus one
+    * broadcast of the tiny combo-total table; the explode emits each
+    * source row's own slots map-side. */
+  def p05Upsample(spark: SparkSession, sfDir: String): DataFrame = {
+    val (counts, target, ranked) = prepared(spark, sfDir)
+    val totals = counts.groupBy(comboCols.map(col): _*)
+      .agg(sum(col("__cnt")).as("__total"))
+    ranked.join(broadcast(totals), comboCols)
+      .crossJoin(broadcast(target))
+      .withColumn("__need", greatest(col("__avg_target") - col("__total"), lit(0L)))
+      .filter(col("__rn") - 1 < col("__need"))
+      .withColumn("aug_slot",
+        explode(sequence(col("__rn") - 1, col("__need") - 1, col("__total"))))
+      .select(col("doc_id"), col("structure"), col("emoji_usage"),
+        col("max_length"), col("aug_slot"),
+        concat(lit("aug#"), col("aug_slot")).as("aug_tag"))
+      .orderBy(col("structure"), col("emoji_usage"), col("max_length"),
+        col("aug_slot"), col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "p05_balance" -> (p05Balance _))
+    "p05_balance"  -> (p05Balance _),
+    "p05_upsample" -> (p05Upsample _))
 
   val oracle: Map[String, String] = Map(
     "p05_balance" ->
@@ -73,5 +106,34 @@ object Balance {
          |  FROM f)
          |SELECT doc_id, structure, emoji_usage, max_length
          |FROM r CROSS JOIN tgt WHERE rn <= avg_target
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+    "p05_upsample" ->
+      s"""WITH f AS (
+         |  SELECT doc_id,
+         |    ${Annotations.structureSql} AS structure,
+         |    ${DocPipeline.emojiUsageSql} AS emoji_usage,
+         |    ${DocPipeline.lengthBucketSql} AS max_length
+         |  FROM documents),
+         |tgt AS (
+         |  SELECT GREATEST(1, LEAST(1000, COUNT(*) // COUNT(DISTINCT (structure, emoji_usage, max_length)))) AS avg_target
+         |  FROM f),
+         |tot AS (
+         |  SELECT structure, emoji_usage, max_length, CAST(count(*) AS BIGINT) AS total
+         |  FROM f GROUP BY 1, 2, 3),
+         |r AS (
+         |  SELECT *, row_number() OVER (
+         |    PARTITION BY structure, emoji_usage, max_length
+         |    ORDER BY md5(concat('bal#', CAST(doc_id AS VARCHAR))), doc_id) AS rn
+         |  FROM f),
+         |j AS (
+         |  SELECT r.doc_id, r.structure, r.emoji_usage, r.max_length, r.rn,
+         |    tot.total, GREATEST(tgt.avg_target - tot.total, 0) AS need
+         |  FROM r JOIN tot USING (structure, emoji_usage, max_length)
+         |  CROSS JOIN tgt)
+         |SELECT doc_id, structure, emoji_usage, max_length,
+         |  CAST(aug_slot AS BIGINT) AS aug_slot,
+         |  concat('aug#', CAST(aug_slot AS VARCHAR)) AS aug_tag
+         |FROM (SELECT *, unnest(range(rn - 1, need, total)) AS aug_slot
+         |      FROM j WHERE rn - 1 < need)
+         |ORDER BY structure, emoji_usage, max_length, aug_slot, doc_id""".stripMargin)
 }
