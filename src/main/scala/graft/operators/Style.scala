@@ -176,9 +176,40 @@ object Style {
       .orderBy(col("source"), col("rank"))
   }
 
+  /** Stopwords longer than 3 chars (the reference's nltk list is an
+    * external corpus; this deterministic stand-in covers the len>3
+    * survivors the `len(w) > 3` filter doesn't already drop). */
+  private val UncommonStop = Seq(
+    "that", "this", "with", "from", "have", "they", "will", "your",
+    "what", "when", "which", "their", "there", "been", "were", "them")
+
+  /** p17_uncommon_words: per-author uncommon-but-regular words
+    * (17-writing-style.py:625-654 get_uncommon_regular_words,
+    * re-expressed distributed + deterministic: the reference's
+    * sample/truncate performance hacks become the full corpus scan, and
+    * its arbitrary set-order [:15] becomes an explicit (count desc, word)
+    * top-15). Same scale shape as p17_phrases: one shuffle on
+    * (source, word) with map-side combine, window over authors only. */
+  def p17UncommonWords(spark: SparkSession, sfDir: String): DataFrame = {
+    val byWord = Tables.documents(spark, sfDir)
+      .select(col("source"),
+        explode(regexp_extract_all(lower(t), lit("\\w+"), lit(0))).as("word"))
+      .filter(length(col("word")) > 3 && !col("word").isin(UncommonStop: _*))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2 && col("cnt") < 1000)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("source"))
+      .orderBy(col("cnt").desc, col("word"))
+    byWord
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 15)
+      .orderBy(col("source"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p17_style"   -> (p17Style _),
     "p17_phrases" -> (p17Phrases _),
+    "p17_uncommon_words" -> (p17UncommonWords _),
     "p18_prompts" -> (p18Prompts _))
 
   // ---- DuckDB oracle ----
@@ -284,6 +315,24 @@ object Style {
          |SELECT source, phrase, cnt_a, cnt_c, CAST(ratio_ppm AS BIGINT) AS ratio_ppm,
          |  CAST(rank AS INTEGER) AS rank
          |FROM r WHERE rank <= 5 ORDER BY source, rank""".stripMargin,
+    "p17_uncommon_words" -> {
+      val stops = UncommonStop.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH w AS (
+         |  SELECT source, unnest(regexp_extract_all(lower(text), '\\w+')) AS word
+         |  FROM documents),
+         |c AS (
+         |  SELECT source, word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM w
+         |  WHERE length(word) > 3 AND NOT list_contains($stops, word)
+         |  GROUP BY source, word
+         |  HAVING count(*) >= 2 AND count(*) < 1000),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY cnt DESC, word) AS rank
+         |  FROM c)
+         |SELECT source, word, cnt, CAST(rank AS INTEGER) AS rank
+         |FROM r WHERE rank <= 15 ORDER BY source, rank""".stripMargin
+    },
     "p18_prompts" ->
       s"""SELECT doc_id, $genPromptSql AS prompt
          |FROM documents ORDER BY doc_id""".stripMargin)
