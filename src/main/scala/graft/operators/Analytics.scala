@@ -84,7 +84,17 @@ object Analytics {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
-  /** Window top-k: top 3 parts per supplier by revenue. */
+  /** Window top-k: top 3 parts per supplier by revenue.
+    *
+    * Deliberately TWO shuffles: the (l_suppkey, l_partkey) aggregation
+    * gets map-side partial combine (≈7× row reduction on TPC-H shapes
+    * before anything moves), then the window re-shuffles only the small
+    * aggregated output on l_suppkey. The tempting single-shuffle variant
+    * — repartition raw rows by l_suppkey so agg + window share one
+    * exchange — moves the UNREDUCED fact table and measures slower at
+    * sf0.1 (and is strictly more network at scale whenever partial agg
+    * reduces >2×). Spark's WindowGroupLimit also prunes to top-3 per
+    * supplier before the full sort. */
   def topkWindow(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
     val perPart = li.groupBy(col("l_suppkey"), col("l_partkey"))

@@ -68,6 +68,21 @@ class SourcesSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters: [isnotnull(tier"), plan)
   }
 
+  test("pipeline stages compose through a partitioned sink with pruning") {
+    val dir = tmpDir("pipe")
+    // stage → tier-partitioned sink → pruned read → downstream join
+    val tiers = graft.operators.DocPipeline.p01Engagement(spark, sfDir)
+    Sinks.partitionedParquet(tiers, s"$dir/tiers", Seq("tier"))
+    val tierA = spark.read.parquet(s"$dir/tiers")
+      .filter(col("tier") === "Tier A (Top 20%)")
+    assert(tierA.count() > 0)
+    assert(tierA.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(tier"))
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    val joined = docs.join(tierA.select("doc_id"), "doc_id")
+    assert(joined.count() == tierA.count())
+  }
+
   test("bucketedTable joins co-located without a shuffle exchange") {
     val n = 4
     Sinks.bucketedTable(
