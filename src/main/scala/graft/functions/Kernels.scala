@@ -396,6 +396,31 @@ object Kernels {
     acc
   }
 
+  /** Nearest centroid by squared L2 over an array of (c_id, cv) structs —
+    * the native form of array_min(transform(cents, c ⇒ struct(l2sq, id))):
+    * strict lexicographic (distance, id) minimum, so ties pick the
+    * smallest centroid id exactly like the struct ordering the DuckDB
+    * oracle mirrors. */
+  def argminL2(v: ArrayData, cents: ArrayData, vFloat: Boolean, cvFloat: Boolean): InternalRow = {
+    var bestD = Double.PositiveInfinity
+    var bestId = Long.MaxValue
+    var found = false
+    var i = 0
+    while (i < cents.numElements()) {
+      val c = cents.getStruct(i, 2)
+      val id = c.getLong(0)
+      val d = l2Sq(v, c.getArray(1), vFloat, cvFloat)
+      if (!found || d < bestD || (d == bestD && id < bestId)) {
+        bestD = d
+        bestId = id
+        found = true
+      }
+      i += 1
+    }
+    if (!found) null
+    else new GenericInternalRow(Array[Any](bestD, bestId))
+  }
+
   /** Sign-LSH bucket: bit p is set when dot(v, planes(p)) > 0. The
     * accumulation is strict left-to-right (0 + w_0·v_0 + w_1·v_1 + …), the
     * same IEEE sequence the ±-literal DuckDB mirror evaluates, so the sign

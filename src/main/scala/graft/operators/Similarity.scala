@@ -80,14 +80,17 @@ object Similarity {
   }
 
   /** Nearest-centroid assignment as a map-only pass: the centroid set is
-    * collected into ONE array row, broadcast, and argmin runs as an
-    * array fold per vector — no explosion, no shuffle. */
+    * collected into ONE array row, broadcast, and argmin runs as a
+    * native one-pass kernel per vector (graft.functions.NativeExpressions
+    * .ArgminL2 — an interpreted HOF fold here costs ~µs per centroid,
+    * which at ~sqrt(N) centroids dominated the whole pass) — no
+    * explosion, no shuffle. */
   private def assignments(spark: SparkSession, sfDir: String): DataFrame = {
     val centArr = centroidsDf(spark, sfDir)
       .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
     vecs(spark, sfDir).crossJoin(broadcast(centArr))
-      .withColumn("best", array_min(transform(col("cents"),
-        c => struct(l2SqDist(col("v"), c.getField("cv")).as("d"), c.getField("c_id").as("c_id")))))
+      .withColumn("best",
+        graft.functions.NativeExpressions.argminL2(col("v"), col("cents")))
       .select(col("vec_id"), col("v"),
         col("best.c_id").as("cluster"), col("best.d").as("dist2"))
   }

@@ -39,6 +39,20 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("argminL2 == array_min over the HOF distance fold") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val centArr = e.filter(col("vec_id") % 50 === 0)
+      .agg(collect_list(struct(col("vec_id").as("c_id"), col("v").as("cv"))).as("cents"))
+    val both = e.crossJoin(centArr)
+      .select(
+        array_min(transform(col("cents"), c =>
+          struct(graft.functions.NativeExpressions.l2SqDist(col("v"), c.getField("cv")).as("d"),
+            c.getField("c_id").as("c_id")))).as("hof"),
+        graft.functions.NativeExpressions.argminL2(col("v"), col("cents")).as("native"))
+    assert(both.filter(not(col("hof") <=> col("native"))).count() == 0)
+  }
+
   test("minHashSigs == HOF minhash chain") {
     val k = 16
     val p = 4294967291L
