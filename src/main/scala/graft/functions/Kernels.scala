@@ -26,6 +26,24 @@ object Kernels {
   def tokenize(s: String): Array[String] =
     s.split("\\s+").filter(_.nonEmpty)
 
+  /** Whitespace tokens as an ArrayData (the native form of
+    * filter(split(c, "\\s+"), nonEmpty) — one pass, no per-token lambda
+    * round-trips). */
+  def wordTokens(text: UTF8String): ArrayData =
+    new GenericArrayData(
+      tokenize(text.toString).map(UTF8String.fromString).toArray[Any])
+
+  /** Tokens (with repeats) that are members of `set`. */
+  def tokenSetCount(toks: ArrayData, set: java.util.HashSet[String]): Int = {
+    var n = 0
+    var i = 0
+    while (i < toks.numElements()) {
+      if (set.contains(toks.getUTF8String(i).toString)) n += 1
+      i += 1
+    }
+    n
+  }
+
   /** First 4 bytes at `off` as an unsigned 32-bit value — equals
     * hexLong(<hex digest>, 8) on the same region. */
   private def be32(d: Array[Byte], off: Int): Long =

@@ -66,6 +66,47 @@ object NativeExpressions {
     else
       expectType(name, "right", r.dataType, isVec(r.dataType), "ARRAY<FLOAT> or ARRAY<DOUBLE>")
 
+  /** Whitespace tokens with empties dropped — the native form of
+    * filter(split(c, "\\s+"), length > 0), which otherwise evaluates an
+    * interpreted lambda per token in every annotation operator. */
+  case class WordTokens(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkString(prettyName, child)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_tokens"
+    override protected def withNewChildInternal(newChild: Expression): WordTokens =
+      copy(child = newChild)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.wordTokens(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.wordTokens($c)")
+  }
+
+  /** Count of tokens that are members of a fixed word set — the native
+    * form of size(filter(toks, t ⇒ array_contains(set, t))); the word set
+    * rides into generated code as a HashSet reference object. */
+  case class TokenSetCount(child: Expression, words: Seq[String])
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkStringArray(prettyName, child)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "token_set_count"
+    override protected def withNewChildInternal(newChild: Expression): TokenSetCount =
+      copy(child = newChild)
+    @transient private lazy val set: java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      words.foreach(s.add)
+      s
+    }
+    override def nullSafeEval(input: Any): Any =
+      Kernels.tokenSetCount(input.asInstanceOf[ArrayData], set)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("words", set, "java.util.HashSet")
+      defineCodeGen(ctx, ev, c => s"$K.tokenSetCount($c, $ref)")
+    }
+  }
+
   /** Distinct word n-gram shingles, first-occurrence order — the native
     * form of [[TextFunctions.shingles]] (texts shorter than n tokens fall
     * back to the whole token string). */
@@ -291,6 +332,12 @@ object NativeExpressions {
   }
 
   // ---- Column wrappers ----
+
+  def wordTokens(c: Column): Column =
+    ColumnBridge.column(WordTokens(ColumnBridge.expression(c)))
+
+  def tokenSetCount(toks: Column, words: Seq[String]): Column =
+    ColumnBridge.column(TokenSetCount(ColumnBridge.expression(toks), words))
 
   def wordShingles(c: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))

@@ -14,9 +14,10 @@ import org.apache.spark.sql.functions._
 object TextFunctions {
 
   /** Whitespace tokens with empties dropped (mirror:
-    * list_filter(regexp_split_to_array(t,'\s+'), x -> x != '')). */
-  def tokens(c: Column): Column =
-    filter(split(c, "\\s+"), t => length(t) > lit(0))
+    * list_filter(regexp_split_to_array(t,'\s+'), x -> x != '')) — native
+    * one-pass expression; the HOF form runs an interpreted lambda per
+    * token and this column underlies most annotation operators. */
+  def tokens(c: Column): Column = NativeExpressions.wordTokens(c)
 
   def tokenCount(c: Column): Column = size(tokens(c))
 
@@ -135,11 +136,11 @@ object TextFunctions {
        |  THEN [array_to_string($toks[i:i+${n - 1}], ' ') FOR i IN range(1, len($toks) - ${n - 2})]
        |  ELSE [array_to_string($toks, ' ')] END)""".stripMargin
 
-  /** Count of tokens that are members of `set` (with repeats). */
-  def tokenSetCount(c: Column, set: Seq[String]): Column = {
-    val arr = array(set.map(lit): _*)
-    size(filter(tokens(c), t => array_contains(arr, t)))
-  }
+  /** Count of tokens that are members of `set` (with repeats) — native
+    * one-pass expression (the HOF form ran an interpreted lambda plus an
+    * array_contains scan per token). */
+  def tokenSetCount(c: Column, set: Seq[String]): Column =
+    NativeExpressions.tokenSetCount(tokens(c), set)
 
   /** Word-boundary occurrence count of a literal word. */
   def wordCount(c: Column, w: String): Column =
