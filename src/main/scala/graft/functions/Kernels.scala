@@ -169,6 +169,10 @@ object Kernels {
   private val BulletNum = Pattern.compile("^\\s*[0-9]+[.)]\\s+")
   private val BulletLet = Pattern.compile("^\\s*[A-Za-z][.)]\\s+")
   private val BulletSym = Pattern.compile("^\\s*[-*•]\\s+")
+  // p17's line classifiers (letter runs + any leading symbol) differ from
+  // the reward suite's — both families are counted in the same line scan.
+  private val StyleLet = Pattern.compile("^\\s*[A-Za-z]+[.)]\\s+")
+  private val StyleSym = Pattern.compile("^\\s*[^A-Za-z0-9_\\s]")
   private val EmojiRe = Pattern.compile(TextFunctions.EmojiClass)
   private val TailHashtagRe = Pattern.compile("#[A-Za-z0-9_]+")
 
@@ -340,26 +344,39 @@ object Kernels {
       simAvg = simSum / nSims
     }
 
-    // Line classifiers: bullets + dividers; tail hashtags
+    // Line classifiers: bullets + dividers (counts) + tail hashtags
     val lines = s.split("\n", -1)
     var bulletAny = s.contains("•")
-    var divDash = false
-    var divEq = false
-    var divStar = false
-    var divTilde = false
+    var divDash = 0
+    var divEq = 0
+    var divStar = 0
+    var divTilde = 0
+    var nEmpty = 0
+    var nNum = 0
+    var nLetPlus = 0
+    var nSym = 0
     i = 0
     while (i < lines.length) {
       val l = lines(i)
+      if (l.isEmpty) nEmpty += 1
+      val isNum = BulletNum.matcher(l).find()
+      if (isNum) nNum += 1
+      if (StyleLet.matcher(l).find()) nLetPlus += 1
+      if (StyleSym.matcher(l).find()) nSym += 1
       if (!bulletAny &&
-        (BulletNum.matcher(l).find() || BulletLet.matcher(l).find() ||
+        (isNum || BulletLet.matcher(l).find() ||
           BulletSym.matcher(l).find())) bulletAny = true
       val tl = trimSpaces(l)
-      if (!divDash && isCharRun(tl, '-')) divDash = true
-      if (!divEq && isCharRun(tl, '=')) divEq = true
-      if (!divStar && isCharRun(tl, '*')) divStar = true
-      if (!divTilde && isCharRun(tl, '~')) divTilde = true
+      if (isCharRun(tl, '-')) divDash += 1
+      if (isCharRun(tl, '=')) divEq += 1
+      if (isCharRun(tl, '*')) divStar += 1
+      if (isCharRun(tl, '~')) divTilde += 1
       i += 1
     }
+
+    // All-token totals (vocab_distinct over raw tokens, not alpha-only)
+    val tokSet = new java.util.HashSet[String](toks.length * 2)
+    toks.foreach(tokSet.add)
     var tailHashtags = 0
     if (lines.nonEmpty) {
       val tm = TailHashtagRe.matcher(lines(lines.length - 1))
@@ -399,7 +416,8 @@ object Kernels {
       awTotal, awSet.size, sentN, sentSum, sentSumSq, simAvg, arc,
       flowTransitions, bulletAny, divDash, divEq, divStar, divTilde,
       emoTotal, emoSet.size, lines.length, tailHashtags,
-      nPeriod, nComma, nExclaim, nQuestion, nSemicolon, scoreSum))
+      nPeriod, nComma, nExclaim, nQuestion, nSemicolon, scoreSum,
+      nEmpty, nNum, nLetPlus, nSym, toks.length, tokSet.size))
   }
 
   def l2Sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {

@@ -189,10 +189,10 @@ object NativeExpressions {
     StructField("arc", IntegerType, nullable = false),
     StructField("flow_transitions", IntegerType, nullable = false),
     StructField("bullet_any", BooleanType, nullable = false),
-    StructField("div_dash", BooleanType, nullable = false),
-    StructField("div_eq", BooleanType, nullable = false),
-    StructField("div_star", BooleanType, nullable = false),
-    StructField("div_tilde", BooleanType, nullable = false),
+    StructField("div_dash", IntegerType, nullable = false),
+    StructField("div_eq", IntegerType, nullable = false),
+    StructField("div_star", IntegerType, nullable = false),
+    StructField("div_tilde", IntegerType, nullable = false),
     StructField("emo_total", IntegerType, nullable = false),
     StructField("emo_distinct", IntegerType, nullable = false),
     StructField("n_lines", IntegerType, nullable = false),
@@ -202,7 +202,13 @@ object NativeExpressions {
     StructField("n_exclaim", LongType, nullable = false),
     StructField("n_question", LongType, nullable = false),
     StructField("n_semicolon", LongType, nullable = false),
-    StructField("score_sum", LongType, nullable = false)))
+    StructField("score_sum", LongType, nullable = false),
+    StructField("n_empty", IntegerType, nullable = false),
+    StructField("n_num", IntegerType, nullable = false),
+    StructField("n_let_plus", IntegerType, nullable = false),
+    StructField("n_sym", IntegerType, nullable = false),
+    StructField("tok_total", IntegerType, nullable = false),
+    StructField("tok_distinct", IntegerType, nullable = false)))
 
   /** Every reward-suite per-row statistic in one text pass — replaces a
     * dozen interpreted HOF lambda chains (vocab distinct ratio, sentence

@@ -231,7 +231,7 @@ object Rewards {
     * doc_id % 4 over [-, =, *, ~]; full-line runs of >=3. */
   private def dividerRewardPpm(st: Column): Column = {
     val found = Seq("div_dash", "div_eq", "div_star", "div_tilde")
-      .map(st.getField)
+      .map(f => st.getField(f) > 0)
     val reqFound = when(col("doc_id") % 4 === 0, found(0))
       .when(col("doc_id") % 4 === 1, found(1))
       .when(col("doc_id") % 4 === 2, found(2))

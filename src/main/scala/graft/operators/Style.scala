@@ -49,34 +49,34 @@ object Style {
       .otherwise("none")
   }
 
-  /** p17: style features. */
+  /** p17: style features. Every line/token/sentence statistic comes from
+    * the one-pass stats kernel (the HOF line classifiers measured 22 s at
+    * the 20×-density stress; the kernel form is value-identical —
+    * RewardStatsSpec — and single-scan). `line_breaks` is n_lines − 1
+    * exactly: splitting on \n yields one more part than there are
+    * newlines. */
   def p17Style(spark: SparkSession, sfDir: String): DataFrame = {
-    val nSent = sentenceCount(t).cast("long")
-    val nTok = tokenCount(t).cast("long")
-    val nLines = size(lines).cast("long")
-    val nEmpty = size(filter(lines, l => length(l) === 0)).cast("long")
-    val nNum = countLines("^\\s*[0-9]+[.)]\\s+")
-    val nLet = countLines("^\\s*[A-Za-z]+[.)]\\s+")
-    val nSym = countLines("^\\s*[^A-Za-z0-9_\\s]")
-    val dDash = dividerCount("-")
-    val dEq = dividerCount("=")
-    val dStar = dividerCount("*")
-    val dTilde = dividerCount("~")
     val st = graft.functions.NativeExpressions.rewardStats(t)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"),
-        distinctTokenCount(t).cast("long").as("vocab_distinct"),
-        nSent.as("n_sentences"),
-        nTok.as("n_tokens"),
-        lineBreakCount(t).cast("long").as("line_breaks"),
-        nLines.as("n_lines"), nEmpty.as("n_empty"),
-        charCount(t, ".").cast("long").as("n_period"),
-        charCount(t, ",").cast("long").as("n_comma"),
-        charCount(t, ";").cast("long").as("n_semicolon"),
-        charCount(t, "!").cast("long").as("n_exclaim"),
-        charCount(t, "?").cast("long").as("n_question"),
-        nNum.as("n_num"), nLet.as("n_let"), nSym.as("n_sym"),
-        dDash.as("d1"), dEq.as("d2"), dStar.as("d3"), dTilde.as("d4"),
+        st.getField("tok_distinct").cast("long").as("vocab_distinct"),
+        st.getField("sent_n").cast("long").as("n_sentences"),
+        st.getField("tok_total").cast("long").as("n_tokens"),
+        (st.getField("n_lines") - 1).cast("long").as("line_breaks"),
+        st.getField("n_lines").cast("long").as("n_lines"),
+        st.getField("n_empty").cast("long").as("n_empty"),
+        st.getField("n_period").as("n_period"),
+        st.getField("n_comma").as("n_comma"),
+        st.getField("n_semicolon").as("n_semicolon"),
+        st.getField("n_exclaim").as("n_exclaim"),
+        st.getField("n_question").as("n_question"),
+        st.getField("n_num").cast("long").as("n_num"),
+        st.getField("n_let_plus").cast("long").as("n_let"),
+        st.getField("n_sym").cast("long").as("n_sym"),
+        st.getField("div_dash").cast("long").as("d1"),
+        st.getField("div_eq").cast("long").as("d2"),
+        st.getField("div_star").cast("long").as("d3"),
+        st.getField("div_tilde").cast("long").as("d4"),
         profanityCol.as("profanity"),
         // 17-writing-style.py:314-324 average-sentiment arc (lexicon
         // scores — integer cross-multiplication for the ±0.2 thresholds)

@@ -109,10 +109,10 @@ class RewardStatsSpec extends SparkSpec {
     val st = rewardStats(t)
     val diff = docs.select(
       hofBullet.as("hb"), st.getField("bullet_any").as("kb"),
-      divi("-").as("h1"), st.getField("div_dash").as("k1"),
-      divi("=").as("h2"), st.getField("div_eq").as("k2"),
-      divi("*").as("h3"), st.getField("div_star").as("k3"),
-      divi("~").as("h4"), st.getField("div_tilde").as("k4"))
+      divi("-").as("h1"), (st.getField("div_dash") > 0).as("k1"),
+      divi("=").as("h2"), (st.getField("div_eq") > 0).as("k2"),
+      divi("*").as("h3"), (st.getField("div_star") > 0).as("k3"),
+      divi("~").as("h4"), (st.getField("div_tilde") > 0).as("k4"))
       .filter(col("hb") =!= col("kb") || col("h1") =!= col("k1") ||
         col("h2") =!= col("k2") || col("h3") =!= col("k3") ||
         col("h4") =!= col("k4"))
@@ -146,6 +146,28 @@ class RewardStatsSpec extends SparkSpec {
     val extra = Seq("#one #two tail #three #four", "line\n#tag1 #tag2",
       "a.b,c!d?e;f\n\n#x").toDF("text")
     assert(docs.union(extra).filter(cond).count() == 0)
+  }
+
+  test("style counts == HOF line/token classifiers") {
+    val st = rewardStats(t)
+    val lines = split(t, "\n")
+    def cnt(re: String) = size(filter(lines, l => l.rlike(re)))
+    def divc(ch: String) = {
+      val q = java.util.regex.Pattern.quote(ch)
+      size(filter(lines, l => trim(l).rlike("^" + q + "{3,}$")))
+    }
+    val checks = Seq(
+      size(filter(lines, l => length(l) === 0)) -> st.getField("n_empty"),
+      cnt("^\\s*[0-9]+[.)]\\s+") -> st.getField("n_num"),
+      cnt("^\\s*[A-Za-z]+[.)]\\s+") -> st.getField("n_let_plus"),
+      cnt("^\\s*[^A-Za-z0-9_\\s]") -> st.getField("n_sym"),
+      divc("-") -> st.getField("div_dash"),
+      divc("=") -> st.getField("div_eq"),
+      size(tokens(t)) -> st.getField("tok_total"),
+      size(array_distinct(tokens(t))) -> st.getField("tok_distinct"),
+      (size(lines) - 1) -> (st.getField("n_lines") - 1))
+    val cond = checks.map { case (hof, k) => hof =!= k }.reduce(_ || _)
+    assert(docs.filter(cond).count() == 0)
   }
 
   test("arc codes on known shapes") {
