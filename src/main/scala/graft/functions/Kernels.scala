@@ -33,6 +33,67 @@ object Kernels {
     new GenericArrayData(
       tokenize(text.toString).map(UTF8String.fromString).toArray[Any])
 
+  /** BPE-ish subword count — the native form of
+    * regexp_count(c, "[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"): a greedy
+    * regex scan emits ceil(L/4) pieces per alphanumeric run of length L
+    * plus one piece per other non-whitespace code point, so a single
+    * char walk reproduces the match count exactly. Whitespace = Java
+    * regex \s (ASCII). */
+  def bpeCount(text: UTF8String): Int = {
+    val s = text.toString
+    var n = 0
+    var run = 0
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i) // one regex match per code point, not char
+      val alnum = (cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+        (cp >= '0' && cp <= '9')
+      if (alnum) run += 1
+      else {
+        n += (run + 3) / 4
+        run = 0
+        // Java regex \\s (no UNICODE flag) = [ \\t\\n\\x0B\\f\\r]
+        val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+          cp == '\f' || cp == '\r'
+        if (!ws) n += 1
+      }
+      i += Character.charCount(cp)
+    }
+    n + (run + 3) / 4
+  }
+
+  /** Sentences: "[.!?]+"-split parts that are non-blank after space-trim
+    * (the native form of TextFunctions.sentenceCount). */
+  def sentenceCount(text: UTF8String): Int =
+    text.toString.split("[.!?]+", -1).count(x => trimSpaces(x).nonEmpty)
+
+  private val FpStrip = Pattern.compile("[^a-z0-9\\s]")
+  private val FpSpaces = Pattern.compile("\\s+")
+
+  /** Normalized fingerprint: lowercase → strip non-alnum → collapse
+    * whitespace → md5 hex. Identical to
+    * md5(regexp_replace(regexp_replace(lower(c), …), …)): the lowercase
+    * IS UTF8String.toLowerCase (what Spark's Lower evaluates) and the
+    * two patterns are the same regexes, fused without intermediate
+    * UTF8String round-trips. */
+  def fingerprint(text: UTF8String): UTF8String = {
+    val lowered = text.toLowerCase.toString
+    val normalized = FpSpaces.matcher(
+      FpStrip.matcher(lowered).replaceAll("")).replaceAll(" ")
+    val md = mdLocal.get()
+    md.reset()
+    val d = md.digest(normalized.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val hex = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      val b = d(i) & 0xff
+      hex(2 * i) = Character.forDigit(b >> 4, 16)
+      hex(2 * i + 1) = Character.forDigit(b & 0xf, 16)
+      i += 1
+    }
+    UTF8String.fromString(new String(hex))
+  }
+
   /** Tokens (with repeats) that are members of `set`. */
   def tokenSetCount(toks: ArrayData, set: java.util.HashSet[String]): Int = {
     var n = 0

@@ -158,6 +158,53 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$K.simHash32($c)")
   }
 
+  /** BPE-ish subword count — native char walk matching the greedy regex
+    * scan piece-for-piece. */
+  case class BpeCount(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkString(prettyName, child)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "bpe_count"
+    override protected def withNewChildInternal(newChild: Expression): BpeCount =
+      copy(child = newChild)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.bpeCount(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.bpeCount($c)")
+  }
+
+  /** Sentence count — native form of TextFunctions' split+trim filter. */
+  case class SentenceCount(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkString(prettyName, child)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "sentence_count"
+    override protected def withNewChildInternal(newChild: Expression): SentenceCount =
+      copy(child = newChild)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.sentenceCount(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.sentenceCount($c)")
+  }
+
+  /** Normalized md5 fingerprint — fused native form of the
+    * lower → strip → collapse → md5 chain. */
+  case class Fingerprint(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkString(prettyName, child)
+    override def dataType: DataType = StringType
+    override def prettyName: String = "fingerprint"
+    override protected def withNewChildInternal(newChild: Expression): Fingerprint =
+      copy(child = newChild)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.fingerprint(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.fingerprint($c)")
+  }
+
   /** Most frequent whitespace token, ties broken by binary UTF-8 order
     * (the order Spark's array_sort uses). Blank text → null. */
   case class DominantToken(child: Expression)
@@ -344,6 +391,15 @@ object NativeExpressions {
 
   def tokenSetCount(toks: Column, words: Seq[String]): Column =
     ColumnBridge.column(TokenSetCount(ColumnBridge.expression(toks), words))
+
+  def sentenceCount(c: Column): Column =
+    ColumnBridge.column(SentenceCount(ColumnBridge.expression(c)))
+
+  def bpeCount(c: Column): Column =
+    ColumnBridge.column(BpeCount(ColumnBridge.expression(c)))
+
+  def fingerprint(c: Column): Column =
+    ColumnBridge.column(Fingerprint(ColumnBridge.expression(c)))
 
   def wordShingles(c: Column, n: Int): Column =
     ColumnBridge.column(WordShingles(ColumnBridge.expression(c), n))

@@ -26,9 +26,9 @@ object TextFunctions {
   def distinctTokenCount(c: Column): Column = size(array_distinct(tokens(c)))
 
   /** BPE-ish subword count: word chunks of <=4 chars + punctuation marks,
-    * approximating a byte-pair tokenizer's piece count. */
-  def bpeTokenCount(c: Column): Column =
-    regexp_count(c, lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"))
+    * approximating a byte-pair tokenizer's piece count (native char walk;
+    * mirror: regexp_count over "[A-Za-z0-9]{1,4}|[^A-Za-z0-9\s]"). */
+  def bpeTokenCount(c: Column): Column = NativeExpressions.bpeCount(c)
 
   /** Count occurrences of one literal character. */
   def charCount(c: Column, ch: String): Column =
@@ -80,14 +80,14 @@ object TextFunctions {
       c.contains("<") || c.contains(">") || hasCjk(c) ||
       lower(trim(c)) === "unknown"
 
-  /** Sentence count: runs terminated by . ! ? or end-of-text. */
-  def sentenceCount(c: Column): Column =
-    size(filter(split(c, "[.!?]+"), s => length(trim(s)) > lit(0)))
+  /** Sentence count: runs terminated by . ! ? or end-of-text (native
+    * one-pass expression). */
+  def sentenceCount(c: Column): Column = NativeExpressions.sentenceCount(c)
 
   /** Normalized fingerprint: lowercase, strip non-alnum, collapse spaces →
-    * md5. Whole-document exact-dup key robust to case/punct jitter. */
-  def fingerprint(c: Column): Column =
-    md5(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    * md5. Whole-document exact-dup key robust to case/punct jitter
+    * (native fused expression — same lower/regex/md5 chain, one pass). */
+  def fingerprint(c: Column): Column = NativeExpressions.fingerprint(c)
 
   /** Stable bucket in [0, n) from md5 — identical arithmetic in DuckDB:
     * (ascii(h1)*256 + ascii(h2)) % n over the first two hex chars. */

@@ -134,11 +134,18 @@ object Annotations {
       .orderBy(col("doc_id"))
 
   /** p12: drop opinions with CJK or bare "unknown"
-    * (12-clean-opinions.py:18-30). */
+    * (12-clean-opinions.py:18-30). The predicate tests the five-token
+    * payload directly — the "I think " prefix is pure ASCII and makes a
+    * bare "unknown" impossible, so this is row-for-row identical to
+    * filtering on the assembled opinion (the oracle keeps that form)
+    * while filter pushdown re-evaluates only the payload, not the whole
+    * CASE/concat chain. */
   def p12CleanOpinions(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
-      .select(col("doc_id"), opinionCol.as("opinion"))
-      .filter(!(hasCjk(col("opinion")) || lower(trim(col("opinion"))) === "unknown"))
+      .select(col("doc_id"), opinionCol.as("opinion"),
+        concat_ws(" ", slice(toks, 1, 5)).as("__first5"))
+      .filter(!hasCjk(col("__first5")))
+      .select(col("doc_id"), col("opinion"))
       .orderBy(col("doc_id"))
 
   /** p14: context extraction — tokens 6-10 as the supporting-context
@@ -159,13 +166,20 @@ object Annotations {
   /** p15: drop contexts with CJK, bare "unknown", or the literal "650+"
     * (15-clean-context.py:18-39 — note the reference's `and` chain
     * short-circuits to a bare `"650+" in context` check; reproduced
-    * faithfully). */
+    * faithfully). Component-level predicate: the <6-token branch yields
+    * exactly "Unknown" (always dropped by the unknown test), and in the
+    * "Based on " branch both the CJK and "650+" tests can only hit
+    * inside the token payload ("650+" contains no space, so it cannot
+    * span the ASCII prefix boundary) — row-for-row identical to
+    * filtering the assembled context, which the oracle still does. */
   def p15CleanContext(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
-      .select(col("doc_id"), contextCol.as("context"))
-      .filter(!(hasCjk(col("context")) ||
-        lower(trim(col("context"))) === "unknown" ||
-        col("context").contains("650+")))
+      .select(col("doc_id"), contextCol.as("context"),
+        size(toks).as("__ntok"),
+        concat_ws(" ", slice(toks, 6, 5)).as("__mid"))
+      .filter(col("__ntok") >= 6 &&
+        !(hasCjk(col("__mid")) || col("__mid").contains("650+")))
+      .select(col("doc_id"), col("context"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -71,6 +71,35 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("bpeCount == regexp_count of the subword alternation") {
+    val docs = (samples ++ Seq("🙂ab🙂", "abcdefgh 12345 x!?", "好的 test"))
+      .toDF("text")
+      .union(spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
+    val hof = regexp_count(col("text"), lit("[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"))
+    val diff = docs.select(hof.as("h"),
+      graft.functions.NativeExpressions.bpeCount(col("text")).as("k"))
+      .filter(col("h") =!= col("k"))
+      .count()
+    assert(diff == 0)
+  }
+
+  test("sentenceCount and fingerprint == their Column-chain forms") {
+    val docs = (samples ++ Seq("Ünïcode ÅÄÖ mixed. CASE Text!", "a.b!c?d"))
+      .toDF("text")
+      .union(spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
+    val hofSent = size(filter(split(col("text"), "[.!?]+"), s => length(trim(s)) > lit(0)))
+    val hofFp = md5(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9\\s]", ""), "\\s+", " "))
+    val diff = docs.select(
+      hofSent.as("hs"),
+      graft.functions.NativeExpressions.sentenceCount(col("text")).as("ks"),
+      hofFp.as("hf"),
+      graft.functions.NativeExpressions.fingerprint(col("text")).as("kf"))
+      .filter(col("hs") =!= col("ks") || col("hf") =!= col("kf"))
+      .count()
+    assert(diff == 0)
+  }
+
   test("simHash32 == HOF simhash chain") {
     val docs = samples.toDF("text")
       .union(spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
