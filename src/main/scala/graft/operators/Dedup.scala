@@ -185,6 +185,64 @@ object Dedup {
       .orderBy(col("rep_a"), col("rep_b"))
   }
 
+  /** dd_components: connected-component labels over the simhash
+    * near-dup graph — the step that turns PAIRS into dedup DECISIONS
+    * (every member of a component collapses to its minimum rep id).
+    *
+    * Distributed shape: iterative min-label propagation — per round, a
+    * node takes the min of its own label and its neighbors' labels (one
+    * join + one map-side-combinable min aggregation on the edge list),
+    * converging in O(component diameter) rounds; near-dup components are
+    * shallow, and the loop is capped and convergence-checked (the one
+    * driver-side action per round is the iteration contract, same as any
+    * iterative MLlib algorithm). The oracle recomputes the fixpoint as a
+    * DuckDB recursive CTE. */
+  val MaxCcRounds = 20
+
+  def ddComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    val fpDf = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
+    val groups = fpDf.groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+    val bandKeys = array((0 until 4).map { b =>
+      concat_ws(":", lit(b), shiftrightunsigned(col("fp"), 8 * b).bitwiseAND(lit(255L)))
+    }: _*)
+    val bands = groups.select(col("fp"), col("rep_id"), explode(bandKeys).as("bk"))
+    // localCheckpoint (eager) after every round: without lineage
+    // truncation each round's plan embeds two copies of the previous
+    // one — an exponentially growing logical plan that exhausts the
+    // driver long before the data does.
+    val edges = bands.as("x").join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.rep_id") < col("y.rep_id") &&
+          bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= HammingMax)
+      .select(col("x.rep_id").as("a"), col("y.rep_id").as("b"))
+      .distinct()
+      .localCheckpoint(true)
+    val bidir = edges.unionByName(
+      edges.select(col("b").as("a"), col("a").as("b")))
+    var labels = groups.select(col("rep_id"), col("rep_id").as("component"))
+      .localCheckpoint(true)
+    var converged = false
+    var round = 0
+    while (!converged && round < MaxCcRounds) {
+      val neighborMin = bidir.join(labels, bidir("b") === labels("rep_id"))
+        .groupBy(col("a")).agg(min(col("component")).as("nmin"))
+      val next = labels.join(neighborMin, labels("rep_id") === neighborMin("a"), "left")
+        .select(col("rep_id"),
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+        .localCheckpoint(true)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), "rep_id")
+        .filter(col("component") =!= col("old")).limit(1).count()
+      labels = next
+      converged = changed == 0
+      round += 1
+    }
+    groups.select(col("rep_id"), col("n_docs"))
+      .join(labels, "rep_id")
+      .select(col("rep_id"), col("component"), col("n_docs"))
+      .orderBy(col("component"), col("rep_id"))
+  }
+
   /** dd_embedding: cosine near-dup pairs, sign-LSH bucketed on the first
     * 8 dimensions (bucket count should grow with N — 16+ bits at 100 TB). */
   def ddEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
@@ -210,6 +268,7 @@ object Dedup {
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_simhash"       -> (ddSimhash _),
     "dd_simhash_clusters" -> (ddSimhashClusters _),
+    "dd_components"    -> (ddComponents _),
     "dd_embedding"     -> (ddEmbedding _))
 
   // ---- DuckDB oracle ----
@@ -316,6 +375,23 @@ object Dedup {
          |FROM bd x JOIN bd y ON x.bk = y.bk AND x.rep_id < y.rep_id
          |  AND bit_count(xor(x.fp, y.fp)) <= $HammingMax
          |ORDER BY rep_a, rep_b""".stripMargin,
+    "dd_components" ->
+      s"""WITH RECURSIVE $simhashFpCte,
+         |g AS (SELECT fp, min(doc_id) AS rep_id, CAST(count(*) AS BIGINT) AS n_docs
+         |  FROM f GROUP BY fp),
+         |bd AS (SELECT fp, rep_id, unnest($simhashBandsSql) AS bk FROM g),
+         |ed AS (SELECT DISTINCT x.rep_id AS a, y.rep_id AS b
+         |  FROM bd x JOIN bd y ON x.bk = y.bk AND x.rep_id < y.rep_id
+         |    AND bit_count(xor(x.fp, y.fp)) <= $HammingMax),
+         |bidir AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+         |reach(src, dst) AS (
+         |  SELECT rep_id, rep_id FROM g
+         |  UNION
+         |  SELECT reach.src, bidir.b FROM reach JOIN bidir ON reach.dst = bidir.a)
+         |SELECT g.rep_id, r.component, g.n_docs
+         |FROM g JOIN (SELECT src AS rep_id, MIN(dst) AS component
+         |  FROM reach GROUP BY src) r USING (rep_id)
+         |ORDER BY component, rep_id""".stripMargin,
     "dd_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, v, $embSignBucketSql AS bkt FROM e)
