@@ -148,9 +148,15 @@ object Analytics {
     *      (t, orderkey, price) struct, max'd over all PRIOR chunks via a
     *      window on the tiny chunk table — broadcast back, filling events
     *      whose chunk has no earlier order.
-    * Chunk width is a tuning knob: month here; at 100 TB pick whatever
-    * bounds one (k, chunk)'s rows to a task. */
-  def asofJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    * Chunk width is a tuning knob (`chunkUnit`, any date_trunc field):
+    * month here; at 100 TB pick whatever bounds one (k, chunk)'s rows to
+    * a task — finer chunks raise parallelism and shrink per-task sorts
+    * at the cost of a larger boundary-carry table (still one row per
+    * (k, chunk), broadcastable far past week granularity). */
+  def asofJoin(spark: SparkSession, sfDir: String): DataFrame =
+    asofJoinChunked(spark, sfDir, "month")
+
+  def asofJoinChunked(spark: SparkSession, sfDir: String, chunkUnit: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(
         (col("user_id") % 15).as("k"),
@@ -168,7 +174,7 @@ object Analytics {
         col("o_totalprice").as("o_totalprice_in"),
         lit(0).as("is_event"))
     val uni = ev.unionByName(ord)
-      .withColumn("c", date_trunc("month", col("t")))
+      .withColumn("c", date_trunc(chunkUnit, col("t")))
     // Orders sort before events at identical timestamps (is_event asc) so an
     // order with o_orderdate == t is visible to the event, matching <=.
     val wIn = Window.partitionBy(col("k"), col("c"))

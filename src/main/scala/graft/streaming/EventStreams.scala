@@ -55,6 +55,20 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming near-dup document dedup: exact dedup on the normalized
+    * content fingerprint (the streaming form of dd_exact for DOCUMENT
+    * streams — case/punctuation-jitter redeliveries collapse to one
+    * row). State is one fingerprint per distinct document inside the
+    * watermark horizon; beyond-horizon redeliveries go through
+    * [[graft.sources.Sinks.dedupUpsertParquet]]. Input needs
+    * (ts TIMESTAMP, text STRING, …). */
+  def dedupDocs(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("__fp", graft.functions.NativeExpressions.fingerprint(col("text")))
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
   /** Stream-stream interval join: each view pairs with the same user's
     * purchases that land within [view.ts, view.ts + 30 min] — the
     * streaming form of q_range_join's trailing-window semantics

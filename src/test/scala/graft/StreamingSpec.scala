@@ -80,6 +80,22 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupDocs collapses jittered re-deliveries by content fingerprint") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String)]
+    val q = EventStreams.dedupDocs(in.toDF().toDF("ts", "text"))
+      .writeStream.format("memory").queryName("docdedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        (t("2026-01-01 10:00:00"), "Hello, World!"),
+        (t("2026-01-01 10:00:01"), "hello   world"), // same fingerprint
+        (t("2026-01-01 10:00:02"), "different doc"))
+      q.processAllAvailable()
+      assert(spark.table("docdedup").count() == 2)
+    } finally q.stop()
+  }
+
   test("attributionJoin pairs purchases with in-window views of the same user") {
     implicit val sql = spark.sqlContext
     case class V(user_id: Long, ts: Timestamp, value: Double)
