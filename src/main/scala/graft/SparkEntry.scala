@@ -36,6 +36,7 @@ object SparkEntry {
     "q_sessionize"    -> (Analytics.sessionize _),
     "q_asof_join"     -> (Analytics.asofJoin _),
     "q_range_join"    -> (Analytics.rangeJoin _),
+    "q_retention"     -> (Analytics.retention _),
     "q_events_window" -> (Analytics.eventsWindowed _),
   )
 
@@ -151,6 +152,18 @@ object SparkEntry {
         |  AND o.o_orderdate >= e.t - INTERVAL 7 DAY AND o.o_orderdate <= e.t
         |GROUP BY e.event_id
         |ORDER BY e.event_id""".stripMargin,
+    "q_retention" ->
+      """WITH ev AS (
+        |  SELECT user_id, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day
+        |  FROM events),
+        |fd AS (SELECT user_id, min(day) AS cohort FROM ev GROUP BY user_id),
+        |act AS (SELECT DISTINCT user_id, day FROM ev)
+        |SELECT CAST(cohort AS TIMESTAMP) AS cohort,
+        |  CAST(date_diff('day', cohort, day) AS BIGINT) AS day_offset,
+        |  count(DISTINCT act.user_id) AS n_users
+        |FROM act JOIN fd USING (user_id)
+        |GROUP BY cohort, day_offset
+        |ORDER BY cohort, day_offset""".stripMargin,
     "q_events_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n,
         |  CAST(round(sum(value)*100, 0) AS BIGINT) AS v

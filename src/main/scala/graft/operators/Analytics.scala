@@ -249,6 +249,25 @@ object Analytics {
       .orderBy(col("event_id"))
   }
 
+  /** Cohort retention: users grouped by first-activity day, counted in
+    * each subsequent day they return. Two shuffles at any scale: the
+    * first-day aggregation clusters on user_id, and the (user, day)
+    * distinct reuses that clustering (hash partitioning on user_id
+    * co-locates every (user, day) group), so only the tiny final
+    * (cohort, offset) aggregation moves data again. No self-join of the
+    * fact table. */
+  def retention(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val firstDay = ev.groupBy(col("user_id")).agg(min(col("day")).as("cohort"))
+    val active = ev.distinct()
+    active.join(firstDay, "user_id")
+      .groupBy(col("cohort"),
+        datediff(col("day"), col("cohort")).cast("long").as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort"), col("day_offset"))
+  }
+
   /** Tumbling 1-hour event aggregation (batch mirror of the streaming path). */
   def eventsWindowed(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
