@@ -507,7 +507,10 @@ object Kernels {
       val c = cents.getStruct(i, 2)
       val id = c.getLong(0)
       val d = l2Sq(v, c.getArray(1), vFloat, cvFloat)
-      if (!found || d < bestD || (d == bestD && id < bestId)) {
+      // NaN never wins: array_min's struct ordering sorts NaN greatest, so
+      // the HOF form this replaces picks the finite minimum. A NaN in the
+      // first slot must not be retained by `d < bestD` always failing.
+      if (!d.isNaN && (!found || d < bestD || (d == bestD && id < bestId))) {
         bestD = d
         bestId = id
         found = true

@@ -237,6 +237,12 @@ object Dedup {
       converged = changed == 0
       round += 1
     }
+    // A silent partial fixpoint would diverge from the recursive-CTE oracle
+    // with no signal; a component with eccentricity > MaxCcRounds must fail
+    // loudly, not return wrong labels.
+    if (!converged) throw new IllegalStateException(
+      s"ddComponents: min-label propagation did not converge in $MaxCcRounds rounds " +
+        "(a near-dup component has eccentricity above the cap; raise MaxCcRounds)")
     groups.select(col("rep_id"), col("n_docs"))
       .join(labels, "rep_id")
       .select(col("rep_id"), col("component"), col("n_docs"))

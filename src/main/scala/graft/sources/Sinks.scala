@@ -77,8 +77,14 @@ object Sinks {
         val inBatch = batch.toDF()
           .withColumn("_rn", row_number().over(w))
           .filter(col("_rn") === 1).drop("_rn")
+        // Existence must go through Hadoop's FileSystem so the check works
+        // on HDFS/S3/ABFS targets, not only file:// (java.io.File is always
+        // false there, which would silently skip the anti-join and append
+        // duplicate keys every micro-batch).
+        val hPath = new org.apache.hadoop.fs.Path(path)
+        val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
         val fresh =
-          if (!new java.io.File(path).exists()) inBatch
+          if (!fs.exists(hPath)) inBatch
           else inBatch.join(spark.read.parquet(path).select(keyCol),
             Seq(keyCol), "left_anti")
         fresh.write.mode(SaveMode.Append).parquet(path)

@@ -116,22 +116,43 @@ object EventStreams {
       Iterator.single(close(userId, s))
     } else {
       val closed = Seq.newBuilder[UserSession]
+      // Sub-watermark events are dropped explicitly: flatMapGroupsWithState
+      // does not filter them, and folding one in would mutate sessions the
+      // batch semantics consider finalized.
+      val wm = state.getCurrentWatermarkMs()
       var cur = state.getOption
-      events.toArray.sortBy(_.ts.getTime).foreach { e =>
+      // In-watermark events more than one gap BEFORE the open session's
+      // start belong to their own earlier session (batch q_sessionize would
+      // never merge across a >gap hole; the unbounded guard used to
+      // backward-extend through it). They fold into `early` and close at
+      // end of batch — the single state slot keeps the latest session.
+      var early: Option[SessionState] = None
+      events.toArray.filter(_.ts.getTime >= wm).sortBy(_.ts.getTime).foreach { e =>
         val t = e.ts.getTime
-        cur = cur match {
+        cur match {
+          case Some(s) if t < s.start - SessionGapMs =>
+            early = early match {
+              case Some(es) if t - es.last <= SessionGapMs =>
+                Some(SessionState(es.start, math.max(es.last, t), es.n + 1, es.value + e.value))
+              case Some(es) =>
+                closed += close(userId, es)
+                Some(SessionState(t, t, 1, e.value))
+              case None =>
+                Some(SessionState(t, t, 1, e.value))
+            }
           case Some(s) if t - s.last <= SessionGapMs =>
-            // min on start: a late-but-in-watermark event from a previous
-            // batch may precede the open session's start and must extend
-            // it backwards, matching the batch q_sessionize semantics.
-            Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1, s.value + e.value))
+            // min on start: a late-but-in-watermark event within one gap of
+            // the open session's start extends it backwards, matching the
+            // batch q_sessionize semantics.
+            cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1, s.value + e.value))
           case Some(s) =>
             closed += close(userId, s)
-            Some(SessionState(t, t, 1, e.value))
+            cur = Some(SessionState(t, t, 1, e.value))
           case None =>
-            Some(SessionState(t, t, 1, e.value))
+            cur = Some(SessionState(t, t, 1, e.value))
         }
       }
+      early.foreach(es => closed += close(userId, es))
       cur.foreach { s =>
         state.update(s)
         state.setTimeoutTimestamp(s.last + SessionGapMs)

@@ -53,6 +53,21 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(both.filter(not(col("hof") <=> col("native"))).count() == 0)
   }
 
+  test("argminL2 skips NaN distances like array_min's NaN-sorts-greatest") {
+    val df = Seq(
+      (Seq(1.0, 0.0), Seq(
+        (1L, Seq(Double.NaN, 0.0)),   // NaN distance in the FIRST slot
+        (2L, Seq(0.5, 0.0)),          // finite minimum (d = 0.25)
+        (3L, Seq(9.0, 0.0)))),
+      (Seq(1.0, 0.0), Seq(
+        (1L, Seq(Double.NaN, 0.0))))  // all-NaN -> no finite argmin
+    ).toDF("v", "cents")
+    val out = df.select(
+      graft.functions.NativeExpressions.argminL2(col("v"), col("cents")).as("m"))
+      .select(col("m").getField("c_id")).as[Option[Long]].collect().toSeq
+    assert(out == Seq(Some(2L), None))
+  }
+
   test("minHashSigs == HOF minhash chain") {
     val k = 16
     val p = 4294967291L

@@ -143,6 +143,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sessionize drops sub-watermark events instead of merging them backwards") {
+    implicit val sql = spark.sqlContext
+    val in = MemoryStream[SessionEvent]
+    val q = EventStreams.sessionize(in.toDS())
+      .writeStream.format("memory").queryName("sess_drop")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 9's session opens at 10:00; user 10 pushes the watermark to
+      // 14:30 after this batch.
+      in.addData(
+        SessionEvent(9L, t("2026-01-01 10:00:00"), 1.0),
+        SessionEvent(10L, t("2026-01-01 15:00:00"), 1.0))
+      q.processAllAvailable()
+      // 10:05 is inside the gap but BELOW the 14:30 watermark: batch
+      // q_sessionize over the watermark-complete data never sees it, so the
+      // streaming fold must drop it rather than extend the open session.
+      in.addData(
+        SessionEvent(9L, t("2026-01-01 10:05:00"), 7.0),
+        SessionEvent(10L, t("2026-01-01 15:01:00"), 1.0))
+      q.processAllAvailable()
+      // next batch fires user 9's (10:00 + gap) event-time timeout.
+      in.addData(SessionEvent(10L, t("2026-01-01 15:02:00"), 1.0))
+      q.processAllAvailable()
+      val u9 = spark.table("sess_drop")
+        .as[graft.streaming.UserSession].collect().filter(_.user_id == 9L).toSeq
+      assert(u9.map(s => (s.session_start, s.session_end, s.n_events, s.session_value)) ==
+        Seq((t("2026-01-01 10:00:00"), t("2026-01-01 10:00:00"), 1L, 1.0)))
+    } finally q.stop()
+  }
+
   test("streaming sessionize partitions the real events table exactly like batch q_sessionize") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions._
