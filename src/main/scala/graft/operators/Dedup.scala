@@ -202,8 +202,12 @@ object Dedup {
   def ddComponents(spark: SparkSession, sfDir: String): DataFrame = {
     val fpDf = Tables.documents(spark, sfDir)
       .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
+    // Checkpointed: the band self-join below has no CSE across its two
+    // sides, so without this the simhash scan over the full corpus runs
+    // twice more inside edge-building (and again in the final join).
     val groups = fpDf.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+      .localCheckpoint(true)
     val bandKeys = array((0 until 4).map { b =>
       concat_ws(":", lit(b), shiftrightunsigned(col("fp"), 8 * b).bitwiseAND(lit(255L)))
     }: _*)
@@ -227,13 +231,30 @@ object Dedup {
     while (!converged && round < MaxCcRounds) {
       val neighborMin = bidir.join(labels, bidir("b") === labels("rep_id"))
         .groupBy(col("a")).agg(min(col("component")).as("nmin"))
-      val next = labels.join(neighborMin, labels("rep_id") === neighborMin("a"), "left")
+      // Carry the previous label through the update so convergence is a
+      // cheap scan of the checkpointed result — not a second join against
+      // the old labels (which added a shuffle + job per round).
+      val stepped = labels.join(neighborMin, labels("rep_id") === neighborMin("a"), "left")
         .select(col("rep_id"),
-          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("nmin"), col("component"))).as("component"),
+          col("component").as("old"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("component", "old"), "rep_id")
-        .filter(col("component") =!= col("old")).limit(1).count()
-      labels = next
+      // Pointer jump — component := component's component. One extra tiny
+      // self-join per round turns O(diameter) convergence into O(log d):
+      // a chain component of eccentricity 10 converges in 4 rounds, not 11.
+      // Labels' domain is the full rep_id set, so the lookup always hits;
+      // the fixpoint is unchanged (at it, component[component[x]] ==
+      // component[x]). stepped is checkpointed above so this self-join does
+      // not re-evaluate the neighbor join twice.
+      val next = stepped.as("s")
+        .join(stepped.select(col("rep_id").as("j_id"), col("component").as("j_comp")).as("j"),
+          col("s.component") === col("j.j_id"), "left")
+        .select(col("s.rep_id").as("rep_id"),
+          least(col("s.component"), coalesce(col("j.j_comp"), col("s.component"))).as("component"),
+          col("s.old").as("old"))
+        .localCheckpoint(true)
+      val changed = next.filter(col("component") =!= col("old")).limit(1).count()
+      labels = next.select(col("rep_id"), col("component"))
       converged = changed == 0
       round += 1
     }
