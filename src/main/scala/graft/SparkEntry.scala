@@ -38,6 +38,8 @@ object SparkEntry {
     "q_range_join"    -> (Analytics.rangeJoin _),
     "q_retention"     -> (Analytics.retention _),
     "q_events_window" -> (Analytics.eventsWindowed _),
+    "q_rollup"        -> (Analytics.rollupRevenue _),
+    "q_decile"        -> (Analytics.decileSpend _),
   )
 
   private val analyticsOracle: Map[String, String] = Map(
@@ -168,5 +170,25 @@ object SparkEntry {
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n,
         |  CAST(round(sum(value)*100, 0) AS BIGINT) AS v
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
+    "q_rollup" ->
+      """SELECT o_orderpriority, l_returnflag,
+        |  CAST(GROUPING(o_orderpriority, l_returnflag) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY ROLLUP (o_orderpriority, l_returnflag)
+        |ORDER BY gid, o_orderpriority, l_returnflag""".stripMargin,
+    "q_decile" ->
+      """WITH spend AS (
+        |  SELECT o_custkey, CAST(round(sum(o_totalprice)*100, 0) AS BIGINT) AS spend_cents
+        |  FROM orders GROUP BY o_custkey),
+        |d AS (
+        |  SELECT spend_cents,
+        |    ntile(10) OVER (ORDER BY spend_cents DESC, o_custkey) AS decile
+        |  FROM spend)
+        |SELECT CAST(decile AS BIGINT) AS decile, count(*) AS n_customers,
+        |  CAST(sum(spend_cents) AS BIGINT) AS total_cents,
+        |  min(spend_cents) AS min_cents, max(spend_cents) AS max_cents
+        |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
   )
 }

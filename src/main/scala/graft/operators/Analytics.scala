@@ -106,6 +106,65 @@ object Analytics {
       .orderBy(col("l_suppkey"), col("rank"))
   }
 
+  /** q_rollup: revenue at three grains in one pass — (priority, returnflag)
+    * detail, per-priority subtotal, grand total — via Catalyst's native
+    * ROLLUP (one shuffle; Expand feeds a single aggregation, no
+    * re-aggregation of the detail pass). `gid` is the standard SQL
+    * GROUPING bitmask, identical in DuckDB. */
+  def rollupRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .rollup(col("o_orderpriority"), col("l_returnflag"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("gid"), col("o_orderpriority"), col("l_returnflag"))
+  }
+
+  /** q_decile: customer-spend deciles with exact SQL NTILE semantics but
+    * NO single-task global window. repartitionByRange totally orders the
+    * partitions; the global rank is the per-partition row_number plus a
+    * broadcast cumulative offset derived from the tiny count-per-partition
+    * table (32 rows — never the data); the NTILE bucket is then closed-form
+    * arithmetic on (rank, n). Scales with the spend table, where
+    * `ntile(10) OVER (ORDER BY …)` funnels every row through one task. */
+  def decileSpend(spark: SparkSession, sfDir: String): DataFrame = {
+    val k = 10
+    val spend = Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey"))
+      .agg(cents(sum(col("o_totalprice"))).as("spend_cents"))
+    val ranged = spend
+      .repartitionByRange(32, col("spend_cents").desc, col("o_custkey"))
+      .withColumn("__pid", spark_partition_id())
+    val local = ranged.withColumn("__lrn", row_number().over(
+      Window.partitionBy(col("__pid")).orderBy(col("spend_cents").desc, col("o_custkey"))))
+    val wOrd = Window.orderBy(col("__pid"))
+    val offs = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
+      .select(col("__pid"),
+        coalesce(sum(col("__cnt")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"),
+        sum(col("__cnt")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).as("__n"))
+    local.join(broadcast(offs), "__pid")
+      .withColumn("rank", col("__lrn") + col("__off"))
+      // SQL NTILE(k): base = n div k, rem = n mod k; the first rem buckets
+      // hold base+1 rows, the rest base.
+      .selectExpr("spend_cents",
+        s"""CASE WHEN rank <= (__n div $k + 1) * (__n % $k)
+           |     THEN (rank - 1) div (__n div $k + 1) + 1
+           |     ELSE (__n % $k) + (rank - 1 - (__n div $k + 1) * (__n % $k))
+           |            div greatest(__n div $k, 1L) + 1
+           |END AS decile""".stripMargin)
+    .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend_cents")).as("total_cents"),
+        min(col("spend_cents")).as("min_cents"),
+        max(col("spend_cents")).as("max_cents"))
+      .orderBy(col("decile"))
+  }
+
   /** Event funnel: per-type volume, reach, and value. */
   def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

@@ -24,6 +24,8 @@ object Similarity {
   val TopK = 5
   val NProbe = 2
   val NPlanes = 8 // sign-LSH bits → 256 buckets (grow with corpus size)
+  val NTables = 2 // independent LSH tables for multiprobe band-ORing
+  val TrainedK = 16 // k-means|| centroid count for ss_ivf_trained
   val Dim = 64
 
   /** ±1 hyperplane weight for (plane p, dimension j), derived from
@@ -39,6 +41,12 @@ object Similarity {
 
   private val planes: Seq[Seq[Double]] =
     (0 until NPlanes).map(p => (0 until Dim).map(j => planeSign(p, j)))
+
+  /** Table `l`'s planes use global plane indices l·NPlanes … — table 0 is
+    * exactly [[planes]]; further tables are fresh independent hyperplanes
+    * from the same md5 stream. */
+  private def tablePlanes(l: Int): Seq[Seq[Double]] =
+    (0 until NPlanes).map(p => (0 until Dim).map(j => planeSign(l * NPlanes + p, j)))
 
   private def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
@@ -134,6 +142,64 @@ object Similarity {
     topKPerQuery(cand, TopK)
   }
 
+  /** ss_multiprobe_lsh: multi-TABLE sign-LSH (band ORing) — [[NTables]]
+    * independent hyperplane tables; a corpus vector is a candidate for a
+    * query if their buckets collide in ANY table. Union-of-tables recall
+    * compounds per table (miss probability multiplies), where single-table
+    * bit-flip probing only reaches Hamming-1 neighbors. Same scale shape
+    * as ss_lsh_topk: corpus never shuffles, the (table, bucket) query set
+    * broadcasts, candidates dedup before top-k. */
+  def ssMultiprobeLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.signLshBucket
+    def buckets(v: Column): Column = array((0 until NTables).map { l =>
+      struct(lit(l.toLong).as("tbl"), signLshBucket(v, tablePlanes(l)).as("bkt"))
+    }: _*)
+    val bk = vecs(spark, sfDir)
+      .select(col("vec_id"), col("v"), explode(buckets(col("v"))).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val qb = queriesDf(spark, sfDir)
+      .select(col("q_id"), col("qv"), explode(buckets(col("qv"))).as("tb"))
+      .select(col("q_id"), col("qv"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val cand = bk.join(broadcast(qb), Seq("tbl", "bkt"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosineSim(col("qv"), col("v")).as("cos"))
+      .distinct() // a pair colliding in several tables scores once
+    topKPerQuery(cand, TopK)
+  }
+
+  /** ss_ivf_trained: IVF probing over k-means||-TRAINED centroids (MLlib
+    * KMeans, k=[[TrainedK]], seed=42) instead of the deterministic seed
+    * sample — the centroid-training loop §7 calls for. The trained centers
+    * collect to one broadcast array row (k·dim doubles); assignment and
+    * probe/scan are byte-identical in shape to ss_ivf_topk. Training is
+    * iterative ⇒ rows-only gate (same as p21_kmeans); IvfRecallSpec pins
+    * recall vs ss_brute_topk instead. */
+  def ssIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val v = vecs(spark, sfDir)
+    val feat = v.select(col("vec_id"), array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(TrainedK).setSeed(42L).setMaxIter(20).fit(feat)
+    val centDf = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+      .toDF("c_id", "cv")
+    val centArr = centDf.agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    val asg = v.crossJoin(broadcast(centArr))
+      .withColumn("best",
+        graft.functions.NativeExpressions.argminL2(col("v"), col("cents")))
+      .select(col("vec_id"), col("v"), col("best.c_id").as("cluster"))
+    val probes = queriesDf(spark, sfDir).crossJoin(broadcast(centArr))
+      .withColumn("probe", explode(slice(array_sort(transform(col("cents"),
+        c => struct(l2SqDist(col("qv"), c.getField("cv")).as("d"), c.getField("c_id").as("c_id")))),
+        1, NProbe)))
+      .select(col("q_id"), col("qv"), col("probe.c_id").as("cluster"))
+    val cand = asg.join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosineSim(col("qv"), col("v")).as("cos"))
+    topKPerQuery(cand, TopK)
+  }
+
   /** p21_cluster_assign: per-vector nearest seed centroid + distance. */
   def p21ClusterAssign(spark: SparkSession, sfDir: String): DataFrame =
     assignments(spark, sfDir)
@@ -159,11 +225,15 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_brute_topk"      -> (ssBruteTopk _),
     "ss_ivf_topk"        -> (ssIvfTopk _),
+    "ss_ivf_trained"     -> (ssIvfTrained _),
     "ss_lsh_topk"        -> (ssLshTopk _),
+    "ss_multiprobe_lsh"  -> (ssMultiprobeLsh _),
     "p21_cluster_assign" -> (p21ClusterAssign _),
     "p21_kmeans"         -> (p21Kmeans _))
 
-  // ---- DuckDB oracle (p21_kmeans is rows-only: no entry) ----
+  // ---- DuckDB oracle (p21_kmeans / ss_ivf_trained are rows-only — MLlib
+  // training is iterative, no SQL equivalent; IvfRecallSpec gates
+  // ss_ivf_trained's recall against the exact brute-force ranking) ----
 
   private val eCte = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
   private val qCte = "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10)"
@@ -222,6 +292,30 @@ object Similarity {
          |probes AS (SELECT q_id, qv, unnest($probeList) AS probe FROM qb),
          |cand AS (SELECT p.q_id, b.vec_id, ${cosineSql("p.qv", "b.v")} AS cos
          |  FROM probes p JOIN bk b ON b.bkt = p.probe AND b.vec_id != p.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM cand)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  CAST(round(cos*1000000, 0) AS BIGINT) AS cos_ppm
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+    },
+    "ss_multiprobe_lsh" -> {
+      def dotSql(v: String, p: Int): String =
+        "(0" + (0 until Dim).map(j =>
+          (if (planeSign(p, j) > 0) " + " else " - ") + s"$v[${j + 1}]").mkString + ")"
+      def bucketSql(v: String, l: Int): String =
+        (0 until NPlanes).map(p =>
+          s"(CASE WHEN ${dotSql(v, l * NPlanes + p)} > 0 THEN ${1L << p} ELSE 0 END)")
+          .mkString(" + ")
+      def tableUnion(src: String, idCol: String, vCol: String): String =
+        (0 until NTables).map { l =>
+          s"SELECT $idCol, $vCol, CAST($l AS BIGINT) AS tbl, CAST(${bucketSql(vCol, l)} AS BIGINT) AS bkt FROM $src"
+        }.mkString(" UNION ALL ")
+      s"""WITH $eCte, $qCte,
+         |bk AS (${tableUnion("e", "vec_id", "v")}),
+         |qb AS (${tableUnion("q", "q_id", "qv")}),
+         |cand AS (SELECT DISTINCT p.q_id, b.vec_id, ${cosineSql("p.qv", "b.v")} AS cos
+         |  FROM qb p JOIN bk b ON b.tbl = p.tbl AND b.bkt = p.bkt AND b.vec_id != p.q_id),
          |r AS (SELECT q_id, vec_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |  FROM cand)

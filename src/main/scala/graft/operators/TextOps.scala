@@ -143,6 +143,24 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** tx_readability: LIX readability index — average sentence length plus
+    * long-word percentage, the classic grade-level heuristic re-expressed
+    * integer-exact: lix_centi = 100·words/sentences + 10000·longwords/words
+    * (a long word has ≥ 7 non-space chars; `\S{7,}` counts each maximal
+    * run once). Map-only single pass like the other tx_* projections. */
+  def txReadability(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    docsOrdered(spark, sfDir)
+      .select(col("doc_id"),
+        tokenCount(t).cast("long").as("n_words"),
+        sentenceCount(t).cast("long").as("n_sentences"),
+        regexp_count(t, lit("\\S{7,}")).cast("long").as("n_long"))
+      .selectExpr("doc_id", "n_words", "n_sentences", "n_long",
+        "n_words * 100L div greatest(n_sentences, 1L) + " +
+          "n_long * 10000L div greatest(n_words, 1L) AS lix_centi")
+      .orderBy(col("doc_id"))
+  }
+
   /** tx_fingerprint: normalized md5 fingerprint (case/punct-jitter-robust
     * exact-dup key; reference dedup norm per 7-clean-topics.py charset
     * rules, re-expressed). */
@@ -157,6 +175,7 @@ object TextOps {
     "tx_quality"      -> (txQuality _),
     "tx_quality_dist" -> (txQualityDist _),
     "tx_corpus_novelty" -> (txCorpusNovelty _),
+    "tx_readability"  -> (txReadability _),
     "tx_fingerprint"  -> (txFingerprint _))
 
   private val sqlTokens =
@@ -243,6 +262,17 @@ object TextOps {
          |    // count(*) AS BIGINT) AS novelty_ppm
          |FROM posting p JOIN df USING (sg)
          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "tx_readability" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(length($sqlTokens) AS BIGINT) AS n_words,
+         |    CAST(length(list_filter(regexp_split_to_array(text, '[.!?]+'), s -> trim(s) != '')) AS BIGINT) AS n_sentences,
+         |    CAST(length(regexp_extract_all(text, '\\S{7,}')) AS BIGINT) AS n_long
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_sentences, n_long,
+         |  CAST(n_words * 100 // GREATEST(n_sentences, 1)
+         |    + n_long * 10000 // GREATEST(n_words, 1) AS BIGINT) AS lix_centi
+         |FROM q ORDER BY doc_id""".stripMargin,
     "tx_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp

@@ -11,7 +11,9 @@ class OperatorSmokeSpec extends SparkSpec {
   }
 
   test("every query key has an oracle or is a documented rows-only op") {
-    val rowsOnly = Set("p21_kmeans") // MLlib KMeans: not SQL-expressible
+    // MLlib k-means training is iterative, not SQL-expressible; the
+    // trained-IVF search quality is pinned by IvfRecallSpec instead.
+    val rowsOnly = Set("p21_kmeans", "ss_ivf_trained")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
