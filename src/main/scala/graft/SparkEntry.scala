@@ -40,6 +40,7 @@ object SparkEntry {
     "q_events_window" -> (Analytics.eventsWindowed _),
     "q_rollup"        -> (Analytics.rollupRevenue _),
     "q_decile"        -> (Analytics.decileSpend _),
+    "q_market_basket" -> (Analytics.marketBasket _),
   )
 
   private val analyticsOracle: Map[String, String] = Map(
@@ -190,5 +191,12 @@ object SparkEntry {
         |  CAST(sum(spend_cents) AS BIGINT) AS total_cents,
         |  min(spend_cents) AS min_cents, max(spend_cents) AS max_cents
         |FROM d GROUP BY decile ORDER BY decile""".stripMargin,
+    "q_market_basket" ->
+      """WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        |SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, count(*) AS n_orders
+        |FROM d a JOIN d b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2
+        |ORDER BY n_orders DESC, part_a, part_b LIMIT 100""".stripMargin,
   )
 }

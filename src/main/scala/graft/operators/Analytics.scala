@@ -165,6 +165,24 @@ object Analytics {
       .orderBy(col("decile"))
   }
 
+  /** q_market_basket: part co-occurrence — how often two parts appear in
+    * the same order. The naive lineitem⋈lineitem self-join on orderkey
+    * re-evaluates the scan twice and explodes skewed orders inside the
+    * join; instead each order's distinct part set is collected (bounded by
+    * order size, single-digit on TPC-H shapes) and ordered pairs explode
+    * MAP-SIDE from the sorted array — one shuffle to build baskets, one
+    * map-side-combinable count on the pairs. */
+  def marketBasket(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir).select(col("l_orderkey"), col("l_partkey"))
+    val baskets = li.groupBy(col("l_orderkey"))
+      .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
+    baskets.select(explode(Dedup.pairsOf(col("parts"))).as("p"))
+      .groupBy(col("p.a").as("part_a"), col("p.b").as("part_b"))
+      .agg(count(lit(1)).as("n_orders"))
+      .orderBy(col("n_orders").desc, col("part_a"), col("part_b"))
+      .limit(100)
+  }
+
   /** Event funnel: per-type volume, reach, and value. */
   def eventsFunnel(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)

@@ -52,7 +52,7 @@ object Dedup {
     * O(|ids|²), so callers must bound the array first (df cap); within
     * that bound it avoids the self-join's double evaluation of the
     * upstream plan and its join shuffle. */
-  private def pairsOf(ids: Column): Column =
+  private[operators] def pairsOf(ids: Column): Column =
     flatten(transform(ids, (x, i) =>
       transform(slice(ids, i + lit(2), size(ids)),
         y => struct(x.as("a"), y.as("b")))))

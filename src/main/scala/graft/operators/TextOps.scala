@@ -143,6 +143,43 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** A collocation must appear in at least this many documents. */
+  val MinPairDf = 5L
+
+  /** tx_collocations: corpus-level collocation mining — bigram document-
+    * frequency "lift": how much more often two tokens co-occur adjacently
+    * than their independent document frequencies predict,
+    * lift = df_ab·N / (df_a·df_b), emitted integer-exact with FIXED
+    * associativity ((df_ab·10⁶ div df_a)·N div df_b) so both engines
+    * compute the identical integer. Two map-side-combinable counts
+    * (per-doc-distinct unigrams, per-doc-distinct bigram shingles); the
+    * vocabulary-sized unigram table broadcasts onto the bigram counts (at
+    * 100 TB a web-scale vocabulary may exceed the broadcast cap — the same
+    * plan with shuffle joins on tok_a/tok_b is the fallback, still ∝
+    * vocab, never ∝ corpus). */
+  def txCollocations(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.wordShingles
+    val docs = docsOrdered(spark, sfDir)
+    val uni = docs.select(explode(array_distinct(tokens(col("text")))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df_tok"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val bi = docs.select(explode(wordShingles(col("text"), 2)).as("bg"))
+      .groupBy(col("bg")).agg(count(lit(1)).as("df_ab"))
+      .filter(col("df_ab") >= MinPairDf)
+      // single-token docs fall back to a space-free whole-doc "shingle"
+      .filter(col("bg").contains(" "))
+      .select(element_at(split(col("bg"), " "), 1).as("tok_a"),
+        element_at(split(col("bg"), " "), 2).as("tok_b"), col("df_ab"))
+    val ua = uni.select(col("tok").as("tok_a"), col("df_tok").as("df_a"))
+    val ub = uni.select(col("tok").as("tok_b"), col("df_tok").as("df_b"))
+    bi.join(broadcast(ua), "tok_a").join(broadcast(ub), "tok_b")
+      .crossJoin(broadcast(nDocs))
+      .selectExpr("tok_a", "tok_b", "df_ab",
+        "(df_ab * 1000000L div df_a) * n_docs div df_b AS lift_ppm")
+      .orderBy(col("lift_ppm").desc, col("tok_a"), col("tok_b"))
+      .limit(100)
+  }
+
   /** tx_readability: LIX readability index — average sentence length plus
     * long-word percentage, the classic grade-level heuristic re-expressed
     * integer-exact: lix_centi = 100·words/sentences + 10000·longwords/words
@@ -175,6 +212,7 @@ object TextOps {
     "tx_quality"      -> (txQuality _),
     "tx_quality_dist" -> (txQualityDist _),
     "tx_corpus_novelty" -> (txCorpusNovelty _),
+    "tx_collocations" -> (txCollocations _),
     "tx_readability"  -> (txReadability _),
     "tx_fingerprint"  -> (txFingerprint _))
 
@@ -262,6 +300,20 @@ object TextOps {
          |    // count(*) AS BIGINT) AS novelty_ppm
          |FROM posting p JOIN df USING (sg)
          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "tx_collocations" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+         |uni AS (SELECT tok, count(*) AS df_tok
+         |  FROM (SELECT unnest(list_distinct(toks)) AS tok FROM t) GROUP BY tok),
+         |nd AS (SELECT count(*) AS n_docs FROM documents),
+         |bi AS (SELECT bg, count(*) AS df_ab
+         |  FROM (SELECT unnest(${graft.functions.TextFunctions.shinglesSql("toks", 2)}) AS bg FROM t)
+         |  GROUP BY bg HAVING count(*) >= $MinPairDf),
+         |x AS (SELECT string_split(bg, ' ')[1] AS tok_a, string_split(bg, ' ')[2] AS tok_b, df_ab
+         |  FROM bi WHERE contains(bg, ' '))
+         |SELECT tok_a, tok_b, df_ab,
+         |  CAST((df_ab * 1000000 // a.df_tok) * n_docs // b.df_tok AS BIGINT) AS lift_ppm
+         |FROM x JOIN uni a ON a.tok = x.tok_a JOIN uni b ON b.tok = x.tok_b CROSS JOIN nd
+         |ORDER BY lift_ppm DESC, tok_a, tok_b LIMIT 100""".stripMargin,
     "tx_readability" ->
       s"""WITH q AS (
          |  SELECT doc_id,
