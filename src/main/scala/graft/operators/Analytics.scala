@@ -135,9 +135,16 @@ object Analytics {
     val spend = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey"))
       .agg(cents(sum(col("o_totalprice"))).as("spend_cents"))
+    // Materialized once: the rank pass and the per-partition count table
+    // BOTH read this; as two lazy branches each would re-scan orders,
+    // re-aggregate spend, and re-run the range partitioning (no exchange
+    // reuse fires here even under AQE — measured), and two independent
+    // range-samplings assigning rows to partitions is also a correctness
+    // hazard the materialization removes.
     val ranged = spend
       .repartitionByRange(32, col("spend_cents").desc, col("o_custkey"))
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
     val local = ranged.withColumn("__lrn", row_number().over(
       Window.partitionBy(col("__pid")).orderBy(col("spend_cents").desc, col("o_custkey"))))
     val wOrd = Window.orderBy(col("__pid"))

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.functions.Quantiles
 import graft.functions.TextFunctions._
 
 /** Social-media pipeline stages over the `documents` table.
@@ -44,11 +45,12 @@ object DocPipeline {
   def p01Engagement(spark: SparkSession, sfDir: String): DataFrame = {
     val eng = Tables.documents(spark, sfDir)
       .select(col("doc_id"), engagementPpm.as("ratio_ppm"))
-    // Pass 1: two scalars. Exact percentile at test SF; at 100 TB swap for
-    // approx_percentile(ratio_ppm, array(0.8, 0.4), 10000) — same plan shape.
+    // Pass 1: two scalars. Exact percentile by default (oracle parity); at
+    // 100 TB set Quantiles.ApproxKey on the session — the same call sites
+    // emit approx_percentile with bounded sketch state, same plan shape.
     val cuts = eng.agg(
-      expr("percentile(ratio_ppm, 0.80)").as("top_cut"),
-      expr("percentile(ratio_ppm, 0.40)").as("bot_cut"))
+      Quantiles.pctl(spark, "ratio_ppm", 0.80).as("top_cut"),
+      Quantiles.pctl(spark, "ratio_ppm", 0.40).as("bot_cut"))
     eng.crossJoin(broadcast(cuts))
       .select(
         col("doc_id"),
@@ -72,8 +74,8 @@ object DocPipeline {
           """(greatest(comments_count, 0L) + greatest(total_likes_count, 0L)
             |  + greatest(shares_count, 0L)) * 1000000L div follower_count""".stripMargin))))
     val cuts = eng.agg(
-      expr("percentile(ratio_ppm, 0.80)").as("top_cut"),
-      expr("percentile(ratio_ppm, 0.40)").as("bot_cut"))
+      Quantiles.pctl(eng.sparkSession, "ratio_ppm", 0.80).as("top_cut"),
+      Quantiles.pctl(eng.sparkSession, "ratio_ppm", 0.40).as("bot_cut"))
     eng.crossJoin(broadcast(cuts))
       .withColumn("tier",
         when(col("ratio_ppm") >= col("top_cut"), "Tier A (Top 20%)")

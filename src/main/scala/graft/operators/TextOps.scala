@@ -104,14 +104,16 @@ object TextOps {
     * exact p25/p50/p75/p95 (one map-side-combinable shuffle on source;
     * Spark's exact `percentile` and DuckDB's `quantile_cont` both
     * linear-interpolate, the same equivalence p01's cutoffs rely on). At
-    * 100 TB swap `percentile` for `approx_percentile` — same plan shape,
-    * bounded sketch state instead of a per-group sorted buffer. */
+    * 100 TB set [[graft.functions.Quantiles.ApproxKey]] on the session —
+    * the same call site emits approx_percentile: same plan shape, bounded
+    * sketch state instead of a per-group sorted buffer. */
   def txQualityDist(spark: SparkSession, sfDir: String): DataFrame =
     qualityBase(spark, sfDir)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        expr("percentile(quality_ppm, array(0.25D, 0.5D, 0.75D, 0.95D))").as("ps"))
+        graft.functions.Quantiles.pctls(spark, "quality_ppm",
+          Seq(0.25, 0.5, 0.75, 0.95)).as("ps"))
       .select(col("source"), col("n_docs"),
         round(element_at(col("ps"), 1), 0).cast("long").as("p25"),
         round(element_at(col("ps"), 2), 0).cast("long").as("p50"),

@@ -53,6 +53,28 @@ object Sinks {
       .outputMode(OutputMode.Append)
       .trigger(Trigger.AvailableNow())
 
+  /** Small-file compaction: rewrite a parquet dataset into files of
+    * ~`targetBytes` each (sized from the source's actual on-disk footprint
+    * via the Hadoop FileSystem, so it works on HDFS/S3 too). Streaming
+    * sinks and fine-grained partitioned writes accumulate small files;
+    * at scale, scan throughput is gated on file count (task scheduling +
+    * footer reads), so periodic compaction is part of operating the
+    * pipeline. Writes to `dest` (never in place — an in-place overwrite
+    * reads and clobbers the same path and is not atomic on object
+    * stores). */
+  def compactParquet(
+      df: DataFrame,
+      srcPath: String,
+      dest: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val spark = df.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(dest)
+  }
+
   /** Streaming dedup-upsert into a batch parquet target via foreachBatch:
     * each micro-batch keeps the min-`orderCol` row per `keyCol` within
     * the batch and appends only keys not already present in the target —

@@ -133,4 +133,18 @@ class SourcesSpec extends SparkSpec {
       .select("k", "s").as[(Long, String)].collect().toSet
     assert(rows == Set((1L, "first-1"), (2L, "first-2"), (3L, "first-3")))
   }
+
+  test("compactParquet merges a many-file dataset, preserving the rows") {
+    val dir = tmpDir("compact")
+    spark.range(1000).toDF("id").repartition(64)
+      .write.parquet(s"$dir/small")
+    def parquetFiles(p: String): Int =
+      new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(parquetFiles(s"$dir/small") == 64)
+    val src = spark.read.parquet(s"$dir/small")
+    Sinks.compactParquet(src, s"$dir/small", s"$dir/big", targetBytes = 1L << 30)
+    assert(parquetFiles(s"$dir/big") == 1)
+    assert(spark.read.parquet(s"$dir/big").select(sum(col("id")))
+      .as[Long].head() == 499500L)
+  }
 }
