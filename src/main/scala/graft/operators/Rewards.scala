@@ -470,6 +470,26 @@ object Rewards {
       .orderBy(col("doc_id"))
   }
 
+  /** rw_report: the reward-evaluation REPORT (scripts/evaluate_rewards.py's
+    * operational surface): per-reward corpus aggregates — count, integer
+    * mean, min/max, exact median — over every reward column plus both
+    * totals. One stack (unpivot) over the rw_rewards projection, one
+    * map-side-combinable aggregation on the 18 reward names. */
+  def rwReport(spark: SparkSession, sfDir: String): DataFrame = {
+    val names = allRewardCols ++ Seq("r_total", "r_total_weighted")
+    rwRewards(spark, sfDir)
+      .select(expr(s"stack(${names.length}, " +
+        names.map(n => s"'$n', $n").mkString(", ") + ") AS (reward, v)"))
+      .groupBy(col("reward"))
+      .agg(count(lit(1)).as("n"),
+        expr("sum(v) div count(*)").as("mean_ppm"),
+        min(col("v")).as("min_ppm"),
+        max(col("v")).as("max_ppm"),
+        round(expr("percentile(v, 0.5D)"), 0).cast("long").as("p50_ppm"))
+      .orderBy(col("reward"))
+  }
+
+
   // ---- arc / flow DuckDB machinery (mirrors Kernels.rewardStats) ----
 
   private[operators] val sentsSql =
@@ -523,10 +543,12 @@ object Rewards {
       |  ELSE 750000 + CASE WHEN arc != 0 AND arc != 3 THEN 250000 ELSE 0 END END AS BIGINT)""".stripMargin
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rw_rewards" -> (rwRewards _))
+    "rw_rewards" -> (rwRewards _),
+    "rw_report"  -> (rwReport _))
 
-  val oracle: Map[String, String] = Map(
-    "rw_rewards" ->
+  /** Shared oracle CTE: a/b feature extraction, r per-reward columns,
+    * rr the full per-doc reward projection both queries read. */
+  private def rrCteSql: String =
       s"""WITH a AS (
          |  SELECT doc_id, text, $scoresSql AS scores, $sentsSql AS sents
          |  FROM documents),
@@ -552,9 +574,26 @@ object Rewards {
          |    $toneRewardSql AS r_tone,
          |    $narrativeRewardSql AS r_narrative,
          |    $semanticRewardSql AS r_semantic
-         |  FROM b)
-         |SELECT doc_id, ${allRewardCols.mkString(", ")},
-         |  (${allRewardCols.mkString(" + ")}) // ${allRewardCols.length} AS r_total,
-         |  $weightedTotalSql AS r_total_weighted
-         |FROM r ORDER BY doc_id""".stripMargin)
+         |  FROM b),
+         |rr AS (
+         |  SELECT doc_id, ${allRewardCols.mkString(", ")},
+         |    (${allRewardCols.mkString(" + ")}) // ${allRewardCols.length} AS r_total,
+         |    $weightedTotalSql AS r_total_weighted
+         |  FROM r)""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "rw_rewards" ->
+      s"""$rrCteSql
+         |SELECT doc_id, ${allRewardCols.mkString(", ")}, r_total, r_total_weighted
+         |FROM rr ORDER BY doc_id""".stripMargin,
+    "rw_report" -> {
+      val names = (allRewardCols ++ Seq("r_total", "r_total_weighted")).mkString(", ")
+      s"""$rrCteSql,
+         |u AS (SELECT reward, v FROM rr UNPIVOT (v FOR reward IN ($names)))
+         |SELECT reward, count(*) AS n,
+         |  CAST(sum(v) // count(*) AS BIGINT) AS mean_ppm,
+         |  min(v) AS min_ppm, max(v) AS max_ppm,
+         |  CAST(round(quantile_cont(v, 0.5), 0) AS BIGINT) AS p50_ppm
+         |FROM u GROUP BY reward ORDER BY reward""".stripMargin
+    })
 }
