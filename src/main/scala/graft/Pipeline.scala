@@ -1,27 +1,39 @@
 package graft
 
+import java.security.MessageDigest
+
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Orchestrated end-to-end pipeline run with standardized artifacts —
   * the Spark-native equivalent of the reference's Prefect flow
   * (orchestration/prefect_flow.py:50-97: 17 → 18 → 22 → 23 → reward
   * report, each stage a subprocess writing a jsonl/csv artifact under a
-  * run id).
+  * run id) plus its manifest machinery (utils/manifest.py: per-stage
+  * signatures, skip-if-unchanged; utils/contracts.py: a contract JSON
+  * next to each artifact).
   *
   * Here every stage is already a pure Catalyst plan builder in
   * `SparkEntry.queries`, so orchestration reduces to: resolve each named
   * stage, write its result as parquet under `outDir/<runId>/<stage>`,
-  * and record a manifest row (stage, rows, path, wall millis). No
-  * subprocesses, no intermediate jsonl — lineage stays inside one Spark
-  * session, and a failed stage fails the run loudly rather than leaving
-  * a half-written artifact chain.
+  * and record a manifest row (stage, rows, path, wall millis,
+  * signature). No subprocesses, no intermediate jsonl — lineage stays
+  * inside one Spark session, and a failed stage fails the run loudly
+  * rather than leaving a half-written artifact chain.
   *
-  * Scale notes (100 TB): artifacts are written with each stage's native
-  * output partitioning (no coalesce(1) — that is Verify's
-  * small-file convenience, wrong at scale). Row counts come from the
-  * written parquet footers (metadata-only aggregate pushdown), not a
-  * second evaluation of the stage plan. The manifest itself is one tiny
-  * JSON file per run.
+  * Scale notes (100 TB):
+  *  - artifacts are written with each stage's native output partitioning
+  *    (no coalesce(1) — that is Verify's small-file convenience, wrong at
+  *    scale);
+  *  - row counts come from the written parquet footers (metadata-only
+  *    aggregate pushdown), not a second evaluation of the stage plan;
+  *  - incremental signatures hash the input's FileSystem *metadata*
+  *    (path, length, modification time — one namenode/object-store
+  *    listing), never file contents: the reference streams every input
+  *    byte through sha256 (utils/manifest.py compute_hash), which is a
+  *    full extra read of the corpus at 100 TB;
+  *  - all existence checks go through Hadoop's FileSystem so they hold
+  *    on HDFS/S3/ABFS, not only file://.
   */
 object Pipeline {
 
@@ -35,36 +47,123 @@ object Pipeline {
       stage: String,
       path: String,
       rows: Long,
-      millis: Long)
+      millis: Long,
+      signature: String,
+      skipped: Boolean)
+
+  /** Input signature for a stage: sha256 over the input directory's file
+    * statuses (name, length, mtime) + the stage name. Metadata-only — no
+    * data read. Any file added/removed/rewritten under `sfDir` changes
+    * every stage's signature. */
+  private[graft] def inputSignature(spark: SparkSession, sfDir: String, stage: String): String = {
+    val p = new Path(sfDir)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val md = MessageDigest.getInstance("SHA-256")
+    md.update(stage.getBytes("UTF-8"))
+    fs.listStatus(p).sortBy(_.getPath.toString).foreach { st =>
+      md.update(s"|${st.getPath.getName}:${st.getLen}:${st.getModificationTime}".getBytes("UTF-8"))
+    }
+    md.digest().map("%02x".format(_)).mkString
+  }
 
   /** Run `stages` in order against `sfDir`, writing one parquet artifact
     * per stage under `outDir/<runId>/`, and return the manifest (also
-    * persisted as `outDir/<runId>/_manifest`, single JSON file). */
+    * persisted as `outDir/<runId>/_manifest`, single JSON file; each
+    * artifact carries a `_contract.json` with schema + row count).
+    *
+    * With `incremental = true`, a stage whose signature matches the
+    * previous run's manifest AND whose artifact still exists is skipped
+    * (reference: utils/manifest.py should_skip). */
   def run(
       spark: SparkSession,
       sfDir: String,
       outDir: String,
       runId: String,
-      stages: Seq[String] = defaultStages): DataFrame = {
+      stages: Seq[String] = defaultStages,
+      incremental: Boolean = false): DataFrame = {
     import spark.implicits._
     val unknown = stages.filterNot(SparkEntry.queries.contains)
     require(unknown.isEmpty, s"unknown pipeline stages: ${unknown.mkString(", ")}")
 
+    val conf = spark.sessionState.newHadoopConf()
+    def fsFor(p: Path) = p.getFileSystem(conf)
+    val manifestPath = new Path(s"$outDir/$runId/_manifest")
+
+    // Previous run's per-stage signatures (incremental mode only).
+    val prevSignatures: Map[String, String] =
+      if (incremental && fsFor(manifestPath).exists(manifestPath))
+        spark.read.json(manifestPath.toString)
+          .select("stage", "signature").collect()
+          .map(r => r.getString(0) -> r.getString(1)).toMap
+      else Map.empty
+
     val artifacts = stages.map { stage =>
       val path = s"$outDir/$runId/$stage"
+      val hPath = new Path(path)
+      val sig = inputSignature(spark, sfDir, stage)
+      val skip = prevSignatures.get(stage).contains(sig) && fsFor(hPath).exists(hPath)
       val t0 = System.nanoTime()
-      SparkEntry.queries(stage)(spark, sfDir).write.mode("overwrite").parquet(path)
-      // Footer-only count of what was actually written (not a re-run of
+      if (!skip) {
+        SparkEntry.queries(stage)(spark, sfDir).write.mode("overwrite").parquet(path)
+      }
+      // Footer-only count of what is actually on disk (not a re-run of
       // the stage plan).
-      val rows = spark.read.parquet(path).count()
-      StageArtifact(runId, stage, path, rows, (System.nanoTime() - t0) / 1000000L)
+      val written = spark.read.parquet(path)
+      val rows = written.count()
+      if (!skip) writeContract(spark, path, written.schema.fieldNames, rows, sig)
+      StageArtifact(runId, stage, path, rows, (System.nanoTime() - t0) / 1000000L, sig, skip)
     }
     val manifest = artifacts.toDF()
-    manifest.coalesce(1).write.mode("overwrite").json(s"$outDir/$runId/_manifest")
+    manifest.coalesce(1).write.mode("overwrite").json(manifestPath.toString)
     manifest
   }
 
-  /** CLI: Pipeline <sfDir> <outDir> [runId] [stage,stage,...] */
+  /** Contract JSON inside the artifact directory (underscore-prefixed —
+    * ignored by parquet readers). Reference: utils/contracts.py
+    * write_contract (schema_version, signature, counts). */
+  private def writeContract(
+      spark: SparkSession,
+      artifactPath: String,
+      columns: Array[String],
+      rows: Long,
+      signature: String): Unit = {
+    val p = new Path(s"$artifactPath/_contract.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val json =
+      s"""{"schema_version": "1", "signature": "$signature", "rows": $rows,
+         | "columns": [${columns.map(c => "\"" + c + "\"").mkString(", ")}]}""".stripMargin
+    val out = fs.create(p, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Contract check for a consumer: artifact has the required columns and
+    * at least `minRows` rows per its contract (reference:
+    * utils/validation.py validate_csv). */
+  def validateArtifact(
+      spark: SparkSession,
+      artifactPath: String,
+      requiredColumns: Seq[String],
+      minRows: Long = 1L): Boolean = {
+    import spark.implicits._
+    val p = new Path(s"$artifactPath/_contract.json")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) return false
+    // Underscore-prefixed files are invisible to Spark's file index (by
+    // design — that's why the contract doesn't pollute the parquet scan),
+    // so read the bytes through the FileSystem and parse in-memory.
+    val in = fs.open(p)
+    val text = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 65536, false)
+      buf.toString("UTF-8")
+    } finally in.close()
+    val row = spark.read.json(Seq(text).toDS()).select("rows", "columns").head()
+    val cols = row.getAs[scala.collection.Seq[String]]("columns").toSet
+    row.getAs[Long]("rows") >= minRows && requiredColumns.forall(cols.contains)
+  }
+
+  /** CLI: Pipeline <sfDir> <outDir> [runId] [stage,stage,...] —
+    * SPARK_GRAFT_INCREMENTAL=1 enables skip-if-unchanged. */
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -72,6 +171,7 @@ object Pipeline {
     val stages = args.lift(3)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(defaultStages)
+    val incremental = sys.env.get("SPARK_GRAFT_INCREMENTAL").contains("1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -82,7 +182,7 @@ object Pipeline {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val manifest = run(spark, sfDir, outDir, runId, stages).collect()
+    val manifest = run(spark, sfDir, outDir, runId, stages, incremental).collect()
     manifest.foreach(r => println(s"[pipeline] $r"))
     spark.stop()
   }

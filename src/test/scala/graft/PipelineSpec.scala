@@ -3,11 +3,12 @@ package graft
 import java.nio.file.Files
 
 /** End-to-end orchestration: the default 17→18→22→23→report chain runs,
-  * writes one artifact per stage plus a manifest, and the manifest row
-  * counts agree with the written parquet. */
+  * writes one artifact per stage plus a manifest + contracts, skips
+  * unchanged stages in incremental mode, and fails loudly on unknown
+  * stages. */
 class PipelineSpec extends SparkSpec {
 
-  test("default pipeline run writes all stage artifacts and a manifest") {
+  test("default pipeline run writes all stage artifacts, manifest, contracts") {
     val out = Files.createTempDirectory("graft_pipeline").toString
     val manifest = Pipeline.run(spark, sfDir, out, "t1").collect()
 
@@ -16,18 +17,36 @@ class PipelineSpec extends SparkSpec {
       val rows = r.getAs[Long]("rows")
       val path = r.getAs[String]("path")
       assert(rows > 0, s"stage ${r.getAs[String]("stage")} wrote no rows")
+      assert(!r.getAs[Boolean]("skipped"))
       assert(spark.read.parquet(path).count() == rows)
     }
     // rw_report aggregates over 18 reward columns.
     assert(manifest.last.getAs[Long]("rows") == 18)
     // Manifest persisted alongside the artifacts.
     assert(spark.read.json(s"$out/t1/_manifest").count() == Pipeline.defaultStages.size)
+    // Contracts hold for a downstream consumer's required columns.
+    assert(Pipeline.validateArtifact(spark, s"$out/t1/p23_split", Seq("doc_id", "split")))
+    assert(!Pipeline.validateArtifact(spark, s"$out/t1/p23_split", Seq("no_such_col")))
+    assert(!Pipeline.validateArtifact(spark, s"$out/t1/never_ran", Seq("doc_id")))
+  }
+
+  test("incremental re-run skips every unchanged stage; non-incremental re-runs") {
+    val out = Files.createTempDirectory("graft_pipeline_inc").toString
+    val stages = Seq("p17_style", "p18_prompts")
+    Pipeline.run(spark, sfDir, out, "t2", stages)
+
+    val second = Pipeline.run(spark, sfDir, out, "t2", stages, incremental = true).collect()
+    assert(second.forall(_.getAs[Boolean]("skipped")))
+    assert(second.forall(_.getAs[Long]("rows") > 0))
+
+    val third = Pipeline.run(spark, sfDir, out, "t2", stages).collect()
+    assert(third.forall(!_.getAs[Boolean]("skipped")))
   }
 
   test("unknown stage name fails loudly") {
     val out = Files.createTempDirectory("graft_pipeline_bad").toString
     val e = intercept[IllegalArgumentException] {
-      Pipeline.run(spark, sfDir, out, "t2", Seq("p17_style", "nope"))
+      Pipeline.run(spark, sfDir, out, "t3", Seq("p17_style", "nope"))
     }
     assert(e.getMessage.contains("nope"))
   }
