@@ -1,0 +1,108 @@
+package graft.functions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst aggregate functions.
+  *
+  * [[CollectBounded]] is the skew-proof replacement for the
+  * "df-cap-then-collect_list" posting-list pattern: a plain
+  * `collect_list` (or a count window feeding a filter) must buffer EVERY
+  * posting of a key before the cap can discard it, so one boilerplate
+  * shingle appearing in 10⁹ documents concentrates 10⁹ rows of state in a
+  * single task. CollectBounded keeps at most `maxSize + 1` elements per
+  * aggregation buffer — in the map-side partial aggregate, in shuffle
+  * spill, and in the final merge — and evaluates to NULL once a key
+  * overflows the cap. Hot keys therefore cost O(maxSize) everywhere and
+  * are dropped by a null filter, which is exactly the stop-key semantics
+  * the cap expresses. Output order is unspecified (merge order is
+  * nondeterministic); callers needing determinism sort the result array.
+  */
+case class CollectBounded(
+    child: Expression,
+    maxSize: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.ArrayBuffer[Any]] with UnaryLike[Expression] {
+
+  def this(child: Expression, maxSize: Int) = this(child, maxSize, 0, 0)
+
+  override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (maxSize > 0) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"collect_bounded requires a positive maxSize, got $maxSize")
+
+  override def createAggregationBuffer(): mutable.ArrayBuffer[Any] =
+    mutable.ArrayBuffer.empty
+
+  // Buffers grow to maxSize + 1 and stop: one extra element distinguishes
+  // "exactly maxSize" from "overflowed" without counting further.
+  override def update(
+      buf: mutable.ArrayBuffer[Any], input: InternalRow): mutable.ArrayBuffer[Any] = {
+    if (buf.length <= maxSize) {
+      val v = child.eval(input)
+      if (v != null) buf += InternalRow.copyValue(v)
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.ArrayBuffer[Any],
+      other: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] = {
+    var i = 0
+    while (i < other.length && buf.length <= maxSize) {
+      buf += other(i)
+      i += 1
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.ArrayBuffer[Any]): Any =
+    if (buf.length > maxSize) null else new GenericArrayData(buf.toArray)
+
+  // One compiled projection per operator instance, not per buffer —
+  // UnsafeProjection.create codegen-compiles, which would otherwise run
+  // once per serialized key.
+  @transient private lazy val bufProjection = UnsafeProjection.create(
+    Array[DataType](ArrayType(child.dataType, containsNull = false)))
+
+  override def serialize(obj: mutable.ArrayBuffer[Any]): Array[Byte] =
+    bufProjection.apply(InternalRow(new GenericArrayData(obj.toArray))).getBytes
+
+  override def deserialize(bytes: Array[Byte]): mutable.ArrayBuffer[Any] = {
+    val buf = createAggregationBuffer()
+    val row = new UnsafeRow(1)
+    row.pointTo(bytes, bytes.length)
+    row.getArray(0).foreach(child.dataType, (_, v) => buf += InternalRow.copyValue(v))
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): CollectBounded =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): CollectBounded =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): CollectBounded =
+    copy(child = newChild)
+  override def prettyName: String = "collect_bounded"
+}
+
+object Aggregates {
+
+  /** collect_list capped at `maxSize` elements of per-key state; NULL for
+    * keys whose group exceeds the cap. See [[CollectBounded]]. */
+  def collectBounded(c: Column, maxSize: Int): Column =
+    ColumnBridge.column(
+      CollectBounded(ColumnBridge.expression(c), maxSize).toAggregateExpression())
+}

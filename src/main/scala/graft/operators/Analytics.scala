@@ -147,7 +147,13 @@ object Analytics {
       .localCheckpoint(true)
     val local = ranged.withColumn("__lrn", row_number().over(
       Window.partitionBy(col("__pid")).orderBy(col("spend_cents").desc, col("o_custkey"))))
-    val wOrd = Window.orderBy(col("__pid"))
+    // pmod(__pid, 1) ≡ 0: same single-partition semantics over the 32-row
+    // count table, but an explicit partition key — so this benign window
+    // can't emit the "No Partition Defined" warning that would mask a real
+    // data-sized global window elsewhere. (A plain lit(0) doesn't survive:
+    // Spark 4's EliminateWindowPartitions folds foldable partition keys
+    // back to the empty spec; pmod on a column is non-foldable.)
+    val wOrd = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
     val offs = ranged.groupBy(col("__pid")).agg(count(lit(1)).as("__cnt"))
       .select(col("__pid"),
         coalesce(sum(col("__cnt")).over(

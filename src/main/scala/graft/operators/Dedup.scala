@@ -100,22 +100,29 @@ object Dedup {
     * The plan is shaped so the shingle arrays — the expensive part:
     * higher-order-function lambdas evaluate interpreted, ~µs per token —
     * are computed exactly ONCE: doc sizes ride along on each posting row
-    * (no separate sizes join), the df cap is a count window over the same
-    * `s`-partitioning the pair stage needs (one shuffle, no posting⋈df
-    * join re-evaluating the scan), and pairs explode map-side from the
+    * (no separate sizes join), and pairs explode map-side from the
     * per-shingle id list, which the df cap has already bounded to
     * [[MaxShingleDf]] — never a posting×posting self-join (which would
-    * re-evaluate the whole upstream twice). */
+    * re-evaluate the whole upstream twice).
+    *
+    * The df cap is enforced INSIDE the aggregation by
+    * [[graft.functions.CollectBounded]] — a count window on the shingle
+    * key (the round-4 shape) moves ALL postings of one shingle into a
+    * single task before the filter can discard them, and a groupBy-df +
+    * join-back pays a second tokenize+shingle pass. The bounded collect
+    * keeps ≤ [[MaxShingleDf]]+1 structs of state per key in the map-side
+    * partial aggregate, the shuffle, and the final merge, and evaluates
+    * overflowing keys (stop shingles) to NULL — one scan, one shuffle to
+    * the pair stage, hot-key cost O(cap) no matter how many documents
+    * share a boilerplate shingle. */
   def ddNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val posting = shingleDf(spark, sfDir)
       .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
         explode(col("sh")).as("s"))
-    val rare = posting
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
-      .filter(col("df") <= MaxShingleDf)
-    val pairs = rare.groupBy(col("s"))
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ids"))
+    val pairs = posting.groupBy(col("s"))
+      .agg(sort_array(graft.functions.Aggregates.collectBounded(
+        struct(col("doc_id"), col("n")), MaxShingleDf.toInt)).as("ids"))
+      .filter(col("ids").isNotNull) // overflowed cap = stop shingle
       .select(explode(pairsOf(col("ids"))).as("p"))
       .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"),

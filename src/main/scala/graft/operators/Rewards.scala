@@ -472,9 +472,13 @@ object Rewards {
 
   /** rw_report: the reward-evaluation REPORT (scripts/evaluate_rewards.py's
     * operational surface): per-reward corpus aggregates — count, integer
-    * mean, min/max, exact median — over every reward column plus both
-    * totals. One stack (unpivot) over the rw_rewards projection, one
-    * map-side-combinable aggregation on the 18 reward names. */
+    * mean, min/max, median — over every reward column plus both totals.
+    * One stack (unpivot) over the rw_rewards projection, one map-side-
+    * combinable aggregation on the 18 reward names. The median routes
+    * through [[graft.functions.Quantiles.pctl]]: exact for the oracle
+    * gate; with only 18 groups, exact percentile buffers ~corpus/18
+    * values per group, so at 100 TB flip the approx knob for bounded
+    * sketch state. */
   def rwReport(spark: SparkSession, sfDir: String): DataFrame = {
     val names = allRewardCols ++ Seq("r_total", "r_total_weighted")
     rwRewards(spark, sfDir)
@@ -485,7 +489,8 @@ object Rewards {
         expr("sum(v) div count(*)").as("mean_ppm"),
         min(col("v")).as("min_ppm"),
         max(col("v")).as("max_ppm"),
-        round(expr("percentile(v, 0.5D)"), 0).cast("long").as("p50_ppm"))
+        round(graft.functions.Quantiles.pctl(spark, "v", 0.5), 0)
+          .cast("long").as("p50_ppm"))
       .orderBy(col("reward"))
   }
 

@@ -127,17 +127,27 @@ object TextOps {
   /** tx_corpus_novelty: corpus-relative novelty scoring — the fraction of
     * a document's 3-gram shingles that are corpus-rare (df ≤ [[RareDf]]).
     * High novelty = unique content; near-zero = boilerplate/template mass
-    * (the curation signal dedup thresholds miss). Two shuffles at any
-    * scale: df via a count window on the shingle partitioning, then the
-    * per-doc fraction re-aggregates on doc_id; shingle arrays are
-    * computed once (native expression) and sizes ride the posting rows. */
+    * (the curation signal dedup thresholds miss).
+    *
+    * Shingle df is a `groupBy(s).count()` joined back onto the postings —
+    * NOT a count window on the shingle partitioning: a window puts every
+    * posting of one shingle into a single task, so one boilerplate shingle
+    * in 10⁹ documents serializes the stage at scale. The groupBy makes hot
+    * keys cheap via map-side partial aggregation, and the equi-join back
+    * is skew-splittable by AQE. Postings are explicitly repartitioned on
+    * the shingle key first so the aggregate and the join share ONE
+    * exchange (ReuseExchange) — the shingle arrays, the expensive part,
+    * are computed exactly once. */
   def txCorpusNovelty(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.NativeExpressions.wordShingles
     val posting = docsOrdered(spark, sfDir)
       .select(col("doc_id"), explode(wordShingles(col("text"), 3)).as("s"))
-    posting
-      .withColumn("df", count(lit(1)).over(
-        org.apache.spark.sql.expressions.Window.partitionBy(col("s"))))
+      .repartition(col("s"))
+    // count(doc_id) ≡ count(*) (doc ids are never null) — referencing the
+    // column keeps Catalyst's pruning from narrowing this branch's copy of
+    // the exchange, so both sides canonicalize equal and reuse fires.
+    val dfTab = posting.groupBy(col("s")).agg(count(col("doc_id")).as("df"))
+    posting.join(dfTab, "s")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_shingles"),
         sum(when(col("df") <= RareDf, 1L).otherwise(0L)).as("n_rare"))

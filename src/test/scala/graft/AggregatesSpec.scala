@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Aggregates.collectBounded
+
+/** CollectBounded: collect_list semantics under the cap, NULL beyond it,
+  * with state bounded through partial aggregation and merge. */
+class AggregatesSpec extends SparkSpec {
+
+  test("under the cap it equals collect_list; over the cap it is null") {
+    import spark.implicits._
+    // key 1: 3 values, key 2: 5 values — cap at 4.
+    val df = Seq.tabulate(8)(i => (if (i < 3) 1 else 2, i.toLong)).toDF("k", "v")
+      .repartition(5) // force multiple partial buffers per key
+    val got = df.groupBy($"k")
+      .agg(sort_array(collectBounded($"v", 4)).as("vs"))
+      .orderBy($"k").collect()
+    assert(got(0).getSeq[Long](1) == Seq(0L, 1L, 2L))
+    assert(got(1).isNullAt(1), "over-cap key must evaluate to null")
+  }
+
+  test("per-key buffer never exceeds cap+1 even for a hot key") {
+    import spark.implicits._
+    // One key with 10k rows, cap 10: the result is null and nothing blows
+    // up — the update/merge paths cap at 11 elements (this is the property
+    // that makes a 10⁹-document boilerplate shingle safe at scale).
+    val df = spark.range(10000).select(lit(0).as("k"), col("id").as("v"))
+      .repartition(32)
+    val got = df.groupBy($"k").agg(collectBounded($"v", 10).as("vs")).collect()
+    assert(got.length == 1 && got(0).isNullAt(1))
+  }
+
+  test("null inputs are skipped like collect_list, struct elements round-trip") {
+    import spark.implicits._
+    val df = Seq((1, Some(5L), "a"), (1, None, "b"), (1, Some(7L), "c"))
+      .toDF("k", "v", "s")
+    val got = df.groupBy($"k")
+      .agg(sort_array(collectBounded(
+        when($"v".isNotNull, struct($"v", $"s")), 10)).as("xs"))
+      .collect()
+    val xs = got(0).getSeq[org.apache.spark.sql.Row](1)
+    assert(xs.map(r => (r.getLong(0), r.getString(1))) == Seq((5L, "a"), (7L, "c")))
+  }
+
+  test("exactly-at-cap groups survive") {
+    import spark.implicits._
+    val df = spark.range(10).select(lit(0).as("k"), col("id").as("v")).repartition(4)
+    val got = df.groupBy($"k").agg(sort_array(collectBounded($"v", 10)).as("vs")).collect()
+    assert(got(0).getSeq[Long](1) == (0L until 10L))
+  }
+}

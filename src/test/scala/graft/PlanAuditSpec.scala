@@ -51,6 +51,20 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("shingle-df ops aggregate document frequency, never window on the raw shingle key") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    // A count window partitioned by the shingle moves ALL postings of a hot
+    // shingle into one task (AQE splits skewed joins, not windows) — the
+    // round-4 scale-killer. df must come from a map-side-combinable groupBy
+    // equi-joined back; these plans should contain no window at all.
+    Seq("tx_corpus_novelty", "dd_ngram_jaccard").foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+      val windows = plan.collect { case w: WindowExec => w }
+      assert(windows.isEmpty,
+        s"$name plans a Window over the posting list:\n${windows.mkString("\n")}")
+    }
+  }
+
   test("q_range_join hash-joins on the chunk key, not a theta scan") {
     val plan = SparkEntry.queries("q_range_join")(spark, sfDir)
       .queryExecution.executedPlan.toString

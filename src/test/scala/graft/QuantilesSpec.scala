@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.Quantiles
-import graft.operators.{DocPipeline, TextOps}
+import graft.operators.{DocPipeline, Rewards, TextOps}
 
 /** The approx-quantile knob must (a) actually switch the plan to
   * approx_percentile and (b) produce cutoffs close enough to exact that
@@ -24,6 +24,30 @@ class QuantilesSpec extends SparkSpec {
     }
     assert(exact.contains("percentile") && !exact.contains("approx_percentile"))
     assert(approx.contains("approx_percentile"))
+  }
+
+  test("rw_report's median rides the knob too — and stays close to exact") {
+    val exactPlan = Rewards.rwReport(spark, sfDir)
+      .queryExecution.optimizedPlan.toString
+    assert(exactPlan.contains("percentile") && !exactPlan.contains("approx_percentile"))
+    val exact = Rewards.rwReport(spark, sfDir)
+      .select("reward", "p50_ppm").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val approx = withApprox {
+      val df = Rewards.rwReport(spark, sfDir)
+      assert(df.queryExecution.optimizedPlan.toString.contains("approx_percentile"))
+      df.select("reward", "p50_ppm").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    // approx_percentile returns a REAL data value, while exact percentile
+    // interpolates between neighbors — on the coarse reward grids (steps
+    // of 0.05–0.1 reward ≈ 50k–100k ppm) the two can differ by a whole
+    // step. One grid step of slack still catches a broken sketch.
+    exact.foreach { case (name, p50) =>
+      val a = approx(name)
+      assert(math.abs(a - p50) <= 100000L,
+        s"$name: approx median $a vs exact $p50")
+    }
   }
 
   test("approx p01 tiering agrees with exact on almost every document") {
