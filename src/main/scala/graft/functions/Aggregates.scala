@@ -105,4 +105,30 @@ object Aggregates {
   def collectBounded(c: Column, maxSize: Int): Column =
     ColumnBridge.column(
       CollectBounded(ColumnBridge.expression(c), maxSize).toAggregateExpression())
+
+  /** Materialize a Bloom filter over a BIGINT column as serialized bytes
+    * (Spark's runtime-filter sketch, `org.apache.spark.util.sketch
+    * .BloomFilter`). The result is bounded by `numBits` (≤ ~1 MiB at the
+    * defaults) regardless of input cardinality — the property that lets a
+    * candidate-id filter ship to every task where an exact id set could
+    * not. This is a driver-side action, the same shape as the evaluated
+    * scalar subquery Spark's own InjectRuntimeFilter produces. */
+  def bloomFilterBytes(
+      df: org.apache.spark.sql.DataFrame, colName: String,
+      expectedItems: Long, numBits: Long): Array[Byte] = {
+    val bf = df.stat.bloomFilter(colName, expectedItems, numBits)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    bos.toByteArray
+  }
+
+  /** might_contain(<inlined bloom>, value): false ⇒ definitely absent
+    * (safe to prune); true may be a false positive, so exact predicates
+    * must still run downstream. Codegen'd — the deserialized sketch is
+    * cached once per task via the expression's lazy state. */
+  def mightContain(bloomBytes: Array[Byte], value: Column): Column = {
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    ColumnBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType), ColumnBridge.expression(value)))
+  }
 }

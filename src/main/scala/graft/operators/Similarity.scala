@@ -27,6 +27,13 @@ object Similarity {
   val NTables = 2 // independent LSH tables for multiprobe band-ORing
   val TrainedK = 16 // k-means|| centroid count for ss_ivf_trained
   val Dim = 64
+  // Centroid TRAINING runs on a deterministic hash-sample of the corpus
+  // (1/TrainSampleMod of the vectors): k-means quality depends on seeing
+  // the data distribution, not every row, so iterating MaxIter full-corpus
+  // passes at 100 TB is waste — sample the trainer, then ASSIGN the full
+  // corpus with the one-pass broadcast argmin kernel. Raise the mod with
+  // corpus size to keep the training set roughly constant.
+  val TrainSampleMod = 4
 
   /** ±1 hyperplane weight for (plane p, dimension j), derived from
     * md5("p:j")'s top bit — deterministic public arithmetic; the DuckDB
@@ -51,6 +58,11 @@ object Similarity {
   private def vecs(spark: SparkSession, sfDir: String): DataFrame =
     Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+
+  /** Deterministic training sample for the iterative trainers (xxhash64 on
+    * the id — stable across runs and partitionings, unlike df.sample). */
+  private def trainSample(v: DataFrame): DataFrame =
+    v.filter(pmod(xxhash64(col("vec_id")), lit(TrainSampleMod)) === 0)
 
   /** Query set: vec_id < 10 (part of the corpus; self-matches excluded). */
   private def queriesDf(spark: SparkSession, sfDir: String): DataFrame =
@@ -171,7 +183,11 @@ object Similarity {
     * KMeans, k=[[TrainedK]], seed=42) instead of the deterministic seed
     * sample — the centroid-training loop §7 calls for. The trained centers
     * collect to one broadcast array row (k·dim doubles); assignment and
-    * probe/scan are byte-identical in shape to ss_ivf_topk. Training is
+    * probe/scan are byte-identical in shape to ss_ivf_topk. Training runs
+    * on the [[trainSample]] hash-sample only — each k-means|| iteration is
+    * a full pass over its input, so the full corpus would pay MaxIter
+    * scans for centroids a sample estimates as well; the full corpus is
+    * then assigned by the map-only broadcast argmin. Training is
     * iterative ⇒ rows-only gate (same as p21_kmeans); IvfRecallSpec pins
     * recall vs ss_brute_topk instead. */
   def ssIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
@@ -179,7 +195,8 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
     val v = vecs(spark, sfDir)
-    val feat = v.select(col("vec_id"), array_to_vector(col("v")).as("features"))
+    val feat = trainSample(v)
+      .select(col("vec_id"), array_to_vector(col("v")).as("features"))
     val model = new KMeans().setK(TrainedK).setSeed(42L).setMaxIter(20).fit(feat)
     val centDf = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
@@ -209,15 +226,26 @@ object Similarity {
 
   /** p21_kmeans: MLlib KMeans (k=10, seed=42 per the reference's
     * random_state=42) — cluster sizes, rows-only gate (training is
-    * iterative; no SQL oracle). */
+    * iterative; no SQL oracle). Trains on the [[trainSample]] hash-sample;
+    * the full corpus is assigned by the same broadcast argmin kernel as
+    * the other centroid ops (model.transform over every row would drag
+    * MLlib's vector UDF through the corpus instead of a codegen'd
+    * one-pass kernel). */
   def p21Kmeans(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
-    val df = vecs(spark, sfDir)
-      .select(col("vec_id"), array_to_vector(col("v")).as("features"))
-    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(df)
-    model.transform(df)
-      .groupBy(col("prediction").cast("long").as("cluster"))
+    import spark.implicits._
+    val v = vecs(spark, sfDir)
+    val feat = trainSample(v).select(array_to_vector(col("v")).as("features"))
+    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(feat)
+    val centArr = model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+      .toDF("c_id", "cv")
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    v.crossJoin(broadcast(centArr))
+      .withColumn("best",
+        graft.functions.NativeExpressions.argminL2(col("v"), col("cents")))
+      .groupBy(col("best.c_id").as("cluster"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("cluster"))
   }

@@ -43,6 +43,19 @@ class AggregatesSpec extends SparkSpec {
     assert(xs.map(r => (r.getLong(0), r.getString(1))) == Seq((5L, "a"), (7L, "c")))
   }
 
+  test("bloom-pruned minhash verify path is value-identical to the plain path") {
+    import graft.operators.Dedup
+    def rows() = Dedup.ddMinhashLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val plain = rows() // default threshold (10 GB) keeps the bloom off
+    spark.conf.set(Dedup.BloomMinScanBytesKey, "0")
+    try {
+      val bloomed = rows()
+      assert(bloomed == plain,
+        s"bloom path diverged: ${bloomed.size} vs ${plain.size} pairs")
+    } finally spark.conf.unset(Dedup.BloomMinScanBytesKey)
+  }
+
   test("exactly-at-cap groups survive") {
     import spark.implicits._
     val df = spark.range(10).select(lit(0).as("k"), col("id").as("v")).repartition(4)
