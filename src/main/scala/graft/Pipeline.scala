@@ -51,18 +51,27 @@ object Pipeline {
       signature: String,
       skipped: Boolean)
 
-  /** Input signature for a stage: sha256 over the input directory's file
-    * statuses (name, length, mtime) + the stage name. Metadata-only — no
-    * data read. Any file added/removed/rewritten under `sfDir` changes
-    * every stage's signature. */
+  /** Input signature for a stage: sha256 over every LEAF file's status
+    * (qualified path, length, mtime) under `sfDir` + the stage name,
+    * via one RECURSIVE metadata listing (`fs.listFiles(p, true)`) — no
+    * data read. Recursion matters for nested table directories (the
+    * production layout): a part-file rewritten in place inside a
+    * subdirectory need not change the parent's entry — HDFS directory
+    * mtime only moves on entry add/remove, and object-store pseudo-dirs
+    * report zero — so a top-level listing would let incremental mode
+    * silently skip a stage against stale inputs. */
   private[graft] def inputSignature(spark: SparkSession, sfDir: String, stage: String): String = {
     val p = new Path(sfDir)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
     val md = MessageDigest.getInstance("SHA-256")
     md.update(stage.getBytes("UTF-8"))
-    fs.listStatus(p).sortBy(_.getPath.toString).foreach { st =>
-      md.update(s"|${st.getPath.getName}:${st.getLen}:${st.getModificationTime}".getBytes("UTF-8"))
+    val it = fs.listFiles(p, true)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (it.hasNext) {
+      val st = it.next()
+      entries += s"|${st.getPath.toUri.getPath}:${st.getLen}:${st.getModificationTime}"
     }
+    entries.sorted.foreach(e => md.update(e.getBytes("UTF-8")))
     md.digest().map("%02x".format(_)).mkString
   }
 
@@ -106,8 +115,11 @@ object Pipeline {
       if (!skip) {
         SparkEntry.queries(stage)(spark, sfDir).write.mode("overwrite").parquet(path)
       }
-      // Footer-only count of what is actually on disk (not a re-run of
-      // the stage plan).
+      // Count what is actually on disk (not a re-run of the stage plan).
+      // An empty-projection parquet count is row-group-metadata driven in
+      // the vectorized reader (no column decode), but it IS a distributed
+      // scan job — true footer-only aggregate pushdown needs the DSv2
+      // reader, which parquet does not use by default.
       val written = spark.read.parquet(path)
       val rows = written.count()
       if (!skip) writeContract(spark, path, written.schema.fieldNames, rows, sig)
@@ -129,9 +141,17 @@ object Pipeline {
       signature: String): Unit = {
     val p = new Path(s"$artifactPath/_contract.json")
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // Column names are data, not code: escape them (a name with a quote
+    // or backslash must not corrupt the contract document).
+    def esc(s: String) = s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
     val json =
       s"""{"schema_version": "1", "signature": "$signature", "rows": $rows,
-         | "columns": [${columns.map(c => "\"" + c + "\"").mkString(", ")}]}""".stripMargin
+         | "columns": [${columns.map(c => "\"" + esc(c) + "\"").mkString(", ")}]}""".stripMargin
     val out = fs.create(p, true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }

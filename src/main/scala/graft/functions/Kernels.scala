@@ -502,23 +502,32 @@ object Kernels {
     var bestD = Double.PositiveInfinity
     var bestId = Long.MaxValue
     var found = false
+    var nanMinId = Long.MaxValue
     var i = 0
     while (i < cents.numElements()) {
       val c = cents.getStruct(i, 2)
       val id = c.getLong(0)
       val d = l2Sq(v, c.getArray(1), vFloat, cvFloat)
-      // NaN never wins: array_min's struct ordering sorts NaN greatest, so
-      // the HOF form this replaces picks the finite minimum. A NaN in the
-      // first slot must not be retained by `d < bestD` always failing.
+      // NaN never wins against a finite distance: array_min's struct
+      // ordering sorts NaN greatest, so the HOF form this replaces picks
+      // the finite minimum. A NaN in the first slot must not be retained
+      // by `d < bestD` always failing.
       if (!d.isNaN && (!found || d < bestD || (d == bestD && id < bestId))) {
         bestD = d
         bestId = id
         found = true
       }
+      if (d.isNaN && id < nanMinId) nanMinId = id
       i += 1
     }
-    if (!found) null
-    else new GenericInternalRow(Array[Any](bestD, bestId))
+    // All-NaN: the HOF struct ordering treats NaN distances as equal and
+    // ties on the id, yielding (NaN, min id) — match it rather than
+    // returning null, so no vector silently vanishes at the cluster-id
+    // equi-join downstream. Empty centroid array: null (array_min of []).
+    if (found) new GenericInternalRow(Array[Any](bestD, bestId))
+    else if (nanMinId != Long.MaxValue)
+      new GenericInternalRow(Array[Any](Double.NaN, nanMinId))
+    else null
   }
 
   /** Sign-LSH bucket: bit p is set when dot(v, planes(p)) > 0. The

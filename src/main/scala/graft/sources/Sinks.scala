@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode}
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{DataStreamWriter, OutputMode, Trigger}
 
@@ -59,20 +59,27 @@ object Sinks {
     * sinks and fine-grained partitioned writes accumulate small files;
     * at scale, scan throughput is gated on file count (task scheduling +
     * footer reads), so periodic compaction is part of operating the
-    * pipeline. Writes to `dest` (never in place — an in-place overwrite
-    * reads and clobbers the same path and is not atomic on object
-    * stores). */
+    * pipeline. Reads `srcPath` itself (so the data written is exactly the
+    * data that was sized) and REFUSES in-place compaction: overwriting
+    * the path being read is non-atomic on object stores and clobbers the
+    * source on failure. */
   def compactParquet(
-      df: DataFrame,
+      spark: SparkSession,
       srcPath: String,
       dest: String,
       targetBytes: Long = 128L * 1024 * 1024): Unit = {
-    val spark = df.sparkSession
-    val hPath = new org.apache.hadoop.fs.Path(srcPath)
-    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
-    val bytes = fs.getContentSummary(hPath).getLength
+    val conf = spark.sessionState.newHadoopConf()
+    val hSrc = new org.apache.hadoop.fs.Path(srcPath)
+    val fs = hSrc.getFileSystem(conf)
+    val qSrc = fs.makeQualified(hSrc)
+    val qDest = new org.apache.hadoop.fs.Path(dest).getFileSystem(conf)
+      .makeQualified(new org.apache.hadoop.fs.Path(dest))
+    require(qSrc != qDest,
+      s"compactParquet refuses in-place compaction: src == dest ($qSrc)")
+    val bytes = fs.getContentSummary(hSrc).getLength
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
-    df.repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(dest)
+    spark.read.parquet(srcPath)
+      .repartition(nFiles).write.mode(SaveMode.Overwrite).parquet(dest)
   }
 
   /** Streaming dedup-upsert into a batch parquet target via foreachBatch:

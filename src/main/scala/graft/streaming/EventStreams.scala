@@ -152,7 +152,23 @@ object EventStreams {
             cur = Some(SessionState(t, t, 1, e.value))
         }
       }
-      early.foreach(es => closed += close(userId, es))
+      // Bridge check: a later event in this batch may have backward-
+      // extended the open session to within one gap of the early session
+      // (open [100,100], gap 30, batch {60, 80}: 60 folds into `early`,
+      // 80 extends the open session's start to 80, and batch semantics
+      // merge 60-80-100 into ONE session). Merge instead of closing when
+      // the hole has closed. Residual known approximation: an early
+      // session closed at end-of-batch can still be split from an
+      // above-watermark event arriving in the NEXT batch — a second
+      // state slot per user would be needed to bridge across batches.
+      early.foreach { es =>
+        cur match {
+          case Some(s) if s.start - es.last <= SessionGapMs =>
+            cur = Some(SessionState(
+              es.start, math.max(es.last, s.last), s.n + es.n, s.value + es.value))
+          case _ => closed += close(userId, es)
+        }
+      }
       cur.foreach { s =>
         state.update(s)
         state.setTimeoutTimestamp(s.last + SessionGapMs)

@@ -60,12 +60,17 @@ class NativeExpressionsSpec extends SparkSpec {
         (2L, Seq(0.5, 0.0)),          // finite minimum (d = 0.25)
         (3L, Seq(9.0, 0.0)))),
       (Seq(1.0, 0.0), Seq(
-        (1L, Seq(Double.NaN, 0.0))))  // all-NaN -> no finite argmin
+        (4L, Seq(Double.NaN, 0.0)),   // all-NaN -> HOF struct ordering
+        (2L, Seq(Double.NaN, 0.0))))  // ties on NaN, takes the min id
     ).toDF("v", "cents")
     val out = df.select(
       graft.functions.NativeExpressions.argminL2(col("v"), col("cents")).as("m"))
       .select(col("m").getField("c_id")).as[Option[Long]].collect().toSeq
-    assert(out == Seq(Some(2L), None))
+    // All-NaN yields (NaN, min id), not null — a vector with a degenerate
+    // distance still lands in SOME cluster instead of vanishing at the
+    // cluster-id equi-join downstream (matches array_min: NaN == NaN in
+    // the struct ordering, so the id breaks the tie).
+    assert(out == Seq(Some(2L), Some(2L)))
   }
 
   test("minHashSigs == HOF minhash chain") {

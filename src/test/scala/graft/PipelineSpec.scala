@@ -43,6 +43,30 @@ class PipelineSpec extends SparkSpec {
     assert(third.forall(!_.getAs[Boolean]("skipped")))
   }
 
+  test("a rewritten file NESTED in a table subdirectory busts the incremental skip") {
+    // Production layouts nest part-files under table directories; dir
+    // mtimes need not change on an in-place rewrite, so the signature
+    // must come from a recursive leaf listing.
+    val data = Files.createTempDirectory("graft_pipeline_nested").toString
+    val out = Files.createTempDirectory("graft_pipeline_nested_out").toString
+    // documents as a DIRECTORY-shaped parquet table (nested part files).
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .write.parquet(s"$data/documents.parquet")
+    val stages = Seq("p17_style")
+    Pipeline.run(spark, data, out, "t4", stages)
+    val unchanged = Pipeline.run(spark, data, out, "t4", stages, incremental = true).collect()
+    assert(unchanged.forall(_.getAs[Boolean]("skipped")))
+
+    // Rewrite one nested part file in place: same name, same length,
+    // newer mtime — only a recursive listing can see it.
+    val part = new java.io.File(s"$data/documents.parquet").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    part.setLastModified(part.lastModified() + 60000)
+    val busted = Pipeline.run(spark, data, out, "t4", stages, incremental = true).collect()
+    assert(busted.forall(!_.getAs[Boolean]("skipped")),
+      "nested-file mtime change must invalidate the stage signature")
+  }
+
   test("unknown stage name fails loudly") {
     val out = Files.createTempDirectory("graft_pipeline_bad").toString
     val e = intercept[IllegalArgumentException] {

@@ -141,10 +141,13 @@ class SourcesSpec extends SparkSpec {
     def parquetFiles(p: String): Int =
       new java.io.File(p).listFiles().count(_.getName.endsWith(".parquet"))
     assert(parquetFiles(s"$dir/small") == 64)
-    val src = spark.read.parquet(s"$dir/small")
-    Sinks.compactParquet(src, s"$dir/small", s"$dir/big", targetBytes = 1L << 30)
+    Sinks.compactParquet(spark, s"$dir/small", s"$dir/big", targetBytes = 1L << 30)
     assert(parquetFiles(s"$dir/big") == 1)
     assert(spark.read.parquet(s"$dir/big").select(sum(col("id")))
       .as[Long].head() == 499500L)
+    // In-place compaction must be refused, qualified-path-insensitively.
+    intercept[IllegalArgumentException] {
+      Sinks.compactParquet(spark, s"$dir/small", s"file:$dir/small")
+    }
   }
 }

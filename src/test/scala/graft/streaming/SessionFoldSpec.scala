@@ -1,0 +1,67 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.api.java.Optional
+import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit coverage of the sessionize state fold itself (TestGroupState) —
+  * the early-session bridging cases can't be reached through the full
+  * query with watermark delay == gap (any would-be early event is already
+  * sub-watermark), but the fold must stay batch-equivalent for
+  * configurations where the delay exceeds the gap. */
+class SessionFoldSpec extends AnyFunSuite {
+
+  private def min(m: Long): Long = m * 60000L
+  private def ev(m: Long, v: Double) = SessionEvent(7L, new Timestamp(min(m)), v)
+
+  private def stateOf(s: Option[SessionState], watermarkMin: Long) =
+    TestGroupState.create[SessionState](
+      s.map(Optional.of[SessionState]).getOrElse(Optional.empty[SessionState]()),
+      GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(java.lang.Long.valueOf(min(watermarkMin))), false)
+
+  test("a backward-extending event bridges the early session into the open one") {
+    // Open [100,100], gap 30, batch {60, 80}: 60 is >1 gap before 100 and
+    // folds into `early`; 80 backward-extends the open session to 80;
+    // batch q_sessionize merges 60-80-100 into ONE session — the fold
+    // must too, not close 60 alone.
+    val st = stateOf(Some(SessionState(min(100), min(100), 1, 1.0)), 0)
+    val out = EventStreams.updateSessions(7L,
+      Iterator(ev(60, 2.0), ev(80, 4.0)), st).toSeq
+    assert(out.isEmpty, s"nothing should close, got $out")
+    assert(st.get == SessionState(min(60), min(100), 3, 7.0))
+  }
+
+  test("an early session beyond one gap of the final open session still closes") {
+    // Open [100,100], batch {20, 80}: 80 extends the open session back to
+    // 80; 20 remains >1 gap below 80 — separate session, closed.
+    val st = stateOf(Some(SessionState(min(100), min(100), 1, 1.0)), 0)
+    val out = EventStreams.updateSessions(7L,
+      Iterator(ev(20, 2.0), ev(80, 4.0)), st).toSeq
+    assert(out.map(s => (s.session_start.getTime, s.session_end.getTime, s.n_events)) ==
+      Seq((min(20), min(20), 1L)))
+    assert(st.get == SessionState(min(80), min(100), 2, 5.0))
+  }
+
+  test("chained early events merge with each other before the bridge check") {
+    // Open [200,200], batch {10, 30, 180}: 10+30 chain into one early
+    // session [10,30]; 180 extends the open session back to 180; 180-30
+    // is 5 gaps — early closes on its own.
+    val st = stateOf(Some(SessionState(min(200), min(200), 1, 1.0)), 0)
+    val out = EventStreams.updateSessions(7L,
+      Iterator(ev(10, 1.0), ev(30, 1.0), ev(180, 1.0)), st).toSeq
+    assert(out.map(s => (s.session_start.getTime, s.session_end.getTime, s.n_events)) ==
+      Seq((min(10), min(30), 2L)))
+    assert(st.get == SessionState(min(180), min(200), 2, 2.0))
+  }
+
+  test("sub-watermark events are dropped before the fold") {
+    val st = stateOf(Some(SessionState(min(100), min(100), 1, 1.0)), 90)
+    val out = EventStreams.updateSessions(7L,
+      Iterator(ev(60, 2.0), ev(95, 4.0)), st).toSeq
+    assert(out.isEmpty)
+    assert(st.get == SessionState(min(95), min(100), 2, 5.0))
+  }
+}
