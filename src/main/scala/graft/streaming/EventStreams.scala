@@ -21,6 +21,20 @@ case class UserSession(
     n_events: Long,
     session_value: Double)
 
+/** One scored event for the leaderboard (ts, type, who, how much). */
+case class ScoredEvent(user_id: Long, ts: Timestamp, event_type: String, value: Double)
+
+/** Per-(window, event_type) accumulated user scores. */
+case class LeaderboardState(scores: Map[Long, Double])
+
+/** One final leaderboard row, emitted when the window's watermark closes. */
+case class LeaderboardEntry(
+    window_start: Timestamp,
+    event_type: String,
+    rank: Long,
+    user_id: Long,
+    value: Double)
+
 /** Structured Streaming variants of the event operators (SURVEY §2
   * streaming rows; batch equivalents are q_events_window / q_sessionize).
   *
@@ -99,6 +113,69 @@ object EventStreams {
       .withWatermark("ts", "30 minutes")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateSessions)
+  }
+
+  /** Leaderboard size and window width for [[topkLeaderboard]]. */
+  val LeaderboardK = 3
+  val LeaderboardWindowMs: Long = 3600L * 1000
+
+  /** Streaming per-window top-k leaderboard: for every (1-hour tumbling
+    * window, event_type), the [[LeaderboardK]] users with the highest
+    * summed value — the streaming form of "q_topk_window over time
+    * windows". One state slot per (window, type) holds the EXACT running
+    * per-user sums (a final top-k needs every user's total — a row that
+    * looks mid-pack at minute 10 can lead by minute 50), and the complete
+    * leaderboard is emitted exactly once, when the watermark passes the
+    * window end (event-time timeout) — append-mode-clean, no retractions.
+    *
+    * Scale shape: state per key is O(active users in that window/type),
+    * and keys are evicted 10 minutes (the watermark delay) past window
+    * end, so total state tracks |active users| × |types| over ~1 window,
+    * not history. For heavy-hitter regimes where even one window's user
+    * set is too large, the same fold takes a SpaceSaving/Misra-Gries
+    * sketch as the state with ε-approximate ranks — the exact map is the
+    * correct default while state fits. */
+  def topkLeaderboard(events: Dataset[ScoredEvent]): Dataset[LeaderboardEntry] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(e => (math.floorDiv(e.ts.getTime, LeaderboardWindowMs) * LeaderboardWindowMs,
+        e.event_type))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateLeaderboard)
+  }
+
+  private[streaming] def updateLeaderboard(
+      key: (Long, String),
+      events: Iterator[ScoredEvent],
+      state: GroupState[LeaderboardState]): Iterator[LeaderboardEntry] = {
+    val (wstart, etype) = key
+    if (state.hasTimedOut) {
+      val scores = state.get.scores
+      state.remove()
+      scores.toSeq
+        .sortBy { case (u, v) => (-v, u) } // value desc, user asc — the
+        .take(LeaderboardK)                // row_number tie-break batch uses
+        .zipWithIndex.iterator
+        .map { case ((u, v), i) =>
+          LeaderboardEntry(new Timestamp(wstart), etype, i + 1L, u, v) }
+    } else {
+      // Sub-watermark events belong to windows whose leaderboard may
+      // already be final — folding one in could resurrect state for an
+      // emitted window and emit it twice. Drop them, like sessionize.
+      val wm = state.getCurrentWatermarkMs()
+      val scores = state.getOption.map(_.scores).getOrElse(Map.empty[Long, Double])
+      val upd = events.filter(_.ts.getTime >= wm).foldLeft(scores) { (m, e) =>
+        m.updated(e.user_id, m.getOrElse(e.user_id, 0.0) + e.value)
+      }
+      if (upd.nonEmpty) {
+        state.update(LeaderboardState(upd))
+        // Window end is always > the current watermark for any event that
+        // survived the filter; the max() guards the state-store contract
+        // (timeout must sit above the watermark) regardless.
+        state.setTimeoutTimestamp(math.max(wstart + LeaderboardWindowMs, wm + 1))
+      }
+      Iterator.empty
+    }
   }
 
   private def close(userId: Long, s: SessionState): UserSession =

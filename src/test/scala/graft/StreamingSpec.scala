@@ -212,6 +212,82 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming topkLeaderboard matches batch per-window top-k over the real events table") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{LeaderboardEntry, ScoredEvent}
+
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+
+    // Batch truth: top-3 users by summed value per (hour window, type),
+    // value compared in cents (stream folds in arrival order; float sums
+    // can differ in the last ulp).
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("wstart"), col("event_type"))
+      .orderBy(col("v").desc, col("user_id"))
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("wstart"),
+        col("event_type"), col("user_id"))
+      .agg(sum(col("value")).as("v"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= EventStreams.LeaderboardK)
+      .select(col("wstart"), col("event_type"), col("rank").cast("long"),
+        col("user_id"), round(col("v") * 100, 0).cast("long"))
+      .as[(Timestamp, String, Long, Long, Long)].collect().toSeq.sorted
+
+    val in = MemoryStream[ScoredEvent]
+    val q = EventStreams.topkLeaderboard(in.toDS())
+      .writeStream.format("memory").queryName("leaderboard_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      val rows = events.as[ScoredEvent].collect()
+      in.addData(rows.toIndexedSeq)
+      q.processAllAvailable()
+      // Sentinel pushes the watermark past every real window's end; the
+      // following batch fires the timeouts. Its own window never closes
+      // and is filtered out below.
+      val sentinelTs = new Timestamp(rows.map(_.ts.getTime).max + 86400000L)
+      in.addData(ScoredEvent(-1L, sentinelTs, "__sentinel", 0.0))
+      q.processAllAvailable()
+      in.addData(ScoredEvent(-1L, new Timestamp(sentinelTs.getTime + 86400000L), "__sentinel", 0.0))
+      q.processAllAvailable()
+
+      val streamed = spark.table("leaderboard_eq")
+        .filter(col("user_id") >= 0)
+        .select(col("window_start"), col("event_type"), col("rank"),
+          col("user_id"), round(col("value") * 100, 0).cast("long"))
+        .as[(Timestamp, String, Long, Long, Long)].collect().toSeq.sorted
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
+  test("topkLeaderboard emits each closed window exactly once, capped at K rows") {
+    implicit val sql = spark.sqlContext
+    import graft.streaming.ScoredEvent
+    val in = MemoryStream[ScoredEvent]
+    val q = EventStreams.topkLeaderboard(in.toDS())
+      .writeStream.format("memory").queryName("leaderboard_k")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // 5 users in one window/type; only the top 3 may surface.
+      in.addData((1 to 5).map(u =>
+        ScoredEvent(u.toLong, t("2026-01-01 10:10:00"), "view", u.toDouble)))
+      q.processAllAvailable()
+      in.addData(ScoredEvent(9L, t("2026-01-02 10:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      in.addData(ScoredEvent(9L, t("2026-01-03 10:00:00"), "view", 1.0))
+      q.processAllAvailable()
+      val got = spark.table("leaderboard_k")
+        .as[graft.streaming.LeaderboardEntry].collect()
+        .filter(_.window_start == t("2026-01-01 10:00:00"))
+        .map(e => (e.rank, e.user_id, e.value)).toSeq.sorted
+      assert(got == Seq((1L, 5L, 5.0), (2L, 4L, 4.0), (3L, 3L, 3.0)))
+    } finally q.stop()
+  }
+
   test("sessionize emits via event-time timeout once the watermark passes") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[SessionEvent]
