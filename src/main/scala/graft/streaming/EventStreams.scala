@@ -35,6 +35,15 @@ case class LeaderboardEntry(
     user_id: Long,
     value: Double)
 
+/** One document on the wire (streaming near-dup input). */
+case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
+
+/** Per-(band, bucket) recent-document state: (doc_id, fp), newest first. */
+case class BucketState(docs: List[(Long, Long)], lastTs: Long)
+
+/** One streaming near-dup hit: id_a < id_b, verified Hamming distance. */
+case class NearDupPair(id_a: Long, id_b: Long, hamming: Long, ts: Timestamp)
+
 /** Structured Streaming variants of the event operators (SURVEY §2
   * streaming rows; batch equivalents are q_events_window / q_sessionize).
   *
@@ -177,6 +186,72 @@ object EventStreams {
       Iterator.empty
     }
   }
+
+  /** Streaming near-dup state bounds: per-bucket candidate cap (recency
+    * window — a hot boilerplate bucket keeps only its newest [[BucketCap]]
+    * docs, trading recall on stale entries for bounded state, the right
+    * trade for a dedup stream) and the idle-bucket retention horizon. */
+  val BucketCap = 256
+  val DupHorizonMs: Long = 60L * 60 * 1000
+
+  /** Streaming near-duplicate DETECTION — the streaming form of
+    * dd_simhash: each document SimHash-fingerprints map-side, fans out to
+    * the same 4×8-bit band buckets the batch operator blocks on, and
+    * pairs with the bucket's recent documents at Hamming ≤ HammingMax
+    * (verified in the fold, exactly like the batch join condition).
+    *
+    * Scale shape: state is one bounded list per OCCUPIED (band, bucket) —
+    * ≤ [[BucketCap]] (doc_id, fp) longs each — evicted by event-time
+    * timeout once the bucket sits idle one [[DupHorizonMs]] past the
+    * watermark; total state tracks the active-corpus working set, not
+    * history. A pair colliding in k bands is emitted up to k times
+    * (groups cannot see each other's state); exact-once pair output is
+    * one batch `distinct`/dedup-upsert downstream —
+    * [[graft.sources.Sinks.dedupUpsertParquet]] keyed on (id_a, id_b). */
+  def nearDupPairs(docs: Dataset[DocEvent]): Dataset[NearDupPair] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.NativeExpressions.simHash32
+    docs
+      .withWatermark("ts", "10 minutes")
+      .select(col("doc_id"), col("ts"), simHash32(col("text")).as("fp"))
+      .select(col("doc_id"), col("ts"), col("fp"),
+        explode(array((0 until 4).map(b =>
+          concat_ws(":", lit(b), shiftrightunsigned(col("fp"), 8 * b)
+            .bitwiseAND(lit(255L)))): _*)).as("bk"))
+      .as[(Long, Timestamp, Long, String)]
+      .groupByKey(_._4)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateNearDups)
+  }
+
+  private[streaming] def updateNearDups(
+      bucket: String,
+      rows: Iterator[(Long, Timestamp, Long, String)],
+      state: GroupState[BucketState]): Iterator[NearDupPair] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val wm = state.getCurrentWatermarkMs()
+      val out = Seq.newBuilder[NearDupPair]
+      var docs = state.getOption.map(_.docs).getOrElse(Nil)
+      var lastTs = state.getOption.map(_.lastTs).getOrElse(0L)
+      // Deterministic intra-batch order (groups arrive unordered), and
+      // sub-watermark drops for parity with the other stateful folds.
+      rows.toArray.filter(_._2.getTime >= wm).sortBy(r => (r._2.getTime, r._1))
+        .foreach { case (id, ts, fp, _) =>
+          docs.iterator
+            .filter { case (oid, ofp) =>
+              oid != id && java.lang.Long.bitCount(fp ^ ofp) <= graft.operators.Dedup.HammingMax }
+            .foreach { case (oid, ofp) =>
+              out += NearDupPair(math.min(id, oid), math.max(id, oid),
+                java.lang.Long.bitCount(fp ^ ofp).toLong, ts) }
+          docs = ((id, fp) :: docs).take(BucketCap)
+          lastTs = math.max(lastTs, ts.getTime)
+        }
+      if (docs.nonEmpty) {
+        state.update(BucketState(docs, lastTs))
+        state.setTimeoutTimestamp(math.max(lastTs + DupHorizonMs, wm + 1))
+      }
+      out.result().iterator
+    }
 
   private def close(userId: Long, s: SessionState): UserSession =
     UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.value)

@@ -288,6 +288,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming nearDupPairs finds the same pair set as batch dd_simhash") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{DocEvent, NearDupPair}
+
+    // Batch truth: (id_a, id_b, hamming) pair set from the banded join.
+    val batch = graft.operators.Dedup.ddSimhash(spark, sfDir)
+      .select("id_a", "id_b", "hamming")
+      .as[(Long, Long, Long)].collect().toSet
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), lit(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")).as("ts"),
+        col("text"))
+      .as[DocEvent].collect()
+    val in = MemoryStream[DocEvent]
+    val q = EventStreams.nearDupPairs(in.toDS())
+      .writeStream.format("memory").queryName("neardup_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs.toIndexedSeq)
+      q.processAllAvailable()
+      // Cross-band collisions emit a pair once per colliding band —
+      // compare as a SET (the documented exactly-once path is a
+      // downstream distinct / dedup upsert).
+      val streamed = spark.table("neardup_eq")
+        .select("id_a", "id_b", "hamming")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} distinct pairs vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("sessionize emits via event-time timeout once the watermark passes") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[SessionEvent]

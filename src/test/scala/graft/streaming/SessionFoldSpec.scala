@@ -64,4 +64,27 @@ class SessionFoldSpec extends AnyFunSuite {
     assert(out.isEmpty)
     assert(st.get == SessionState(min(95), min(100), 2, 5.0))
   }
+
+  test("nearDupPairs fold bounds per-bucket state to the newest BucketCap entries") {
+    val st = TestGroupState.create[BucketState](
+      Optional.empty[BucketState](), GroupStateTimeout.EventTimeTimeout,
+      0L, Optional.of(java.lang.Long.valueOf(0L)), false)
+    // Distinct fingerprints far apart — no pairs, pure state pressure.
+    val rows = (1 to EventStreams.BucketCap + 50).map { i =>
+      (i.toLong, new Timestamp(i * 1000L), i.toLong << 4, "0:0")
+    }
+    EventStreams.updateNearDups("0:0", rows.iterator, st).length
+    assert(st.get.docs.length == EventStreams.BucketCap)
+    // Newest entries survive (recency window, not drop-the-key).
+    assert(st.get.docs.head._1 == (EventStreams.BucketCap + 50).toLong)
+  }
+
+  test("nearDupPairs timeout evicts the idle bucket") {
+    val st = TestGroupState.create[BucketState](
+      Optional.of(BucketState(List((1L, 0L)), 0L)),
+      GroupStateTimeout.EventTimeTimeout,
+      0L, Optional.of(java.lang.Long.valueOf(0L)), true)
+    assert(EventStreams.updateNearDups("0:0", Iterator.empty, st).isEmpty)
+    assert(!st.exists)
+  }
 }
