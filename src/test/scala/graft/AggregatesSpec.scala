@@ -48,8 +48,14 @@ class AggregatesSpec extends SparkSpec {
     def rows() = Dedup.ddMinhashLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val plain = rows() // default threshold (10 GB) keeps the bloom off
+    assert(!Dedup.ddMinhashLsh(spark, sfDir).queryExecution
+      .executedPlan.toString.contains("might_contain"))
     spark.conf.set(Dedup.BloomMinScanBytesKey, "0")
     try {
+      // The sketch filter must sit in the plan (and, by construction,
+      // below the shingle projection — non-candidates never tokenize).
+      assert(Dedup.ddMinhashLsh(spark, sfDir).queryExecution
+        .executedPlan.toString.contains("might_contain"))
       val bloomed = rows()
       assert(bloomed == plain,
         s"bloom path diverged: ${bloomed.size} vs ${plain.size} pairs")
