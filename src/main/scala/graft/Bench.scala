@@ -19,6 +19,16 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // Object-agg partial phases (CollectBounded, collect_list) fall
+      // back to SORT-BASED aggregation after only 128 distinct keys by
+      // default — on a posting-list aggregation that is a full sort of
+      // the postings (measured 1.45× on dd_ngram_jaccard at 20× density).
+      // Safe to raise here: every object aggregate in this suite has
+      // BOUNDED per-key state (CollectBounded caps at maxSize+1; the
+      // collect_lists run on df-capped or per-order groups), so map-side
+      // hash-map memory is keys × a small constant. Size to executor
+      // memory at real scale.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
