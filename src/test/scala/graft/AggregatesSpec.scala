@@ -68,4 +68,32 @@ class AggregatesSpec extends SparkSpec {
     val got = df.groupBy($"k").agg(sort_array(collectBounded($"v", 10)).as("vs")).collect()
     assert(got(0).getSeq[Long](1) == (0L until 10L))
   }
+
+  test("property: any key set / cap / partitioning agrees with groupBy-size semantics") {
+    import org.scalacheck.Gen
+    import org.scalacheck.Prop.forAll
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(0, 300)
+      ks <- Gen.listOfN(n, Gen.choose(0, 8))
+      cap <- Gen.choose(1, 40)
+      parts <- Gen.choose(1, 16)
+    } yield (ks, cap, parts)
+    val prop = forAll(gen) { case (ks, cap, parts) =>
+      val rows = ks.zipWithIndex.map { case (k, i) => (k, i.toLong) }
+      val expected = rows.groupBy(_._1).map { case (k, vs) =>
+        k -> (if (vs.size > cap) null else vs.map(_._2).sorted)
+      }
+      val got = rows.toDF("k", "v").repartition(parts)
+        .groupBy($"k").agg(sort_array(collectBounded($"v", cap)).as("vs"))
+        .collect()
+        .map(r => r.getInt(0) -> (if (r.isNullAt(1)) null else r.getSeq[Long](1).toList))
+        .toMap
+      got == expected
+    }
+    // Spark jobs per case — keep the sample count modest but real.
+    val cfg = org.scalacheck.Test.Parameters.default.withMinSuccessfulTests(25)
+    val res = org.scalacheck.Test.check(cfg, prop)
+    assert(res.passed, res.status.toString)
+  }
 }
