@@ -250,6 +250,62 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
+  /** Lloyd's iteration count for the oracle-gated [[p21Lloyds]]. */
+  val LloydsIters = 3
+
+  /** p21_lloyds: deterministic, integer-exact Lloyd's k-means — the
+    * HASH-VERIFIED clustering gate (p21_kmeans stays the MLlib
+    * production path; its k-means|| init is seeded-random and has no SQL
+    * form, so it gates rows-only).
+    *
+    * Everything here is exact integer arithmetic carried in doubles —
+    * vectors are micro-fixed-point (round(x·10⁶)), and integers < 2⁵³
+    * are exact in IEEE doubles, so distances (squared sums ≤ 64·(4·10¹²)
+    * ≪ 2⁵³) and per-dimension sums are order-independent and identical
+    * in Spark and DuckDB; the only division is the same IEEE
+    * floor(sum/count) on both sides. Seeds = every-50th vector (k grows
+    * with SF like the IVF seed set), [[LloydsIters]] fixed iterations,
+    * ties to the smallest centroid id (argminL2's struct ordering,
+    * mirrored by the oracle's row_number).
+    *
+    * Scale shape: per iteration one map-only broadcast-argmin assignment
+    * pass + one bounded per-(cluster, dim) mean (the dim explode shuffles
+    * 64·N skinny rows with map-side combine); lineage is checkpointed
+    * per round like dd_components. */
+  def p21Lloyds(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.argminL2
+    val vm = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => round(x.cast("double") * 1000000d, 0)).as("v"))
+    var cents = vm.filter(col("vec_id") % 50 === 0)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+    for (_ <- 1 to LloydsIters) {
+      val centArr = cents.agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+      val asg = vm.crossJoin(broadcast(centArr))
+        .select(col("vec_id"), col("v"),
+          argminL2(col("v"), col("cents")).getField("c_id").as("cluster"))
+      cents = asg
+        .select(col("cluster"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("cluster"), col("dim"))
+        // Spark floor() returns LONG — cast back so the centroid stays a
+        // double[] vector for the argmin kernel (values remain exact
+        // integers; DuckDB's floor stays double natively).
+        .agg(floor(sum(col("x")) / count(lit(1))).cast("double").as("m"))
+        .groupBy(col("cluster"))
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          e => e.getField("m")).as("cv"))
+        .select(col("cluster").as("c_id"), col("cv"))
+        .localCheckpoint(true)
+    }
+    val centArr = cents.agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    vm.crossJoin(broadcast(centArr))
+      .select(col("vec_id"),
+        argminL2(col("v"), col("cents")).getField("c_id").as("cluster"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("cluster"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_brute_topk"      -> (ssBruteTopk _),
     "ss_ivf_topk"        -> (ssIvfTopk _),
@@ -257,7 +313,8 @@ object Similarity {
     "ss_lsh_topk"        -> (ssLshTopk _),
     "ss_multiprobe_lsh"  -> (ssMultiprobeLsh _),
     "p21_cluster_assign" -> (p21ClusterAssign _),
-    "p21_kmeans"         -> (p21Kmeans _))
+    "p21_kmeans"         -> (p21Kmeans _),
+    "p21_lloyds"         -> (p21Lloyds _))
 
   // ---- DuckDB oracle (p21_kmeans / ss_ivf_trained are rows-only — MLlib
   // training is iterative, no SQL equivalent; IvfRecallSpec gates
@@ -355,5 +412,31 @@ object Similarity {
       s"""WITH $eCte, $cCte,
          |$asgCte
          |SELECT vec_id, cluster, CAST(round(dist2*1000, 0) AS BIGINT) AS dist2_mil
-         |FROM asg ORDER BY vec_id""".stripMargin)
+         |FROM asg ORDER BY vec_id""".stripMargin,
+    "p21_lloyds" -> {
+      // Integer-exact Lloyd's, unrolled: micro-fixed-point vectors, the
+      // same IEEE arithmetic as the Spark side (integers < 2^53 are
+      // exact in doubles on both engines).
+      val vmCte =
+        "vm AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*1000000)) AS v FROM embeddings)"
+      val c0Cte = "c0 AS (SELECT vec_id AS c_id, v AS cv FROM vm WHERE vec_id % 50 = 0)"
+      def asgCteOf(i: Int, src: String) =
+        s"""a$i AS (
+           |  SELECT vec_id, v, c_id AS cluster FROM (
+           |    SELECT e.vec_id, e.v, c.c_id,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${l2SqSql("e.v", "c.cv")}, c.c_id) AS rn
+           |    FROM vm e CROSS JOIN $src c) WHERE rn = 1)""".stripMargin
+      def updCte(i: Int) =
+        s"""u$i AS (SELECT cluster, unnest(generate_series(1, $Dim)) AS dim, unnest(v) AS x FROM a$i),
+           |m$i AS (SELECT cluster, dim, floor(sum(x)/count(*)) AS m FROM u$i GROUP BY cluster, dim),
+           |c$i AS (SELECT cluster AS c_id, array_agg(m ORDER BY dim) AS cv FROM m$i GROUP BY cluster)""".stripMargin
+      val iters = (1 to LloydsIters)
+        .map(i => s"${asgCteOf(i, s"c${i - 1}")},\n${updCte(i)}").mkString(",\n")
+      s"""WITH $vmCte, $c0Cte,
+         |$iters,
+         |${asgCteOf(LloydsIters + 1, s"c$LloydsIters")}
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
+         |FROM a${LloydsIters + 1} GROUP BY cluster ORDER BY cluster""".stripMargin
+    })
 }
