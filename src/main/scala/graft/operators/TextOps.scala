@@ -155,6 +155,39 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** Contamination n-gram width — 13 in classic decontamination
+    * (GPT-3/Llama style); 5 here so the short synthetic documents
+    * exercise the operator — and the deterministic pseudo-benchmark
+    * split (every 97th document). */
+  val ContamN = 5
+  val BenchMod = 97L
+
+  /** tx_contamination: benchmark-overlap decontamination — for every
+    * (training doc, benchmark doc) pair sharing at least one
+    * [[ContamN]]-gram, the count of shared distinct shingles. The flag
+    * every LLM training-data pipeline needs before a corpus ships: a
+    * training document that contains benchmark n-grams inflates eval.
+    *
+    * Scale shape: the BENCHMARK side is small by definition (eval sets,
+    * not crawls) — its distinct shingle set broadcasts, and the corpus
+    * side stays a map-only scan + explode feeding a map-side-combinable
+    * pair count; the corpus never shuffles on the shingle key. If a
+    * benchmark ever outgrows the broadcast cap, the same plan with a
+    * shuffle join on `s` is ∝ benchmark size, never ∝ corpus. */
+  def txContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.wordShingles
+    val docs = docsOrdered(spark, sfDir)
+    val bench = docs.filter(col("doc_id") % BenchMod === 0)
+      .select(col("doc_id").as("bench_id"),
+        explode(wordShingles(col("text"), ContamN)).as("s"))
+    val corpus = docs.filter(col("doc_id") % BenchMod =!= 0)
+      .select(col("doc_id"), explode(wordShingles(col("text"), ContamN)).as("s"))
+    corpus.join(broadcast(bench), "s")
+      .groupBy(col("doc_id"), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .orderBy(col("doc_id"), col("bench_id"))
+  }
+
   /** A collocation must appear in at least this many documents. */
   val MinPairDf = 5L
 
@@ -224,6 +257,7 @@ object TextOps {
     "tx_quality"      -> (txQuality _),
     "tx_quality_dist" -> (txQualityDist _),
     "tx_corpus_novelty" -> (txCorpusNovelty _),
+    "tx_contamination" -> (txContamination _),
     "tx_collocations" -> (txCollocations _),
     "tx_readability"  -> (txReadability _),
     "tx_fingerprint"  -> (txFingerprint _))
@@ -312,6 +346,15 @@ object TextOps {
          |    // count(*) AS BIGINT) AS novelty_ppm
          |FROM posting p JOIN df USING (sg)
          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "tx_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+         |s AS (SELECT doc_id, ${graft.functions.TextFunctions.shinglesSql("toks", ContamN)} AS sh FROM t),
+         |b AS (SELECT doc_id AS bench_id, unnest(sh) AS sg FROM s WHERE doc_id % $BenchMod = 0),
+         |c AS (SELECT doc_id, unnest(sh) AS sg FROM s WHERE doc_id % $BenchMod <> 0)
+         |SELECT c.doc_id, b.bench_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM c JOIN b USING (sg)
+         |GROUP BY c.doc_id, b.bench_id
+         |ORDER BY c.doc_id, b.bench_id""".stripMargin,
     "tx_collocations" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
          |uni AS (SELECT tok, count(*) AS df_tok
