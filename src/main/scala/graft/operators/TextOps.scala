@@ -188,6 +188,45 @@ object TextOps {
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
+  /** Token budget per packed training sequence. */
+  val PackBudget = 512L
+
+  /** tx_pack: sequence packing — assign documents (in doc_id order) to
+    * fixed-token-budget training sequences with concat-then-chunk
+    * semantics (`seq_id = tokens-before-this-doc div budget`, the
+    * standard LM-pretraining packing: documents are concatenated in
+    * order and split at budget boundaries, so a doc straddling a
+    * boundary starts in the sequence its first token lands in).
+    *
+    * The running token count is a GLOBAL prefix sum — `sum() OVER
+    * (ORDER BY doc_id)` funnels the corpus through one task, so like
+    * q_decile it runs two-phase: repartitionByRange totally orders the
+    * partitions, the per-partition cumsum is a local window, and the
+    * cross-partition offset comes from the tiny per-partition totals
+    * table (32 rows), broadcast. Token counts are one native-kernel
+    * map pass; nothing else touches the text. */
+  def txPack(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docsOrdered(spark, sfDir)
+      .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
+    // Materialized once: the rank pass and the per-partition totals both
+    // read it (two lazy branches would re-scan + re-range-sample).
+    val ranged = toks.repartitionByRange(32, col("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true)
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
+    val local = ranged.withColumn("__lcum", sum(col("n_tokens")).over(wLocal))
+    val wOrd = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+    val offs = ranged.groupBy(col("__pid")).agg(sum(col("n_tokens")).as("__t"))
+      .select(col("__pid"),
+        coalesce(sum(col("__t")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)).as("__off"))
+    local.join(broadcast(offs), "__pid")
+      .select(col("doc_id"), col("n_tokens"),
+        expr(s"(__lcum + __off - n_tokens) div $PackBudget").as("seq_id"))
+      .orderBy(col("doc_id"))
+  }
+
   /** A collocation must appear in at least this many documents. */
   val MinPairDf = 5L
 
@@ -258,6 +297,7 @@ object TextOps {
     "tx_quality_dist" -> (txQualityDist _),
     "tx_corpus_novelty" -> (txCorpusNovelty _),
     "tx_contamination" -> (txContamination _),
+    "tx_pack" -> (txPack _),
     "tx_collocations" -> (txCollocations _),
     "tx_readability"  -> (txReadability _),
     "tx_fingerprint"  -> (txFingerprint _))
@@ -346,6 +386,14 @@ object TextOps {
          |    // count(*) AS BIGINT) AS novelty_ppm
          |FROM posting p JOIN df USING (sg)
          |GROUP BY p.doc_id ORDER BY p.doc_id""".stripMargin,
+    "tx_pack" ->
+      s"""WITH t AS (SELECT doc_id,
+         |  CAST(length($sqlTokens) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  CAST((CAST(sum(n_tokens) OVER (ORDER BY doc_id
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - n_tokens)
+         |    // $PackBudget AS BIGINT) AS seq_id
+         |FROM t ORDER BY doc_id""".stripMargin,
     "tx_contamination" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
          |s AS (SELECT doc_id, ${graft.functions.TextFunctions.shinglesSql("toks", ContamN)} AS sh FROM t),
