@@ -187,6 +187,31 @@ object EventStreams {
     }
   }
 
+  /** Streaming decontamination gate — the stream-STATIC form of
+    * tx_contamination: each arriving document joins (broadcast,
+    * map-only) against the static benchmark's distinct n-gram set and
+    * carries the count of shared shingles; `n_shared = 0` rows are the
+    * clean stream. The static side is read once per micro-batch planning
+    * and broadcast — no stream state at all, which is exactly why the
+    * decontamination check belongs at ingest: it is free of watermarks
+    * and scales with the benchmark, not the stream. */
+  def contaminationGate(docs: DataFrame, benchDf: DataFrame): DataFrame = {
+    import graft.functions.NativeExpressions.wordShingles
+    val n = graft.operators.TextOps.ContamN
+    // One collected row: the benchmark's distinct shingle set (eval sets
+    // are small by definition — the same broadcast-side assumption as
+    // batch tx_contamination).
+    val benchArr = benchDf
+      .select(explode(wordShingles(col("text"), n)).as("s"))
+      .distinct()
+      .agg(collect_list(col("s")).as("__bench_sh"))
+    docs
+      .crossJoin(broadcast(benchArr))
+      .withColumn("n_shared",
+        size(array_intersect(wordShingles(col("text"), n), col("__bench_sh"))).cast("long"))
+      .drop("__bench_sh")
+  }
+
   /** Streaming near-dup state bounds: per-bucket candidate cap (recency
     * window — a hot boilerplate bucket keeps only its newest [[BucketCap]]
     * docs, trading recall on stale entries for bounded state, the right

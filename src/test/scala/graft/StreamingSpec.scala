@@ -320,6 +320,28 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationGate flags benchmark-overlapping docs statelessly") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocEvent
+    val bench = Seq("alpha beta gamma delta epsilon zeta eta").toDF("text")
+    val in = MemoryStream[DocEvent]
+    val q = EventStreams.contaminationGate(in.toDS().toDF(), bench)
+      .writeStream.format("memory").queryName("contam_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(
+        // shares the 5-gram "beta gamma delta epsilon zeta" (and one more)
+        DocEvent(1L, t("2026-01-01 10:00:00"), "x beta gamma delta epsilon zeta eta y"),
+        DocEvent(2L, t("2026-01-01 10:00:01"), "totally unrelated words with no overlap here"))
+      q.processAllAvailable()
+      val got = spark.table("contam_gate")
+        .select("doc_id", "n_shared").as[(Long, Long)].collect().toMap
+      assert(got(1L) == 2L, s"doc 1 should share two 5-grams, got $got")
+      assert(got(2L) == 0L)
+    } finally q.stop()
+  }
+
   test("sessionize emits via event-time timeout once the watermark passes") {
     implicit val sql = spark.sqlContext
     val in = MemoryStream[SessionEvent]
