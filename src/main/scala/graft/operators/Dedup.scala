@@ -256,14 +256,49 @@ object Dedup {
   val MaxCcRounds = 20
 
   def ddComponents(spark: SparkSession, sfDir: String): DataFrame = {
-    val fpDf = Tables.documents(spark, sfDir)
+    val groups = fpGroups(spark, sfDir)
+    val labels = repComponents(groups)
+    groups.select(col("rep_id"), col("n_docs"))
+      .join(labels, "rep_id")
+      .select(col("rep_id"), col("component"), col("n_docs"))
+      .orderBy(col("component"), col("rep_id"))
+  }
+
+  /** dd_decisions: the DOC-level dedup decision table the pipeline
+    * actually consumes — every document labeled with its near-dup
+    * component and whether it is the kept representative. The component
+    * label IS the minimum doc_id of the component (reps are fp-group
+    * minima, components are rep minima), so `is_kept = (doc_id ==
+    * component)`: one boolean a downstream `filter` applies to drop
+    * every near-duplicate in one pass. Same iterative machinery as
+    * dd_components; one extra map-only simhash pass re-keys docs to
+    * their fp group. */
+  def ddDecisions(spark: SparkSession, sfDir: String): DataFrame = {
+    val groups = fpGroups(spark, sfDir)
+    val labels = repComponents(groups)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
-    // Checkpointed: the band self-join below has no CSE across its two
-    // sides, so without this the simhash scan over the full corpus runs
-    // twice more inside edge-building (and again in the final join).
-    val groups = fpDf.groupBy(col("fp"))
+      .join(groups.select(col("fp"), col("rep_id")), "fp")
+      .join(labels, "rep_id")
+      .select(col("doc_id"), col("component"),
+        when(col("doc_id") === col("component"), 1L).otherwise(0L).as("is_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** (fp, rep_id, n_docs) per distinct simhash fingerprint, eagerly
+    * checkpointed: the band self-join downstream has no CSE across its
+    * two sides, so without this the simhash scan over the full corpus
+    * runs twice more inside edge-building (and again in final joins). */
+  private def fpGroups(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
+      .groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
       .localCheckpoint(true)
+
+  /** Iterative min-label propagation over the rep near-dup graph:
+    * (rep_id, component). See [[ddComponents]] for the algorithm notes. */
+  private def repComponents(groups: DataFrame): DataFrame = {
     val bandKeys = array((0 until 4).map { b =>
       concat_ws(":", lit(b), shiftrightunsigned(col("fp"), 8 * b).bitwiseAND(lit(255L)))
     }: _*)
@@ -320,10 +355,7 @@ object Dedup {
     if (!converged) throw new IllegalStateException(
       s"ddComponents: min-label propagation did not converge in $MaxCcRounds rounds " +
         "(a near-dup component has eccentricity above the cap; raise MaxCcRounds)")
-    groups.select(col("rep_id"), col("n_docs"))
-      .join(labels, "rep_id")
-      .select(col("rep_id"), col("component"), col("n_docs"))
-      .orderBy(col("component"), col("rep_id"))
+    labels
   }
 
   /** dd_embedding: cosine near-dup pairs, sign-LSH bucketed on the first
@@ -352,6 +384,7 @@ object Dedup {
     "dd_simhash"       -> (ddSimhash _),
     "dd_simhash_clusters" -> (ddSimhashClusters _),
     "dd_components"    -> (ddComponents _),
+    "dd_decisions"     -> (ddDecisions _),
     "dd_embedding"     -> (ddEmbedding _))
 
   // ---- DuckDB oracle ----
@@ -475,6 +508,24 @@ object Dedup {
          |FROM g JOIN (SELECT src AS rep_id, MIN(dst) AS component
          |  FROM reach GROUP BY src) r USING (rep_id)
          |ORDER BY component, rep_id""".stripMargin,
+    "dd_decisions" ->
+      s"""WITH RECURSIVE $simhashFpCte,
+         |g AS (SELECT fp, min(doc_id) AS rep_id FROM f GROUP BY fp),
+         |bd AS (SELECT fp, rep_id, unnest($simhashBandsSql) AS bk FROM g),
+         |ed AS (SELECT DISTINCT x.rep_id AS a, y.rep_id AS b
+         |  FROM bd x JOIN bd y ON x.bk = y.bk AND x.rep_id < y.rep_id
+         |    AND bit_count(xor(x.fp, y.fp)) <= $HammingMax),
+         |bidir AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+         |reach(src, dst) AS (
+         |  SELECT rep_id, rep_id FROM g
+         |  UNION
+         |  SELECT reach.src, bidir.b FROM reach JOIN bidir ON reach.dst = bidir.a),
+         |r AS (SELECT src AS rep_id, MIN(dst) AS component
+         |  FROM reach GROUP BY src)
+         |SELECT f.doc_id, r.component,
+         |  CAST(CASE WHEN f.doc_id = r.component THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+         |FROM f JOIN g USING (fp) JOIN r USING (rep_id)
+         |ORDER BY f.doc_id""".stripMargin,
     "dd_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, v, $embSignBucketSql AS bkt FROM e)
