@@ -119,10 +119,23 @@ object Manifest {
         expr("(n_bytes * 11L + win_idx * 17L) % 1000L").as("energy"))
       .orderBy(col("media_id"), col("win_idx"))
 
+  /** mm_dedup: exact multimodal dedup — identical payload BYTES collapse
+    * on the decode checksum (content-addressable dedup, the first pass
+    * of media corpus curation: byte-identical assets re-crawled under
+    * different URLs are the dominant dup class at crawl scale). One
+    * map-side-combinable shuffle on the 32-char checksum; the binary
+    * payloads themselves never move through the shuffle. */
+  def mmDedup(spark: SparkSession, sfDir: String): DataFrame =
+    decoded(spark, sfDir)
+      .groupBy(col("checksum"))
+      .agg(min(col("media_id")).as("keep_id"), count(lit(1)).as("n_assets"))
+      .orderBy(col("keep_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_manifest"      -> (mmManifest _),
     "mm_frames"        -> (mmFrames _),
-    "mm_audio_windows" -> (mmAudioWindows _))
+    "mm_audio_windows" -> (mmAudioWindows _),
+    "mm_dedup"         -> (mmDedup _))
 
   /** The stub decode is arithmetic over byte counts, so unlike real codec
     * output it IS mirrorable — a full-strength oracle instead of the
@@ -167,5 +180,9 @@ object Manifest {
          |FROM (SELECT media_id, n_bytes, duration_ms,
          |    unnest(range(0, (duration_ms - 1) // 1000 + 1, 1)) AS win_idx FROM a)
          |ORDER BY media_id, win_idx""".stripMargin
-    })
+    },
+    "mm_dedup" ->
+      """SELECT md5(text) AS checksum,
+        |  min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_assets
+        |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin)
 }
