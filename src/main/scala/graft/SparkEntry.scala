@@ -19,13 +19,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     analyticsQueries ++ DocPipeline.queries ++ TextOps.queries ++ Dedup.queries ++ Similarity.queries ++ Annotations.queries ++
       Style.queries ++ Rewards.queries ++ Balance.queries ++ Datasets.queries ++
-      Correlation.queries ++ graft.multimodal.Manifest.queries ++ CorpusReport.queries
+      Correlation.queries ++ graft.multimodal.Manifest.queries ++ CorpusReport.queries ++
+      Curation.queries
 
   def oracleSql: Map[String, String] =
     analyticsOracle ++ DocPipeline.oracle ++ TextOps.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Annotations.oracle ++ Style.oracle ++ Rewards.oracle ++
       Balance.oracle ++ Datasets.oracle ++ Correlation.oracle ++
-      graft.multimodal.Manifest.oracle ++ CorpusReport.oracle
+      graft.multimodal.Manifest.oracle ++ CorpusReport.oracle ++ Curation.oracle
 
   private val analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"      -> (Analytics.q1Pricing _),

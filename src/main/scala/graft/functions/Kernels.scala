@@ -481,6 +481,29 @@ object Kernels {
       nEmpty, nNum, nLetPlus, nSym, toks.length, tokSet.size))
   }
 
+  /** int8 scalar-quantized dot product: each coordinate is clipped to
+    * [-1, 1] and affine-mapped to a signed byte — q = ⌊clip(x)·127 + 0.5⌋,
+    * the half-UP rounding both engines spell identically as floor(v + 0.5)
+    * (math.round / DuckDB round() disagree on negative halves) — then the
+    * two integer codes multiply-accumulate in exact Long arithmetic. The
+    * quantized score is bit-reproducible across engines and partitionings
+    * (no IEEE accumulation-order sensitivity at all), which is why the
+    * sq8 path can hash-match a DuckDB mirror while staying the memory-
+    * bandwidth-cheap scan shape (1 byte/dim vs 4) a 100 TB ANN sweep
+    * wants. */
+  def sq8Dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Long = {
+    var acc = 0L
+    var i = 0
+    val n = sameDim(a, b)
+    while (i < n) {
+      val qa = math.floor(math.max(-1.0, math.min(1.0, at(a, i, aFloat))) * 127.0 + 0.5).toLong
+      val qb = math.floor(math.max(-1.0, math.min(1.0, at(b, i, bFloat))) * 127.0 + 0.5).toLong
+      acc += qa * qb
+      i += 1
+    }
+    acc
+  }
+
   def l2Sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     var acc = 0.0
     var i = 0

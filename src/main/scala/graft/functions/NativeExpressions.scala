@@ -306,6 +306,26 @@ object NativeExpressions {
         s"$K.cosine($a, $b, ${isFloatArr(left)}, ${isFloatArr(right)})")
   }
 
+  /** int8 scalar-quantized dot product — see [[Kernels.sq8Dot]]. Exact
+    * integer result (LONG), so downstream ranking/hashing is
+    * order-insensitive. */
+  case class Sq8Dot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkVecVec(prettyName, left, right)
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sq8_dot"
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Sq8Dot =
+      copy(left = newLeft, right = newRight)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.sq8Dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        isFloatArr(left), isFloatArr(right))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"$K.sq8Dot($a, $b, ${isFloatArr(left)}, ${isFloatArr(right)})")
+  }
+
   /** Squared L2 distance — native form of VectorFunctions.l2Sq, same
     * accumulation order. */
   case class L2SqDist(left: Expression, right: Expression)
@@ -427,4 +447,7 @@ object NativeExpressions {
 
   def l2SqDist(a: Column, b: Column): Column =
     ColumnBridge.column(L2SqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sq8Dot(a: Column, b: Column): Column =
+    ColumnBridge.column(Sq8Dot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

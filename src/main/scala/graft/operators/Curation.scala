@@ -1,0 +1,198 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.TextFunctions._
+
+/** Corpus-curation operators: the rule-based quality gate, unigram-LM
+  * scoring, and target-mixture resampling a pretraining data pipeline
+  * runs between dedup and packing.
+  *
+  * Reference counterpart: the reference's quality surface is its
+  * engagement/cleaning heuristics (2-label.py, 7-clean-topics.py,
+  * 12-clean-opinions.py — covered by p02/p07/p12); these operators add
+  * the published curation recipes those stages approximate at social-
+  * media scale: Gopher's rule gate (Rae et al. 2021 §A1.1), CCNet-style
+  * LM scoring (Wenzek et al. 2019; degenerate unigram form so the score
+  * is integer-exact), and temperature/weighted domain mixing.
+  */
+object Curation {
+
+  private def docs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+
+  // Gopher-style rule thresholds, scaled to the synthetic corpus (the
+  // published rules use 50..100k words; this corpus is 10..99) so both
+  // pass and fail populations exist and the gate is non-vacuous.
+  val GopherMinWords = 30L
+  val GopherMaxWords = 5000L
+  val GopherMinAwlCenti = 300L // mean word length in [3, 5] chars
+  val GopherMaxAwlCenti = 500L
+  val GopherMinStops = 2L
+  val GopherMaxSymPpm = 100000L // '#'/'…' symbol-to-word ratio ≤ 0.1
+
+  /** tx_gopher: the Gopher rule gate — word count, mean word length,
+    * stopword floor, and symbol-ratio screens, emitted as one integer
+    * bitmask of FAILED rules (bit set = rule violated) plus the keep
+    * flag. Map-only single pass, one native tokenization; at 100 TB this
+    * is the cheapest gate in the suite and runs first in the curation
+    * chain, ahead of everything that shuffles. */
+  def txGopher(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = col("text")
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        tokenCount(t).cast("long").as("n_words"),
+        length(regexp_replace(t, "\\s", "")).cast("long").as("__ns"),
+        tokenSetCount(t, TextOps.EnStops).cast("long").as("n_stops"),
+        regexp_count(t, lit("#|\\.\\.\\.")).cast("long").as("__sym"))
+      .selectExpr("doc_id", "n_words",
+        "__ns * 100L div greatest(n_words, 1L) AS awl_centi",
+        "n_stops",
+        "__sym * 1000000L div greatest(n_words, 1L) AS sym_ppm")
+      .selectExpr("doc_id", "n_words", "awl_centi", "n_stops", "sym_ppm",
+        s"""CASE WHEN n_words < $GopherMinWords OR n_words > $GopherMaxWords THEN 1L ELSE 0L END
+           | + CASE WHEN awl_centi < $GopherMinAwlCenti OR awl_centi > $GopherMaxAwlCenti THEN 2L ELSE 0L END
+           | + CASE WHEN n_stops < $GopherMinStops THEN 4L ELSE 0L END
+           | + CASE WHEN sym_ppm > $GopherMaxSymPpm THEN 8L ELSE 0L END AS fail_mask""".stripMargin)
+      .withColumn("keep", when(col("fail_mask") === 0L, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
+  /** tx_unigram_lm: unigram-LM document scoring — each document's mean
+    * and minimum corpus token frequency (parts-per-billion of all token
+    * occurrences). Low mean = unusual/rare-vocabulary text, high mean =
+    * common boilerplate; the integer-exact stand-in for CCNet's KenLM
+    * perplexity filter (log-probs are floats and would break the hash
+    * gate; the ranking signal is the same monotone function of unigram
+    * frequency).
+    *
+    * Scale shape: the term-frequency table aggregates with map-side
+    * combine (shuffle ∝ vocabulary, not corpus — a hot token like "the"
+    * costs one partial count per task), its total broadcasts as one row,
+    * and the vocabulary-sized frequency table broadcasts back onto the
+    * token stream, so the corpus itself never shuffles on the token key
+    * (no hot-token skew task, the round-4 posting-list lesson). The text
+    * is tokenized twice (frequency branch + scoring branch) — two
+    * map-only scans beat shuffling every token posting to share one. */
+  def txUnigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val posting = docs(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = posting.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val tot = tf.agg(sum(col("tf")).as("__t"))
+    val freq = tf.crossJoin(broadcast(tot))
+      .selectExpr("tok", "tf * 1000000000L div __t AS ppb")
+    posting.join(broadcast(freq), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("ppb")).as("__sum"), min(col("ppb")).as("min_tok_ppb"))
+      .selectExpr("doc_id", "n_tokens",
+        "__sum div n_tokens AS avg_tok_ppb", "min_tok_ppb")
+      .orderBy(col("doc_id"))
+  }
+
+  /** Default per-source mixture weight — a deterministic function of the
+    * source name (digits mod 4, in 1..4) so the operator exercises a
+    * non-uniform target on the uniform synthetic sources. Production
+    * callers derive the weight table from their sampling recipe instead.
+    * Spark and DuckDB forms differ only in the integer-literal suffix. */
+  private val weightExprSpark =
+    "coalesce(try_cast(regexp_extract(source, '[0-9]+', 0) AS BIGINT), 0L) % 4 + 1"
+  private val weightExprDuck =
+    "coalesce(try_cast(regexp_extract(source, '[0-9]+', 0) AS BIGINT), 0) % 4 + 1"
+
+  /** tx_mix: domain-mixture resampling — downsample sources to match
+    * target mixture weights exactly (the data-mixing step every
+    * pretraining corpus goes through; weighted/temperature sampling à la
+    * multilingual sqrt-scaling). The feasible scale is pinned by the
+    * most-underrepresented source: s6 = ⌊10⁶·min_s(count_s/w_s)⌋ and each
+    * source keeps its ⌊s6·w_s/10⁶⌋ hash-smallest rows — all-integer, so
+    * both engines compute identical keep counts.
+    *
+    * Scale shape: per-source counts aggregate map-side into a
+    * |sources|-row table that broadcasts; row selection is
+    * [[Sampling.hashRank]] (256-bucket two-phase rank — no per-source
+    * single-task window, same machinery as p05/p23). */
+  def txMix(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = docs(spark, sfDir)
+    val weights = d.groupBy(col("source")).agg(count(lit(1)).as("__c"))
+      .selectExpr("source", "__c", s"$weightExprSpark AS __w")
+    val scale = weights.agg(min(expr("__c * 1000000L div __w")).as("__s6"))
+    val keep = weights.crossJoin(broadcast(scale))
+      .selectExpr("source", "__s6 * __w div 1000000L AS __keep_n")
+    Sampling.hashRank(
+        d.select(col("doc_id"), col("source")), Seq("source"),
+        md5(concat(lit("mix#"), col("doc_id").cast("string"))),
+        col("doc_id"), "mix_rank")
+      .join(broadcast(keep), "source")
+      .filter(col("mix_rank") <= col("__keep_n"))
+      .select(col("doc_id"), col("source"), col("mix_rank").cast("long").as("mix_rank"))
+      .orderBy(col("doc_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_gopher"     -> (txGopher _),
+    "tx_unigram_lm" -> (txUnigramLm _),
+    "tx_mix"        -> (txMix _))
+
+  private val sqlTokens =
+    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
+
+  private def sqlStopHits: String = {
+    val lst = TextOps.EnStops.map(s => s"'$s'").mkString("[", ", ", "]")
+    s"length(list_filter($sqlTokens, t -> list_contains($lst, t)))"
+  }
+
+  val oracle: Map[String, String] = Map(
+    "tx_gopher" ->
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(length($sqlTokens) AS BIGINT) AS n_words,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS ns,
+         |    CAST($sqlStopHits AS BIGINT) AS n_stops,
+         |    CAST(length(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS sym
+         |  FROM documents),
+         |m AS (
+         |  SELECT doc_id, n_words,
+         |    ns * 100 // GREATEST(n_words, 1) AS awl_centi,
+         |    n_stops,
+         |    sym * 1000000 // GREATEST(n_words, 1) AS sym_ppm
+         |  FROM q)
+         |SELECT doc_id, n_words,
+         |  CAST(awl_centi AS BIGINT) AS awl_centi, n_stops,
+         |  CAST(sym_ppm AS BIGINT) AS sym_ppm,
+         |  CAST(CASE WHEN n_words < $GopherMinWords OR n_words > $GopherMaxWords THEN 1 ELSE 0 END
+         |    + CASE WHEN awl_centi < $GopherMinAwlCenti OR awl_centi > $GopherMaxAwlCenti THEN 2 ELSE 0 END
+         |    + CASE WHEN n_stops < $GopherMinStops THEN 4 ELSE 0 END
+         |    + CASE WHEN sym_ppm > $GopherMaxSymPpm THEN 8 ELSE 0 END AS BIGINT) AS fail_mask,
+         |  CAST(CASE WHEN n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+         |    AND awl_centi >= $GopherMinAwlCenti AND awl_centi <= $GopherMaxAwlCenti
+         |    AND n_stops >= $GopherMinStops AND sym_ppm <= $GopherMaxSymPpm
+         |    THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM m ORDER BY doc_id""".stripMargin,
+    "tx_unigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok),
+         |tot AS (SELECT sum(tf) AS total FROM tf),
+         |f AS (SELECT tok, CAST(tf * 1000000000 // total AS BIGINT) AS ppb
+         |  FROM tf CROSS JOIN tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(sum(ppb) // count(*) AS BIGINT) AS avg_tok_ppb,
+         |  CAST(min(ppb) AS BIGINT) AS min_tok_ppb
+         |FROM t JOIN f USING (tok)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tx_mix" ->
+      s"""WITH w AS (
+         |  SELECT source, $weightExprDuck AS w, count(*) AS c
+         |  FROM documents GROUP BY source),
+         |sc AS (SELECT min(c * 1000000 // w) AS s6 FROM w),
+         |k AS (SELECT source, s6 * w // 1000000 AS keep_n FROM w CROSS JOIN sc),
+         |r AS (SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY md5(concat('mix#', CAST(doc_id AS VARCHAR))), doc_id) AS rn
+         |  FROM documents)
+         |SELECT r.doc_id, r.source, CAST(rn AS BIGINT) AS mix_rank
+         |FROM r JOIN k USING (source) WHERE rn <= keep_n
+         |ORDER BY r.doc_id""".stripMargin)
+}

@@ -99,6 +99,33 @@ object Similarity {
     topKPerQuery(cand, TopK)
   }
 
+  /** ss_sq8_topk: int8 scalar-quantized brute-force top-k — the memory-
+    * bandwidth scale path for exhaustive scoring. Coordinates quantize to
+    * signed bytes (⌊clip(x,−1,1)·127+0.5⌋) and score as an exact integer
+    * dot product ([[graft.functions.NativeExpressions.sq8Dot]]), so at
+    * 100 TB the corpus can be STORED pre-quantized at 1 byte/dim (4×
+    * less scan I/O than float32) and re-ranked by ss_brute only on the
+    * survivors. Same map-only shape as ss_brute_topk: queries broadcast,
+    * scoring per-partition, two-phase top-k; the integer score also
+    * removes IEEE accumulation-order sensitivity entirely, which is why
+    * this variant hash-matches its DuckDB mirror with no rounding
+    * epsilon. */
+  def ssSq8Topk(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.sq8Dot
+    val cand = vecs(spark, sfDir)
+      .join(broadcast(queriesDf(spark, sfDir)), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), sq8Dot(col("qv"), col("v")).as("dot_q"))
+    val w1 = Window.partitionBy(col("q_id"), col("pid"))
+      .orderBy(col("dot_q").desc, col("vec_id"))
+    val w2 = Window.partitionBy(col("q_id"))
+      .orderBy(col("dot_q").desc, col("vec_id"))
+    cand.withColumn("pid", spark_partition_id())
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= TopK)
+      .withColumn("rank", row_number().over(w2).cast("long")).filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"), col("dot_q"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** Nearest-centroid assignment as a map-only pass: the centroid set is
     * collected into ONE array row, broadcast, and argmin runs as a
     * native one-pass kernel per vector (graft.functions.NativeExpressions
@@ -308,6 +335,7 @@ object Similarity {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_brute_topk"      -> (ssBruteTopk _),
+    "ss_sq8_topk"        -> (ssSq8Topk _),
     "ss_ivf_topk"        -> (ssIvfTopk _),
     "ss_ivf_trained"     -> (ssIvfTrained _),
     "ss_lsh_topk"        -> (ssLshTopk _),
@@ -343,6 +371,20 @@ object Similarity {
          |  FROM cand)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
          |  CAST(round(cos*1000000, 0) AS BIGINT) AS cos_ppm
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ss_sq8_topk" ->
+      s"""WITH $eCte, $qCte,
+         |cand AS (
+         |  SELECT q_id, vec_id,
+         |    CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+         |      CAST(floor(GREATEST(-1.0, LEAST(1.0, qv[i]))*127 + 0.5) AS BIGINT)
+         |      * CAST(floor(GREATEST(-1.0, LEAST(1.0, v[i]))*127 + 0.5) AS BIGINT)))
+         |      AS BIGINT) AS dot_q
+         |  FROM q CROSS JOIN e WHERE vec_id != q_id),
+         |r AS (SELECT q_id, vec_id, dot_q,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, vec_id) AS rank
+         |  FROM cand)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, dot_q
          |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "ss_ivf_topk" ->
       s"""WITH $eCte, $qCte, $cCte,

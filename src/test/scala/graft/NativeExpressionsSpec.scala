@@ -120,6 +120,33 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("sq8Dot == HOF quantize-then-dot fold") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val q = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    def quant(c: org.apache.spark.sql.Column) =
+      transform(c, x => floor(greatest(lit(-1.0), least(lit(1.0), x)) * 127 + 0.5).cast("long"))
+    val pairs = e.crossJoin(q)
+    val hof = aggregate(zip_with(quant(col("qv")), quant(col("v")), _ * _),
+      lit(0L), _ + _)
+    val diff = pairs.select(hof.as("hof"),
+      graft.functions.NativeExpressions.sq8Dot(col("qv"), col("v")).as("native"))
+      .filter(not(col("hof") <=> col("native")))
+      .count()
+    assert(diff == 0)
+    // out-of-range + negative-half coordinates: clip to ±127, floor(v+0.5)
+    // half-UP rounding (math.round/DuckDB round() both disagree on -0.5)
+    val edge = Seq((Seq(2.0, -2.0, 0.0039370078740157480d, -0.0039370078740157480d),
+      Seq(1.0, 1.0, 1.0, 1.0))).toDF("a", "b")
+    val got = edge.select(
+      graft.functions.NativeExpressions.sq8Dot(col("a"), col("b"))).as[Long].head()
+    // b quantizes to 127 per slot; a: clip(2)=127, clip(-2)=-127,
+    // ±(0.5/127) → floor(±0.5 + 0.5) = 1 and 0 (half-UP, not half-away)
+    // ⇒ 127·127 − 127·127 + 1·127 + 0·127 = 127
+    assert(got == 127L)
+  }
+
   test("simHash32 == HOF simhash chain") {
     val docs = samples.toDF("text")
       .union(spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
