@@ -131,10 +131,45 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** cur_verdict: the per-document END-TO-END curation verdict — the
+    * drop-list a training pipeline actually consumes. Composes the
+    * oracle-gated stages: near-dup dedup decision ([[Dedup.ddDecisions]]),
+    * the Gopher rule gate ([[txGopher]]), benchmark contamination
+    * ([[TextOps.txContamination]]) plus the benchmark split itself, into
+    * one `train_keep` flag (kept representative ∧ passes rules ∧ not
+    * contaminated ∧ not a benchmark doc).
+    *
+    * Scale shape: dedup ⋈ gopher is a corpus×corpus equi-join on doc_id
+    * (AQE-splittable, both sides already projected to 2–3 columns); the
+    * contaminated-doc set is tiny by construction and broadcasts into a
+    * left join. Each branch reuses its operator's own scan structure —
+    * at 100 TB run the stages once, persist, and join the artifacts
+    * (graft.Pipeline's job); this single-plan form is the
+    * correctness-gated specification of that composition. */
+  def curVerdict(spark: SparkSession, sfDir: String): DataFrame = {
+    val dedup = Dedup.ddDecisions(spark, sfDir)
+      .select(col("doc_id"), col("component"), col("is_kept").as("dedup_keep"))
+    val gopher = txGopher(spark, sfDir)
+      .select(col("doc_id"), col("keep").as("gopher_keep"))
+    val contam = TextOps.txContamination(spark, sfDir)
+      .select(col("doc_id")).distinct()
+      .withColumn("__contam", lit(1L))
+    dedup.join(gopher, "doc_id")
+      .join(broadcast(contam), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("component"), col("dedup_keep"), col("gopher_keep"),
+        coalesce(col("__contam"), lit(0L)).as("contaminated"),
+        when(col("doc_id") % TextOps.BenchMod === 0, 1L).otherwise(0L).as("is_bench"))
+      .withColumn("train_keep",
+        when(col("dedup_keep") === 1L && col("gopher_keep") === 1L &&
+          col("contaminated") === 0L && col("is_bench") === 0L, 1L).otherwise(0L))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_gopher"     -> (txGopher _),
     "tx_unigram_lm" -> (txUnigramLm _),
-    "tx_mix"        -> (txMix _))
+    "tx_mix"        -> (txMix _),
+    "cur_verdict"   -> (curVerdict _))
 
   private val sqlTokens =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
@@ -144,9 +179,8 @@ object Curation {
     s"length(list_filter($sqlTokens, t -> list_contains($lst, t)))"
   }
 
-  val oracle: Map[String, String] = Map(
-    "tx_gopher" ->
-      s"""WITH q AS (
+  private val gopherSql =
+    s"""WITH q AS (
          |  SELECT doc_id,
          |    CAST(length($sqlTokens) AS BIGINT) AS n_words,
          |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS ns,
@@ -170,7 +204,10 @@ object Curation {
          |    AND awl_centi >= $GopherMinAwlCenti AND awl_centi <= $GopherMaxAwlCenti
          |    AND n_stops >= $GopherMinStops AND sym_ppm <= $GopherMaxSymPpm
          |    THEN 1 ELSE 0 END AS BIGINT) AS keep
-         |FROM m ORDER BY doc_id""".stripMargin,
+         |FROM m ORDER BY doc_id""".stripMargin
+
+  val oracle: Map[String, String] = Map(
+    "tx_gopher" -> gopherSql,
     "tx_unigram_lm" ->
       s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS tok FROM documents),
          |tf AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok),
@@ -182,6 +219,18 @@ object Curation {
          |  CAST(min(ppb) AS BIGINT) AS min_tok_ppb
          |FROM t JOIN f USING (tok)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "cur_verdict" ->
+      s"""WITH d AS (SELECT doc_id, component, is_kept AS dedup_keep
+         |  FROM (${Dedup.oracle("dd_decisions")})),
+         |g AS (SELECT doc_id, keep AS gopher_keep FROM ($gopherSql)),
+         |c AS (SELECT DISTINCT doc_id FROM (${TextOps.oracle("tx_contamination")}))
+         |SELECT d.doc_id, d.component, d.dedup_keep, g.gopher_keep,
+         |  CAST(CASE WHEN c.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT) AS contaminated,
+         |  CAST(CASE WHEN d.doc_id % ${TextOps.BenchMod} = 0 THEN 1 ELSE 0 END AS BIGINT) AS is_bench,
+         |  CAST(CASE WHEN d.dedup_keep = 1 AND g.gopher_keep = 1 AND c.doc_id IS NULL
+         |    AND d.doc_id % ${TextOps.BenchMod} <> 0 THEN 1 ELSE 0 END AS BIGINT) AS train_keep
+         |FROM d JOIN g USING (doc_id) LEFT JOIN c ON c.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
     "tx_mix" ->
       s"""WITH w AS (
          |  SELECT source, $weightExprDuck AS w, count(*) AS c
