@@ -42,6 +42,15 @@ object Pipeline {
   val defaultStages: Seq[String] =
     Seq("p17_style", "p18_prompts", "p22_dataset", "p23_split", "rw_report")
 
+  /** The pretraining-corpus curation chain: rule gate → dedup decisions →
+    * contamination → the composed per-doc verdict, then mixture resample
+    * and sequence packing of what survives. Every stage is an
+    * oracle-gated `SparkEntry.queries` entry; run with
+    * `Pipeline.run(…, stages = Pipeline.curationStages)`. */
+  val curationStages: Seq[String] =
+    Seq("tx_gopher", "dd_decisions", "tx_contamination", "cur_verdict",
+      "tx_mix", "tx_pack")
+
   final case class StageArtifact(
       run_id: String,
       stage: String,

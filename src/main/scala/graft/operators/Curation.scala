@@ -33,32 +33,40 @@ object Curation {
   val GopherMinStops = 2L
   val GopherMaxSymPpm = 100000L // '#'/'…' symbol-to-word ratio ≤ 0.1
 
+  /** Appends the Gopher rule columns (n_words, awl_centi, n_stops,
+    * sym_ppm, fail_mask, keep) to any relation with a `text` column.
+    * Pure stateless column algebra — the same fragment runs under
+    * Structured Streaming unchanged
+    * ([[graft.streaming.EventStreams.qualityGate]]). */
+  def gopherStats(df: DataFrame): DataFrame = {
+    val t = col("text")
+    df
+      .withColumn("n_words", tokenCount(t).cast("long"))
+      .withColumn("__ns", length(regexp_replace(t, "\\s", "")).cast("long"))
+      .withColumn("n_stops", tokenSetCount(t, TextOps.EnStops).cast("long"))
+      .withColumn("__sym", regexp_count(t, lit("#|\\.\\.\\.")).cast("long"))
+      .withColumn("awl_centi", expr("__ns * 100L div greatest(n_words, 1L)"))
+      .withColumn("sym_ppm", expr("__sym * 1000000L div greatest(n_words, 1L)"))
+      .withColumn("fail_mask", expr(
+        s"""CASE WHEN n_words < $GopherMinWords OR n_words > $GopherMaxWords THEN 1L ELSE 0L END
+           | + CASE WHEN awl_centi < $GopherMinAwlCenti OR awl_centi > $GopherMaxAwlCenti THEN 2L ELSE 0L END
+           | + CASE WHEN n_stops < $GopherMinStops THEN 4L ELSE 0L END
+           | + CASE WHEN sym_ppm > $GopherMaxSymPpm THEN 8L ELSE 0L END""".stripMargin))
+      .withColumn("keep", when(col("fail_mask") === 0L, 1L).otherwise(0L))
+      .drop("__ns", "__sym")
+  }
+
   /** tx_gopher: the Gopher rule gate — word count, mean word length,
     * stopword floor, and symbol-ratio screens, emitted as one integer
     * bitmask of FAILED rules (bit set = rule violated) plus the keep
     * flag. Map-only single pass, one native tokenization; at 100 TB this
     * is the cheapest gate in the suite and runs first in the curation
     * chain, ahead of everything that shuffles. */
-  def txGopher(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = col("text")
-    docs(spark, sfDir)
-      .select(col("doc_id"),
-        tokenCount(t).cast("long").as("n_words"),
-        length(regexp_replace(t, "\\s", "")).cast("long").as("__ns"),
-        tokenSetCount(t, TextOps.EnStops).cast("long").as("n_stops"),
-        regexp_count(t, lit("#|\\.\\.\\.")).cast("long").as("__sym"))
-      .selectExpr("doc_id", "n_words",
-        "__ns * 100L div greatest(n_words, 1L) AS awl_centi",
-        "n_stops",
-        "__sym * 1000000L div greatest(n_words, 1L) AS sym_ppm")
-      .selectExpr("doc_id", "n_words", "awl_centi", "n_stops", "sym_ppm",
-        s"""CASE WHEN n_words < $GopherMinWords OR n_words > $GopherMaxWords THEN 1L ELSE 0L END
-           | + CASE WHEN awl_centi < $GopherMinAwlCenti OR awl_centi > $GopherMaxAwlCenti THEN 2L ELSE 0L END
-           | + CASE WHEN n_stops < $GopherMinStops THEN 4L ELSE 0L END
-           | + CASE WHEN sym_ppm > $GopherMaxSymPpm THEN 8L ELSE 0L END AS fail_mask""".stripMargin)
-      .withColumn("keep", when(col("fail_mask") === 0L, 1L).otherwise(0L))
+  def txGopher(spark: SparkSession, sfDir: String): DataFrame =
+    gopherStats(docs(spark, sfDir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_words"), col("awl_centi"), col("n_stops"),
+        col("sym_ppm"), col("fail_mask"), col("keep"))
       .orderBy(col("doc_id"))
-  }
 
   /** tx_unigram_lm: unigram-LM document scoring — each document's mean
     * and minimum corpus token frequency (parts-per-billion of all token

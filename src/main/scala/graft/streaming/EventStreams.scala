@@ -212,6 +212,17 @@ object EventStreams {
       .drop("__bench_sh")
   }
 
+  /** Streaming quality gate at INGEST — the stateless streaming form of
+    * batch tx_gopher: the same Gopher rule column algebra
+    * ([[graft.operators.Curation.gopherStats]] — one shared definition,
+    * so the batch gate and the stream gate cannot drift), applied to each
+    * document as it arrives. No watermark, no state store, no shuffle —
+    * per-record decide-and-tag, so it composes ahead of the stateful
+    * stages (dedup, near-dup, sessionize) exactly like the batch curation
+    * chain runs the rule gate first. */
+  def qualityGate(docs: DataFrame): DataFrame =
+    graft.operators.Curation.gopherStats(docs)
+
   /** Streaming near-dup state bounds: per-bucket candidate cap (recency
     * window — a hot boilerplate bucket keeps only its newest [[BucketCap]]
     * docs, trading recall on stale entries for bounded state, the right

@@ -30,6 +30,22 @@ class PipelineSpec extends SparkSpec {
     assert(!Pipeline.validateArtifact(spark, s"$out/t1/never_ran", Seq("doc_id")))
   }
 
+  test("curation preset runs end-to-end and the verdict artifact gates the corpus") {
+    val out = Files.createTempDirectory("graft_pipeline_cur").toString
+    val manifest = Pipeline.run(spark, sfDir, out, "t5", Pipeline.curationStages).collect()
+    assert(manifest.map(_.getAs[String]("stage")).toSeq == Pipeline.curationStages)
+    assert(manifest.forall(_.getAs[Long]("rows") > 0))
+    // The verdict artifact is a full-corpus decision table with a
+    // non-trivial keep/drop split, consumable via the contract check.
+    assert(Pipeline.validateArtifact(spark, s"$out/t5/cur_verdict",
+      Seq("doc_id", "train_keep")))
+    val verdict = spark.read.parquet(s"$out/t5/cur_verdict")
+    val nDocs = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(verdict.count() == nDocs)
+    val kept = verdict.filter(org.apache.spark.sql.functions.col("train_keep") === 1L).count()
+    assert(kept > 0 && kept < nDocs)
+  }
+
   test("incremental re-run skips every unchanged stage; non-incremental re-runs") {
     val out = Files.createTempDirectory("graft_pipeline_inc").toString
     val stages = Seq("p17_style", "p18_prompts")

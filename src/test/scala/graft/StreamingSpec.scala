@@ -320,6 +320,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming qualityGate matches batch tx_gopher over the real documents table") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocEvent
+    val batch = graft.operators.Curation.txGopher(spark, sfDir)
+      .select("doc_id", "fail_mask", "keep")
+      .as[(Long, Long, Long)].collect().toSet
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), lit(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")).as("ts"),
+        col("text"))
+      .as[DocEvent].collect()
+    val in = MemoryStream[DocEvent]
+    val q = EventStreams.qualityGate(in.toDS().toDF())
+      .writeStream.format("memory").queryName("quality_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("quality_gate")
+        .select("doc_id", "fail_mask", "keep")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("contaminationGate flags benchmark-overlapping docs statelessly") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions._
