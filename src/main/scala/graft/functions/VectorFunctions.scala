@@ -42,4 +42,13 @@ object VectorFunctions {
 
   def l2SqSql(a: String, b: String, dim: Int = 64): String =
     (1 to dim).map(j => s"($a[$j]-$b[$j])*($a[$j]-$b[$j])").mkString(" + ")
+
+  /** int8 scalar-quantized dot mirror ([[Kernels.sq8Dot]]): exact integer
+    * arithmetic, so no accumulation-order caveat applies — a lambda-list
+    * form is fine where the float mirrors must unroll. */
+  def sq8Sql(a: String, b: String, dim: Int = 64): String =
+    s"""CAST(list_sum(list_transform(range(1, ${dim + 1}), i ->
+       |      CAST(floor(GREATEST(-1.0, LEAST(1.0, $a[i]))*127 + 0.5) AS BIGINT)
+       |      * CAST(floor(GREATEST(-1.0, LEAST(1.0, $b[i]))*127 + 0.5) AS BIGINT)))
+       |      AS BIGINT)""".stripMargin
 }

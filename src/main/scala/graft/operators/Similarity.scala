@@ -115,15 +115,45 @@ object Similarity {
     val cand = vecs(spark, sfDir)
       .join(broadcast(queriesDf(spark, sfDir)), col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), sq8Dot(col("qv"), col("v")).as("dot_q"))
+    topKByDot(cand, TopK)
+  }
+
+  /** Two-phase top-k on the integer sq8 score (same shape as
+    * [[topKPerQuery]], ordered by `dot_q` desc). */
+  private def topKByDot(cand: DataFrame, k: Int): DataFrame = {
     val w1 = Window.partitionBy(col("q_id"), col("pid"))
       .orderBy(col("dot_q").desc, col("vec_id"))
     val w2 = Window.partitionBy(col("q_id"))
       .orderBy(col("dot_q").desc, col("vec_id"))
     cand.withColumn("pid", spark_partition_id())
-      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= TopK)
-      .withColumn("rank", row_number().over(w2).cast("long")).filter(col("rank") <= TopK)
+      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
+      .withColumn("rank", row_number().over(w2).cast("long")).filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("vec_id"), col("dot_q"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** ss_ivf_sq8: IVF coarse quantizer + int8 fine scoring — the classic
+    * production ANN composition (FAISS's IVF,SQ8 index re-expressed as a
+    * plan): queries probe their [[NProbe]] nearest centroids (float L2,
+    * broadcast centroid array), and only the probed buckets' vectors are
+    * scored, with the integer sq8 dot. At 100 TB the corpus is stored
+    * bucketed by cluster at 1 byte/dim: the probe prunes the scan to
+    * ~NProbe/K of the data AND each scanned byte is 4× cheaper than
+    * float32 — the two savings compose. */
+  def ssIvfSq8(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.sq8Dot
+    val centArr = centroidsDf(spark, sfDir)
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    val probes = queriesDf(spark, sfDir).crossJoin(broadcast(centArr))
+      .withColumn("probe", explode(slice(array_sort(transform(col("cents"),
+        c => struct(l2SqDist(col("qv"), c.getField("cv")).as("d"), c.getField("c_id").as("c_id")))),
+        1, NProbe)))
+      .select(col("q_id"), col("qv"), col("probe.c_id").as("cluster"))
+    val cand = assignments(spark, sfDir)
+      .join(broadcast(probes), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), sq8Dot(col("qv"), col("v")).as("dot_q"))
+    topKByDot(cand, TopK)
   }
 
   /** Nearest-centroid assignment as a map-only pass: the centroid set is
@@ -336,6 +366,7 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_brute_topk"      -> (ssBruteTopk _),
     "ss_sq8_topk"        -> (ssSq8Topk _),
+    "ss_ivf_sq8"         -> (ssIvfSq8 _),
     "ss_ivf_topk"        -> (ssIvfTopk _),
     "ss_ivf_trained"     -> (ssIvfTrained _),
     "ss_lsh_topk"        -> (ssLshTopk _),
@@ -375,12 +406,25 @@ object Similarity {
     "ss_sq8_topk" ->
       s"""WITH $eCte, $qCte,
          |cand AS (
-         |  SELECT q_id, vec_id,
-         |    CAST(list_sum(list_transform(range(1, ${Dim + 1}), i ->
-         |      CAST(floor(GREATEST(-1.0, LEAST(1.0, qv[i]))*127 + 0.5) AS BIGINT)
-         |      * CAST(floor(GREATEST(-1.0, LEAST(1.0, v[i]))*127 + 0.5) AS BIGINT)))
-         |      AS BIGINT) AS dot_q
+         |  SELECT q_id, vec_id, ${sq8Sql("qv", "v")} AS dot_q
          |  FROM q CROSS JOIN e WHERE vec_id != q_id),
+         |r AS (SELECT q_id, vec_id, dot_q,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, vec_id) AS rank
+         |  FROM cand)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, dot_q
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ss_ivf_sq8" ->
+      s"""WITH $eCte, $qCte, $cCte,
+         |$asgCte,
+         |probes AS (
+         |  SELECT q_id, qv, c_id AS cluster FROM (
+         |    SELECT q.q_id, q.qv, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${l2SqSql("q.qv", "c.cv")}, c.c_id) AS rn
+         |    FROM q CROSS JOIN c) WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id, ${sq8Sql("p.qv", "a.v")} AS dot_q
+         |  FROM probes p JOIN asg a USING (cluster) WHERE a.vec_id != p.q_id),
          |r AS (SELECT q_id, vec_id, dot_q,
          |    row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, vec_id) AS rank
          |  FROM cand)
