@@ -42,11 +42,15 @@ object Pipeline {
   val defaultStages: Seq[String] =
     Seq("p17_style", "p18_prompts", "p22_dataset", "p23_split", "rw_report")
 
-  /** The pretraining-corpus curation chain: rule gate → dedup decisions →
-    * contamination → the composed per-doc verdict, then mixture resample
-    * and sequence packing of what survives. Every stage is an
-    * oracle-gated `SparkEntry.queries` entry; run with
-    * `Pipeline.run(…, stages = Pipeline.curationStages)`. */
+  /** The pretraining-corpus curation chain: rule gate, dedup decisions,
+    * contamination, the composed per-doc verdict, mixture resample,
+    * sequence packing. Each stage is an INDEPENDENT full-corpus query
+    * (oracle-gated `SparkEntry.queries` entries) writing its own
+    * artifact; the cur_verdict artifact is the drop-list — a consumer
+    * filters tx_mix/tx_pack output on `train_keep = 1` (they are not
+    * pre-filtered, and cur_verdict re-evaluates its inputs rather than
+    * reading the sibling artifacts — acceptable at harness scale, while
+    * a 100 TB run would persist each stage once and join artifacts). */
   val curationStages: Seq[String] =
     Seq("tx_gopher", "dd_decisions", "tx_contamination", "cur_verdict",
       "tx_mix", "tx_pack")

@@ -491,14 +491,21 @@ object Kernels {
     * sq8 path can hash-match a DuckDB mirror while staying the memory-
     * bandwidth-cheap scan shape (1 byte/dim vs 4) a 100 TB ANN sweep
     * wants. */
+  // NaN clips HIGH (code 127): both mirror dialects order NaN greater
+  // than every number (Spark least/greatest, DuckDB LEAST/GREATEST), so
+  // their clip chains yield 1.0 for a NaN coordinate — but math.min/max
+  // PROPAGATE NaN, whose toLong is 0. Without this branch a corrupt
+  // float diverges the engines by 127 codes and breaks the hash gate.
+  private def q8(x: Double): Long =
+    if (x.isNaN) 127L
+    else math.floor(math.max(-1.0, math.min(1.0, x)) * 127.0 + 0.5).toLong
+
   def sq8Dot(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Long = {
     var acc = 0L
     var i = 0
     val n = sameDim(a, b)
     while (i < n) {
-      val qa = math.floor(math.max(-1.0, math.min(1.0, at(a, i, aFloat))) * 127.0 + 0.5).toLong
-      val qb = math.floor(math.max(-1.0, math.min(1.0, at(b, i, bFloat))) * 127.0 + 0.5).toLong
-      acc += qa * qb
+      acc += q8(at(a, i, aFloat)) * q8(at(b, i, bFloat))
       i += 1
     }
     acc

@@ -179,13 +179,11 @@ object Curation {
     "tx_mix"        -> (txMix _),
     "cur_verdict"   -> (curVerdict _))
 
-  private val sqlTokens =
-    "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
-
-  private def sqlStopHits: String = {
-    val lst = TextOps.EnStops.map(s => s"'$s'").mkString("[", ", ", "]")
-    s"length(list_filter($sqlTokens, t -> list_contains($lst, t)))"
-  }
+  // DuckDB mirrors of the shared tokenizer — ONE definition in TextOps:
+  // these expressions must match the native wordTokens/tokenSetCount
+  // kernels exactly, so Curation reuses them rather than re-spelling.
+  private def sqlTokens = TextOps.sqlTokens
+  private def sqlStopHits = TextOps.sqlTokenHits(TextOps.EnStops)
 
   private val gopherSql =
     s"""WITH q AS (

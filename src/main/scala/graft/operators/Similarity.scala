@@ -78,18 +78,31 @@ object Similarity {
   /** Per-(query, partition) partial top-k, then exact global top-k over
     * the ≤ k·numPartitions survivors. Phase-1 shuffle keys are
     * (q_id, partition) — parallelism scales with the scan, not |Q|. */
-  private def topKPerQuery(cand: DataFrame, k: Int): DataFrame = {
+  private def topKBy(cand: DataFrame, k: Int, score: Column, outScore: Column): DataFrame = {
     val w1 = Window.partitionBy(col("q_id"), col("pid"))
-      .orderBy(col("cos").desc, col("vec_id"))
+      .orderBy(score.desc, col("vec_id"))
     val w2 = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("vec_id"))
+      .orderBy(score.desc, col("vec_id"))
     cand.withColumn("pid", spark_partition_id())
       .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
       .withColumn("rank", row_number().over(w2).cast("long")).filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id"),
-        round(col("cos") * 1000000, 0).cast("long").as("cos_ppm"))
+      .select(col("q_id"), col("rank"), col("vec_id"), outScore)
       .orderBy(col("q_id"), col("rank"))
   }
+
+  private def topKPerQuery(cand: DataFrame, k: Int): DataFrame =
+    topKBy(cand, k, col("cos"), round(col("cos") * 1000000, 0).cast("long").as("cos_ppm"))
+
+  /** Probe set for the IVF variants: each query's [[NProbe]] nearest
+    * centroids from the broadcast centroid array (one definition — the
+    * float-cosine, sq8, and trained variants must tie-break probes
+    * identically or their oracles desynchronize). */
+  private def probeClusters(spark: SparkSession, sfDir: String, centArr: DataFrame): DataFrame =
+    queriesDf(spark, sfDir).crossJoin(broadcast(centArr))
+      .withColumn("probe", explode(slice(array_sort(transform(col("cents"),
+        c => struct(l2SqDist(col("qv"), c.getField("cv")).as("d"), c.getField("c_id").as("c_id")))),
+        1, NProbe)))
+      .select(col("q_id"), col("qv"), col("probe.c_id").as("cluster"))
 
   /** ss_brute_topk: exact cosine top-k per query over the full corpus. */
   def ssBruteTopk(spark: SparkSession, sfDir: String): DataFrame = {
@@ -118,19 +131,9 @@ object Similarity {
     topKByDot(cand, TopK)
   }
 
-  /** Two-phase top-k on the integer sq8 score (same shape as
-    * [[topKPerQuery]], ordered by `dot_q` desc). */
-  private def topKByDot(cand: DataFrame, k: Int): DataFrame = {
-    val w1 = Window.partitionBy(col("q_id"), col("pid"))
-      .orderBy(col("dot_q").desc, col("vec_id"))
-    val w2 = Window.partitionBy(col("q_id"))
-      .orderBy(col("dot_q").desc, col("vec_id"))
-    cand.withColumn("pid", spark_partition_id())
-      .withColumn("r1", row_number().over(w1)).filter(col("r1") <= k)
-      .withColumn("rank", row_number().over(w2).cast("long")).filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("vec_id"), col("dot_q"))
-      .orderBy(col("q_id"), col("rank"))
-  }
+  /** Two-phase top-k on the integer sq8 score. */
+  private def topKByDot(cand: DataFrame, k: Int): DataFrame =
+    topKBy(cand, k, col("dot_q"), col("dot_q"))
 
   /** ss_ivf_sq8: IVF coarse quantizer + int8 fine scoring — the classic
     * production ANN composition (FAISS's IVF,SQ8 index re-expressed as a
@@ -144,13 +147,8 @@ object Similarity {
     import graft.functions.NativeExpressions.sq8Dot
     val centArr = centroidsDf(spark, sfDir)
       .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
-    val probes = queriesDf(spark, sfDir).crossJoin(broadcast(centArr))
-      .withColumn("probe", explode(slice(array_sort(transform(col("cents"),
-        c => struct(l2SqDist(col("qv"), c.getField("cv")).as("d"), c.getField("c_id").as("c_id")))),
-        1, NProbe)))
-      .select(col("q_id"), col("qv"), col("probe.c_id").as("cluster"))
     val cand = assignments(spark, sfDir)
-      .join(broadcast(probes), Seq("cluster"))
+      .join(broadcast(probeClusters(spark, sfDir, centArr)), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), sq8Dot(col("qv"), col("v")).as("dot_q"))
     topKByDot(cand, TopK)
@@ -177,13 +175,8 @@ object Similarity {
   def ssIvfTopk(spark: SparkSession, sfDir: String): DataFrame = {
     val centArr = centroidsDf(spark, sfDir)
       .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
-    val probes = queriesDf(spark, sfDir).crossJoin(broadcast(centArr))
-      .withColumn("probe", explode(slice(array_sort(transform(col("cents"),
-        c => struct(l2SqDist(col("qv"), c.getField("cv")).as("d"), c.getField("c_id").as("c_id")))),
-        1, NProbe)))
-      .select(col("q_id"), col("qv"), col("probe.c_id").as("cluster"))
     val cand = assignments(spark, sfDir)
-      .join(broadcast(probes), Seq("cluster"))
+      .join(broadcast(probeClusters(spark, sfDir, centArr)), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosineSim(col("qv"), col("v")).as("cos"))
     topKPerQuery(cand, TopK)
@@ -263,12 +256,7 @@ object Similarity {
       .withColumn("best",
         graft.functions.NativeExpressions.argminL2(col("v"), col("cents")))
       .select(col("vec_id"), col("v"), col("best.c_id").as("cluster"))
-    val probes = queriesDf(spark, sfDir).crossJoin(broadcast(centArr))
-      .withColumn("probe", explode(slice(array_sort(transform(col("cents"),
-        c => struct(l2SqDist(col("qv"), c.getField("cv")).as("d"), c.getField("c_id").as("c_id")))),
-        1, NProbe)))
-      .select(col("q_id"), col("qv"), col("probe.c_id").as("cluster"))
-    val cand = asg.join(broadcast(probes), Seq("cluster"))
+    val cand = asg.join(broadcast(probeClusters(spark, sfDir, centArr)), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosineSim(col("qv"), col("v")).as("cos"))
     topKPerQuery(cand, TopK)

@@ -24,7 +24,7 @@ object TextOps {
   val DeStops = Seq("der", "die", "das", "und", "ist", "ein")
   val FrStops = Seq("le", "la", "les", "et", "des", "un")
 
-  private def sqlTokenHits(set: Seq[String]): String = {
+  private[operators] def sqlTokenHits(set: Seq[String]): String = {
     val lst = set.map(s => s"'$s'").mkString("[", ", ", "]")
     s"length(list_filter(list_filter(regexp_split_to_array(text, '\\s+'), x -> x != ''), t -> list_contains($lst, t)))"
   }
@@ -302,7 +302,7 @@ object TextOps {
     "tx_readability"  -> (txReadability _),
     "tx_fingerprint"  -> (txFingerprint _))
 
-  private val sqlTokens =
+  private[operators] val sqlTokens =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 
   val oracle: Map[String, String] = Map(

@@ -135,16 +135,23 @@ class NativeExpressionsSpec extends SparkSpec {
       .filter(not(col("hof") <=> col("native")))
       .count()
     assert(diff == 0)
-    // out-of-range + negative-half coordinates: clip to ±127, floor(v+0.5)
-    // half-UP rounding (math.round/DuckDB round() both disagree on -0.5)
-    val edge = Seq((Seq(2.0, -2.0, 0.0039370078740157480d, -0.0039370078740157480d),
-      Seq(1.0, 1.0, 1.0, 1.0))).toDF("a", "b")
+    // out-of-range + negative-half + NaN coordinates: clip to ±127,
+    // floor(v+0.5) half-UP rounding (math.round/DuckDB round() both
+    // disagree on -0.5), NaN clips HIGH to 127 (Spark least/greatest and
+    // DuckDB LEAST/GREATEST both order NaN greatest — math.min/max would
+    // propagate it to code 0 and diverge the engines)
+    val edge = Seq((Seq(2.0, -2.0, 0.0039370078740157480d, -0.0039370078740157480d, Double.NaN),
+      Seq(1.0, 1.0, 1.0, 1.0, 1.0))).toDF("a", "b")
     val got = edge.select(
       graft.functions.NativeExpressions.sq8Dot(col("a"), col("b"))).as[Long].head()
     // b quantizes to 127 per slot; a: clip(2)=127, clip(-2)=-127,
-    // ±(0.5/127) → floor(±0.5 + 0.5) = 1 and 0 (half-UP, not half-away)
-    // ⇒ 127·127 − 127·127 + 1·127 + 0·127 = 127
-    assert(got == 127L)
+    // ±(0.5/127) → floor(±0.5 + 0.5) = 1 and 0 (half-UP, not half-away),
+    // NaN → 127 ⇒ 127·127 − 127·127 + 1·127 + 0·127 + 127·127 = 16256
+    assert(got == 16256L)
+    // and the HOF least/greatest chain agrees on the NaN row
+    val hofEdge = edge.select(aggregate(
+      zip_with(quant(col("a")), quant(col("b")), _ * _), lit(0L), _ + _)).as[Long].head()
+    assert(hofEdge == 16256L)
   }
 
   test("simHash32 == HOF simhash chain") {
