@@ -139,6 +139,44 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** tx_bigram_lm: bigram conditional-frequency scoring — for each
+    * adjacent token pair (a,b), cond_ppb = count(ab)·10⁹ div count(a)
+    * (integer-exact occurrence counts), aggregated per document as mean
+    * and min. The order-sensitive complement to [[txUnigramLm]]: a doc of
+    * common words in an improbable ORDER (shuffled boilerplate, spam
+    * keyword-stuffing) scores low here while unigram scoring cannot see
+    * it. Docs with < 2 tokens have no bigrams and are absent, as in the
+    * mirror.
+    *
+    * Scale shape: both frequency tables aggregate with map-side combine
+    * (shuffle ∝ unigram/bigram vocabulary) and broadcast onto the bigram
+    * posting stream — corpus scans stay map-only. A web-scale bigram
+    * vocabulary can exceed the broadcast cap; the fallback is the same
+    * plan with a shuffle join on the bigram key, which AQE can
+    * skew-split (a join, not a window — the round-4 posting-list
+    * lesson). */
+  def txBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = docs(spark, sfDir).select(col("doc_id"), tokens(col("text")).as("toks"))
+    val bg = toks.filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("bg"))
+    val tfa = toks.select(explode(col("toks")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tfa"))
+    val tfab = bg.groupBy(col("bg")).agg(count(lit(1)).as("tfab"))
+    bg.join(broadcast(tfab), "bg")
+      .withColumn("tok", element_at(split(col("bg"), " "), 1))
+      .join(broadcast(tfa), "tok")
+      .selectExpr("doc_id", "tfab * 1000000000L div tfa AS cond_ppb")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("cond_ppb")).as("__sum"), min(col("cond_ppb")).as("min_cond_ppb"))
+      .selectExpr("doc_id", "n_bigrams",
+        "__sum div n_bigrams AS avg_cond_ppb", "min_cond_ppb")
+      .orderBy(col("doc_id"))
+  }
+
   /** cur_verdict: the per-document END-TO-END curation verdict — the
     * drop-list a training pipeline actually consumes. Composes the
     * oracle-gated stages: near-dup dedup decision ([[Dedup.ddDecisions]]),
@@ -176,6 +214,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_gopher"     -> (txGopher _),
     "tx_unigram_lm" -> (txUnigramLm _),
+    "tx_bigram_lm"  -> (txBigramLm _),
     "tx_mix"        -> (txMix _),
     "cur_verdict"   -> (curVerdict _))
 
@@ -225,6 +264,21 @@ object Curation {
          |  CAST(min(ppb) AS BIGINT) AS min_tok_ppb
          |FROM t JOIN f USING (tok)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tx_bigram_lm" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+         |bg AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1]))) AS bg
+         |  FROM t WHERE len(toks) >= 2),
+         |tfa AS (SELECT tok, count(*) AS tfa
+         |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+         |tfab AS (SELECT bg, count(*) AS tfab FROM bg GROUP BY bg),
+         |j AS (SELECT b.doc_id, CAST(ab.tfab * 1000000000 // a.tfa AS BIGINT) AS cond_ppb
+         |  FROM bg b JOIN tfab ab USING (bg)
+         |  JOIN tfa a ON a.tok = string_split(b.bg, ' ')[1])
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+         |  CAST(sum(cond_ppb) // count(*) AS BIGINT) AS avg_cond_ppb,
+         |  CAST(min(cond_ppb) AS BIGINT) AS min_cond_ppb
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "cur_verdict" ->
       s"""WITH d AS (SELECT doc_id, component, is_kept AS dedup_keep
          |  FROM (${Dedup.oracle("dd_decisions")})),
