@@ -40,6 +40,7 @@ object SparkEntry {
     "q_retention"     -> (Analytics.retention _),
     "q_events_window" -> (Analytics.eventsWindowed _),
     "q_rollup"        -> (Analytics.rollupRevenue _),
+    "q_cube"          -> (Analytics.cubeRevenue _),
     "q_decile"        -> (Analytics.decileSpend _),
     "q_market_basket" -> (Analytics.marketBasket _),
   )
@@ -179,6 +180,14 @@ object SparkEntry {
         |  CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY ROLLUP (o_orderpriority, l_returnflag)
+        |ORDER BY gid, o_orderpriority, l_returnflag""".stripMargin,
+    "q_cube" ->
+      """SELECT o_orderpriority, l_returnflag,
+        |  CAST(GROUPING(o_orderpriority, l_returnflag) AS BIGINT) AS gid,
+        |  count(*) AS n,
+        |  CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY CUBE (o_orderpriority, l_returnflag)
         |ORDER BY gid, o_orderpriority, l_returnflag""".stripMargin,
     "q_decile" ->
       """WITH spend AS (

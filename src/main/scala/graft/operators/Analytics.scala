@@ -123,6 +123,24 @@ object Analytics {
       .orderBy(col("gid"), col("o_orderpriority"), col("l_returnflag"))
   }
 
+  /** q_cube: full CUBE over (priority, returnflag) — all four grains
+    * (detail, per-priority, per-flag, grand total) in ONE pass: Spark
+    * expands the grouping sets below a single shuffle-aggregate (Expand
+    * + partial agg), so the cube costs one scan + one exchange, not four
+    * queries; the GROUPING bitmask identifies each grain exactly as in
+    * [[rollupRevenue]]. */
+  def cubeRevenue(spark: SparkSession, sfDir: String): DataFrame = {
+    val ord = Tables.orders(spark, sfDir).select("o_orderkey", "o_orderpriority")
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice", "l_discount")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .cube(col("o_orderpriority"), col("l_returnflag"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"),
+        cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .orderBy(col("gid"), col("o_orderpriority"), col("l_returnflag"))
+  }
+
   /** q_decile: customer-spend deciles with exact SQL NTILE semantics but
     * NO single-task global window. repartitionByRange totally orders the
     * partitions; the global rank is the per-partition row_number plus a

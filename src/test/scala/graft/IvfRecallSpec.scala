@@ -40,6 +40,20 @@ class IvfRecallSpec extends SparkSpec {
       s"trained recall $trained regressed far below seeded $seeded")
   }
 
+  test("sq8 quantization keeps near-exact recall vs the float brute ranking") {
+    // sq8 scans the FULL corpus (no probing) — its only loss is 8-bit
+    // quantization noise reordering near-ties, so recall@5 should sit
+    // near 1.0, far above any probed index. Deterministic at sf0.001.
+    val r = recallOf(Similarity.ssSq8Topk(spark, sfDir))
+    assert(r >= 0.8, s"sq8 recall@5 = $r")
+    // and the IVF-SQ8 composition loses only the probe fraction, not
+    // more than quantization + probing together
+    val ivfFloat = recallOf(Similarity.ssIvfTopk(spark, sfDir))
+    val ivfSq8 = recallOf(Similarity.ssIvfSq8(spark, sfDir))
+    assert(ivfSq8 >= ivfFloat - 0.1,
+      s"IVF-SQ8 recall $ivfSq8 far below float IVF $ivfFloat")
+  }
+
   test("multi-table LSH recall@5 beats or matches the single-table probe") {
     val single = recallOf(Similarity.ssLshTopk(spark, sfDir))
     val multi = recallOf(Similarity.ssMultiprobeLsh(spark, sfDir))
