@@ -511,6 +511,39 @@ object Kernels {
     acc
   }
 
+  /** Intra-document n-gram repetition in ONE text pass: per-n-gram
+    * occurrence counts (space-joined adjacent tokens — the same n-grams
+    * the SQL mirror's unnest + GROUP BY builds) reduced to (total
+    * occurrences, occurrences of the most frequent n-gram, occurrences
+    * belonging to n-grams seen ≥ 2 times). Gopher's duplicate-n-gram
+    * screens as a map-only kernel: the relational form shuffles every
+    * (doc, n-gram) posting; this never shuffles at all. Fewer than n
+    * tokens → all zeros (callers filter or guard the division). */
+  def ngramRepetition(text: UTF8String, n: Int): InternalRow = {
+    val toks = tokenize(text.toString)
+    val total = toks.length - n + 1
+    if (total <= 0) return new GenericInternalRow(Array[Any](0L, 0L, 0L))
+    val counts = new java.util.HashMap[String, Integer]()
+    var i = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      counts.merge(sb.toString, Integer.valueOf(1),
+        (a: Integer, b: Integer) => Integer.valueOf(a.intValue + b.intValue))
+      i += 1
+    }
+    var top = 0L
+    var dup = 0L
+    val it = counts.values().iterator()
+    while (it.hasNext) {
+      val c = it.next().longValue
+      if (c > top) top = c
+      if (c >= 2) dup += c
+    }
+    new GenericInternalRow(Array[Any](total.toLong, top, dup))
+  }
+
   def l2Sq(a: ArrayData, b: ArrayData, aFloat: Boolean, bFloat: Boolean): Double = {
     var acc = 0.0
     var i = 0

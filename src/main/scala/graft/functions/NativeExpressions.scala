@@ -277,6 +277,25 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$K.rewardStats($c)")
   }
 
+  /** Intra-doc n-gram repetition stats — see [[Kernels.ngramRepetition]].
+    * Struct fields: total / top / dup n-gram occurrence counts. */
+  case class NgramRepetition(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkString(prettyName, child)
+    override def dataType: DataType = StructType(Seq(
+      StructField("total", LongType, nullable = false),
+      StructField("top", LongType, nullable = false),
+      StructField("dup", LongType, nullable = false)))
+    override def prettyName: String = "ngram_repetition"
+    override protected def withNewChildInternal(newChild: Expression): NgramRepetition =
+      copy(child = newChild)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.ngramRepetition(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.ngramRepetition($c, $n)")
+  }
+
   private def isFloatArr(e: Expression): Boolean =
     e.dataType.asInstanceOf[ArrayType].elementType match {
       case FloatType => true
@@ -450,4 +469,7 @@ object NativeExpressions {
 
   def sq8Dot(a: Column, b: Column): Column =
     ColumnBridge.column(Sq8Dot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def ngramRepetition(c: Column, n: Int): Column =
+    ColumnBridge.column(NgramRepetition(ColumnBridge.expression(c), n))
 }

@@ -139,6 +139,33 @@ object Curation {
       .orderBy(col("doc_id"))
   }
 
+  /** tx_repetition: intra-document duplicate-n-gram screens (the Gopher
+    * rules the corpus-level ops can't see — a doc that repeats ITSELF):
+    * for n ∈ {2,3}, the fraction of n-gram occurrences belonging to the
+    * single most frequent n-gram (top) and to any n-gram appearing ≥
+    * twice (dup), integer ppm. Runs as one map-only native kernel pass
+    * per n ([[graft.functions.NativeExpressions.ngramRepetition]]) — the
+    * relational formulation shuffles every (doc, n-gram) posting, this
+    * shuffles nothing. Docs with < 2 tokens have no bigrams and are
+    * absent (mirror omits them the same way); 2-token docs report
+    * n_trigrams = 0 with guarded divisions. */
+  def txRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.ngramRepetition
+    docs(spark, sfDir)
+      .select(col("doc_id"),
+        ngramRepetition(col("text"), 2).as("__r2"),
+        ngramRepetition(col("text"), 3).as("__r3"))
+      .filter(col("__r2.total") > 0)
+      .selectExpr("doc_id",
+        "__r2.total AS n_bigrams",
+        "__r2.top * 1000000L div __r2.total AS top2_ppm",
+        "__r2.dup * 1000000L div __r2.total AS dup2_ppm",
+        "__r3.total AS n_trigrams",
+        "__r3.top * 1000000L div greatest(__r3.total, 1L) AS top3_ppm",
+        "__r3.dup * 1000000L div greatest(__r3.total, 1L) AS dup3_ppm")
+      .orderBy(col("doc_id"))
+  }
+
   /** tx_bigram_lm: bigram conditional-frequency scoring — for each
     * adjacent token pair (a,b), cond_ppb = count(ab)·10⁹ div count(a)
     * (integer-exact occurrence counts), aggregated per document as mean
@@ -215,6 +242,7 @@ object Curation {
     "tx_gopher"     -> (txGopher _),
     "tx_unigram_lm" -> (txUnigramLm _),
     "tx_bigram_lm"  -> (txBigramLm _),
+    "tx_repetition" -> (txRepetition _),
     "tx_mix"        -> (txMix _),
     "cur_verdict"   -> (curVerdict _))
 
@@ -264,6 +292,32 @@ object Curation {
          |  CAST(min(ppb) AS BIGINT) AS min_tok_ppb
          |FROM t JOIN f USING (tok)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tx_repetition" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+         |b2 AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks)), i -> concat(toks[i], ' ', toks[i+1]))) AS g
+         |  FROM t WHERE len(toks) >= 2),
+         |c2 AS (SELECT doc_id, g, count(*) AS c FROM b2 GROUP BY doc_id, g),
+         |a2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+         |    CAST(max(c) AS BIGINT) AS top2,
+         |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup2
+         |  FROM c2 GROUP BY doc_id),
+         |b3 AS (SELECT doc_id,
+         |    unnest(list_transform(range(1, len(toks) - 1), i -> concat(toks[i], ' ', toks[i+1], ' ', toks[i+2]))) AS g
+         |  FROM t WHERE len(toks) >= 3),
+         |c3 AS (SELECT doc_id, g, count(*) AS c FROM b3 GROUP BY doc_id, g),
+         |a3 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_trigrams,
+         |    CAST(max(c) AS BIGINT) AS top3,
+         |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS BIGINT) AS dup3
+         |  FROM c3 GROUP BY doc_id)
+         |SELECT a2.doc_id, n_bigrams,
+         |  CAST(top2 * 1000000 // n_bigrams AS BIGINT) AS top2_ppm,
+         |  CAST(dup2 * 1000000 // n_bigrams AS BIGINT) AS dup2_ppm,
+         |  COALESCE(n_trigrams, 0) AS n_trigrams,
+         |  CAST(COALESCE(top3, 0) * 1000000 // GREATEST(COALESCE(n_trigrams, 0), 1) AS BIGINT) AS top3_ppm,
+         |  CAST(COALESCE(dup3, 0) * 1000000 // GREATEST(COALESCE(n_trigrams, 0), 1) AS BIGINT) AS dup3_ppm
+         |FROM a2 LEFT JOIN a3 USING (doc_id)
+         |ORDER BY a2.doc_id""".stripMargin,
     "tx_bigram_lm" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
          |bg AS (SELECT doc_id,

@@ -154,6 +154,29 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(hofEdge == 16256L)
   }
 
+  test("ngramRepetition == relational explode+groupBy stats") {
+    val docs = (samples ++ Seq("a a a a", "x y x y x"))
+      .toDF("text")
+      .union(spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
+      .withColumn("id", monotonically_increasing_id())
+    val toks = docs.select(col("id"), tokens(col("text")).as("toks"))
+    val rel = toks.filter(size(col("toks")) >= 2)
+      .select(col("id"), explode(zip_with(
+        slice(col("toks"), lit(1), size(col("toks")) - 1),
+        slice(col("toks"), lit(2), size(col("toks")) - 1),
+        (a, b) => concat(a, lit(" "), b))).as("g"))
+      .groupBy("id", "g").count()
+      .groupBy("id").agg(
+        sum("count").as("total"), max("count").as("top"),
+        sum(when(col("count") >= 2, col("count")).otherwise(0L)).as("dup"))
+    val native = docs.select(col("id"),
+      graft.functions.NativeExpressions.ngramRepetition(col("text"), 2).as("r"))
+      .filter(col("r.total") > 0)
+      .select(col("id"), col("r.total").as("total"), col("r.top").as("top"),
+        col("r.dup").as("dup"))
+    assert(native.exceptAll(rel).count() == 0 && rel.exceptAll(native).count() == 0)
+  }
+
   test("simHash32 == HOF simhash chain") {
     val docs = samples.toDF("text")
       .union(spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
