@@ -34,6 +34,7 @@ object SparkEntry {
     "q5_local"        -> (Analytics.q5Local _),
     "q_topk_window"   -> (Analytics.topkWindow _),
     "q_events_funnel" -> (Analytics.eventsFunnel _),
+    "q_funnel_steps"  -> (Analytics.funnelSteps _),
     "q_sessionize"    -> (Analytics.sessionize _),
     "q_asof_join"     -> (Analytics.asofJoin _),
     "q_range_join"    -> (Analytics.rangeJoin _),
@@ -103,6 +104,23 @@ object SparkEntry {
         |  count(DISTINCT user_id) AS n_users,
         |  CAST(round(sum(value)*100, 0) AS BIGINT) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q_funnel_steps" ->
+      s"""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
+        |v AS (SELECT user_id, min(ts) AS t1 FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t2, min(v.t1) AS t1c FROM e JOIN v USING (user_id)
+        |  WHERE event_type = 'click' AND e.ts > v.t1
+        |    AND e.ts <= v.t1 + INTERVAL ${Analytics.FunnelWindowDays} DAYS
+        |  GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t3 FROM e JOIN c USING (user_id)
+        |  WHERE event_type = 'purchase' AND e.ts > c.t2
+        |    AND e.ts <= c.t1c + INTERVAL ${Analytics.FunnelWindowDays} DAYS
+        |  GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |  CAST(CASE WHEN p.t3 IS NOT NULL THEN 3 WHEN c.t2 IS NOT NULL THEN 2
+        |    ELSE 1 END AS BIGINT) AS stage,
+        |  COALESCE(epoch_us(p.t3) - epoch_us(v.t1), 0) AS funnel_us
+        |FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+        |ORDER BY v.user_id""".stripMargin,
     "q_sessionize" ->
       """WITH ev AS (
         |  SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, value FROM events),

@@ -224,6 +224,42 @@ object Analytics {
         cents(sum(col("value"))).as("total_value"))
       .orderBy(col("event_type"))
 
+  /** Funnel completion window: later steps must land within this many
+    * days of the user's first view (the windowFunnel parameter). */
+  val FunnelWindowDays = 7
+
+  /** q_funnel_steps: the ORDERED, WINDOWED funnel (view → click →
+    * purchase, each step strictly after the previous and the whole chain
+    * within [[FunnelWindowDays]] of the first view — windowFunnel
+    * semantics, which q_events_funnel's per-type volumes don't capture):
+    * per user the deepest stage reached and the first-view →
+    * first-qualifying-purchase latency. Three user-keyed aggregates
+    * chained by equi-joins — every shuffle is on user_id
+    * (AQE-splittable), events are scanned once per stage with the
+    * event-type filter pushed to the scan, and no per-user window
+    * orders the full event stream. */
+  def funnelSteps(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.events(spark, sfDir).select(col("user_id"), col("event_type"), col("ts"))
+    val win = expr(s"INTERVAL $FunnelWindowDays DAYS")
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id")
+      .filter(col("ts") > col("t1") && col("ts") <= col("t1") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t2"), min(col("t1")).as("t1c"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id")
+      .filter(col("ts") > col("t2") && col("ts") <= col("t1c") + win)
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+    v.join(c.select(col("user_id"), col("t2")), Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .select(col("user_id"),
+        when(col("t3").isNotNull, 3L).when(col("t2").isNotNull, 2L)
+          .otherwise(1L).as("stage"),
+        coalesce(unix_micros(col("t3")) - unix_micros(col("t1")), lit(0L)).as("funnel_us"))
+      .orderBy(col("user_id"))
+  }
+
   /** Sessionization (30-min inactivity gap): one shuffle on user_id,
     * session bounds via running sum over the gap indicator. */
   def sessionize(spark: SparkSession, sfDir: String): DataFrame = {
