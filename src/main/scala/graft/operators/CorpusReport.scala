@@ -29,12 +29,18 @@ object CorpusReport {
     df.agg(v.cast("long").as("value")).select(lit(name).as("metric"), col("value"))
 
   def ddCorpusReport(spark: SparkSession, sfDir: String): DataFrame = {
-    val exact = Dedup.ddExact(spark, sfDir)
+    // Both exact-dup metrics come out of ONE aggregate over ONE instance
+    // of the ddExact plan (stack unpivots the two values into rows) —
+    // two separate metric() branches would each re-scan and re-shuffle
+    // the fingerprint groupBy.
+    val exactStats = Dedup.ddExact(spark, sfDir)
+      .agg(count(lit(1)).cast("long").as("c"),
+        // docs beyond the first of each fingerprint = rows dedup removes
+        (sum(col("n_docs")) - count(lit(1))).cast("long").as("x"))
+      .selectExpr("stack(2, 'exact_clusters', c, 'exact_extra_copies', x) AS (metric, value)")
     val rows = Seq(
       metric("n_docs", count(lit(1)), Tables.documents(spark, sfDir)),
-      metric("exact_clusters", count(lit(1)), exact),
-      // docs beyond the first of each fingerprint = rows dedup removes
-      metric("exact_extra_copies", sum(col("n_docs")) - count(lit(1)), exact),
+      exactStats,
       metric("minhash_pairs", count(lit(1)), Dedup.ddMinhashLsh(spark, sfDir)),
       metric("simhash_pairs", count(lit(1)), Dedup.ddSimhash(spark, sfDir)),
       metric("ngram_pairs", count(lit(1)), Dedup.ddNgramJaccard(spark, sfDir)),

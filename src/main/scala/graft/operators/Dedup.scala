@@ -29,6 +29,18 @@ object Dedup {
   val P = 4294967291L // largest prime < 2^32
 
   val JaccardThresholdPpm = 200000L // verified-pair cutoff (J >= 0.2)
+
+  /** The 4×8-bit SimHash band keys for a 32-bit fingerprint column — ONE
+    * definition shared by the batch blockers (dd_simhash,
+    * dd_simhash_clusters, dd_components) and the streaming
+    * [[graft.streaming.EventStreams.nearDupPairs]], whose correctness
+    * contract is pair-set equality with the batch operator: a band-shape
+    * change that doesn't propagate everywhere silently breaks
+    * stream/batch parity. */
+  def simhashBandKeys(fp: Column): Column =
+    array((0 until 4).map { b =>
+      concat_ws(":", lit(b), shiftrightunsigned(fp, 8 * b).bitwiseAND(lit(255L)))
+    }: _*)
   val HammingMax = 3                // simhash near-dup radius (of 32 bits)
   val CosineThresholdPpm = 250000L  // embedding near-dup cutoff
   val MaxShingleDf = 100            // stop-shingle cap for the inverted index
@@ -198,9 +210,7 @@ object Dedup {
     // 32×filter-count Column form and the DuckDB mirror)
     val fpDf = Tables.documents(spark, sfDir)
       .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
-    val bandKeys = array((0 until 4).map { b =>
-      concat_ws(":", lit(b), shiftrightunsigned(col("fp"), 8 * b).bitwiseAND(lit(255L)))
-    }: _*)
+    val bandKeys = simhashBandKeys(col("fp"))
     val bands = fpDf.select(col("doc_id"), col("fp"), explode(bandKeys).as("bk"))
     // hamming test lives in the join condition: failed candidates die in
     // the join output instead of flowing through the distinct
@@ -226,9 +236,7 @@ object Dedup {
       .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
     val groups = fpDf.groupBy(col("fp"))
       .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
-    val bandKeys = array((0 until 4).map { b =>
-      concat_ws(":", lit(b), shiftrightunsigned(col("fp"), 8 * b).bitwiseAND(lit(255L)))
-    }: _*)
+    val bandKeys = simhashBandKeys(col("fp"))
     val bands = groups.select(col("fp"), col("rep_id"), col("n_docs"),
       explode(bandKeys).as("bk"))
     bands.as("x").join(bands.as("y"),
@@ -299,9 +307,7 @@ object Dedup {
   /** Iterative min-label propagation over the rep near-dup graph:
     * (rep_id, component). See [[ddComponents]] for the algorithm notes. */
   private def repComponents(groups: DataFrame): DataFrame = {
-    val bandKeys = array((0 until 4).map { b =>
-      concat_ws(":", lit(b), shiftrightunsigned(col("fp"), 8 * b).bitwiseAND(lit(255L)))
-    }: _*)
+    val bandKeys = simhashBandKeys(col("fp"))
     val bands = groups.select(col("fp"), col("rep_id"), explode(bandKeys).as("bk"))
     // localCheckpoint (eager) after every round: without lineage
     // truncation each round's plan embeds two copies of the previous

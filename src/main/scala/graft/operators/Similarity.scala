@@ -60,9 +60,16 @@ object Similarity {
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
 
   /** Deterministic training sample for the iterative trainers (xxhash64 on
-    * the id — stable across runs and partitionings, unlike df.sample). */
-  private def trainSample(v: DataFrame): DataFrame =
-    v.filter(pmod(xxhash64(col("vec_id")), lit(TrainSampleMod)) === 0)
+    * the id — stable across runs and partitionings, unlike df.sample).
+    * Falls back to the FULL input when the hash-sample is too small to
+    * train on (k-means needs ≥ k rows; a tiny corpus can hash-sample to
+    * zero with probability (1−1/mod)ⁿ, where full-corpus training was
+    * always well-defined). The count is one cheap job on the id column —
+    * the trainers that call this are iterative drivers already. */
+  private def trainSample(v: DataFrame, minRows: Long): DataFrame = {
+    val s = v.filter(pmod(xxhash64(col("vec_id")), lit(TrainSampleMod)) === 0)
+    if (s.count() >= minRows) s else v
+  }
 
   /** Query set: vec_id < 10 (part of the corpus; self-matches excluded). */
   private def queriesDf(spark: SparkSession, sfDir: String): DataFrame =
@@ -245,7 +252,7 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
     val v = vecs(spark, sfDir)
-    val feat = trainSample(v)
+    val feat = trainSample(v, TrainedK)
       .select(col("vec_id"), array_to_vector(col("v")).as("features"))
     val model = new KMeans().setK(TrainedK).setSeed(42L).setMaxIter(20).fit(feat)
     val centDf = model.clusterCenters.zipWithIndex.toSeq
@@ -281,7 +288,7 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
     val v = vecs(spark, sfDir)
-    val feat = trainSample(v).select(array_to_vector(col("v")).as("features"))
+    val feat = trainSample(v, 10L).select(array_to_vector(col("v")).as("features"))
     val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(feat)
     val centArr = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c.toArray.toSeq) }

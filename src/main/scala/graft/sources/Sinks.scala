@@ -74,8 +74,20 @@ object Sinks {
     val qSrc = fs.makeQualified(hSrc)
     val qDest = new org.apache.hadoop.fs.Path(dest).getFileSystem(conf)
       .makeQualified(new org.apache.hadoop.fs.Path(dest))
-    require(qSrc != qDest,
-      s"compactParquet refuses in-place compaction: src == dest ($qSrc)")
+    // Ancestry, not just equality: dest nested under src writes part
+    // files into the tree being read (the next scan sees both copies),
+    // and src nested under dest means the Overwrite deletes its own
+    // input's parent. Both are the corruption class this guard refuses.
+    def isAncestor(a: org.apache.hadoop.fs.Path, b: org.apache.hadoop.fs.Path): Boolean = {
+      var p: org.apache.hadoop.fs.Path = b
+      while (p != null) {
+        if (p == a) return true
+        p = p.getParent
+      }
+      false
+    }
+    require(!isAncestor(qSrc, qDest) && !isAncestor(qDest, qSrc),
+      s"compactParquet refuses overlapping src/dest trees: $qSrc vs $qDest")
     val bytes = fs.getContentSummary(hSrc).getLength
     val nFiles = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
     spark.read.parquet(srcPath)

@@ -168,22 +168,29 @@ object EventStreams {
         .map { case ((u, v), i) =>
           LeaderboardEntry(new Timestamp(wstart), etype, i + 1L, u, v) }
     } else {
-      // Sub-watermark events belong to windows whose leaderboard may
-      // already be final — folding one in could resurrect state for an
-      // emitted window and emit it twice. Drop them, like sessionize.
+      // A whole WINDOW at-or-below the watermark may already have emitted
+      // its final leaderboard — folding an event back in could resurrect
+      // state and emit twice. But a late EVENT into a still-open window
+      // is valid: emission requires wm ≥ window end, so an open window's
+      // leaderboard cannot have fired yet. The group key IS the window,
+      // so the drop condition is group-level (window end ≤ wm), never a
+      // per-event ts comparison — a per-event filter silently loses
+      // late-but-valid rows the batch top-k counts.
       val wm = state.getCurrentWatermarkMs()
-      val scores = state.getOption.map(_.scores).getOrElse(Map.empty[Long, Double])
-      val upd = events.filter(_.ts.getTime >= wm).foldLeft(scores) { (m, e) =>
-        m.updated(e.user_id, m.getOrElse(e.user_id, 0.0) + e.value)
+      if (wstart + LeaderboardWindowMs <= wm) Iterator.empty
+      else {
+        val scores = state.getOption.map(_.scores).getOrElse(Map.empty[Long, Double])
+        val upd = events.foldLeft(scores) { (m, e) =>
+          m.updated(e.user_id, m.getOrElse(e.user_id, 0.0) + e.value)
+        }
+        if (upd.nonEmpty) {
+          state.update(LeaderboardState(upd))
+          // Window end > wm in this branch; the max() guards the
+          // state-store contract (timeout must sit above the watermark).
+          state.setTimeoutTimestamp(math.max(wstart + LeaderboardWindowMs, wm + 1))
+        }
+        Iterator.empty
       }
-      if (upd.nonEmpty) {
-        state.update(LeaderboardState(upd))
-        // Window end is always > the current watermark for any event that
-        // survived the filter; the max() guards the state-store contract
-        // (timeout must sit above the watermark) regardless.
-        state.setTimeoutTimestamp(math.max(wstart + LeaderboardWindowMs, wm + 1))
-      }
-      Iterator.empty
     }
   }
 
@@ -251,9 +258,9 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .select(col("doc_id"), col("ts"), simHash32(col("text")).as("fp"))
       .select(col("doc_id"), col("ts"), col("fp"),
-        explode(array((0 until 4).map(b =>
-          concat_ws(":", lit(b), shiftrightunsigned(col("fp"), 8 * b)
-            .bitwiseAND(lit(255L)))): _*)).as("bk"))
+        // the batch blockers' band keys, verbatim — pair-set parity with
+        // dd_simhash depends on the shapes never diverging
+        explode(graft.operators.Dedup.simhashBandKeys(col("fp"))).as("bk"))
       .as[(Long, Timestamp, Long, String)]
       .groupByKey(_._4)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateNearDups)
@@ -334,7 +341,20 @@ object EventStreams {
             // batch q_sessionize semantics.
             cur = Some(SessionState(math.min(s.start, t), math.max(s.last, t), s.n + 1, s.value + e.value))
           case Some(s) =>
-            closed += close(userId, s)
+            // Mid-batch close on a >gap jump forward: an earlier event in
+            // THIS batch may already have backward-extended s to within
+            // one gap of `early` (open [100,100], gap 30, batch
+            // {60, 80, 200}: 60 → early, 80 extends s to [80,100], 200
+            // closes it) — run the same bridge check the end-of-batch
+            // path runs, or the merged session batch q_sessionize emits
+            // leaves here as two.
+            val toClose = early match {
+              case Some(es) if s.start - es.last <= SessionGapMs =>
+                early = None
+                SessionState(es.start, math.max(es.last, s.last), s.n + es.n, s.value + es.value)
+              case _ => s
+            }
+            closed += close(userId, toClose)
             cur = Some(SessionState(t, t, 1, e.value))
           case None =>
             cur = Some(SessionState(t, t, 1, e.value))

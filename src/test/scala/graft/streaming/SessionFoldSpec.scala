@@ -34,6 +34,19 @@ class SessionFoldSpec extends AnyFunSuite {
     assert(st.get == SessionState(min(60), min(100), 3, 7.0))
   }
 
+  test("a mid-batch close still bridges the early session first") {
+    // Open [100,100], gap 30, batch {60, 80, 200}: 60 → early; 80
+    // backward-extends the open session to [80,100]; 200 exceeds the gap
+    // and closes it MID-batch — the close must merge 60-80-100 first
+    // (batch emits ONE session [60,100]), leaving 200 open.
+    val st = stateOf(Some(SessionState(min(100), min(100), 1, 1.0)), 0)
+    val out = EventStreams.updateSessions(7L,
+      Iterator(ev(60, 2.0), ev(80, 4.0), ev(200, 8.0)), st).toSeq
+    assert(out.map(s => (s.session_start.getTime, s.session_end.getTime, s.n_events)) ==
+      Seq((min(60), min(100), 3L)), s"got $out")
+    assert(st.get == SessionState(min(200), min(200), 1, 8.0))
+  }
+
   test("an early session beyond one gap of the final open session still closes") {
     // Open [100,100], batch {20, 80}: 80 extends the open session back to
     // 80; 20 remains >1 gap below 80 — separate session, closed.
@@ -63,6 +76,32 @@ class SessionFoldSpec extends AnyFunSuite {
       Iterator(ev(60, 2.0), ev(95, 4.0)), st).toSeq
     assert(out.isEmpty)
     assert(st.get == SessionState(min(95), min(100), 2, 5.0))
+  }
+
+  test("leaderboard folds a late-but-valid event into a still-open window") {
+    // Window [0, 60min), watermark at 30 min: an event at 10 min is below
+    // the watermark but its window cannot have emitted (emission needs
+    // wm >= window end) — it must count, or the final leaderboard
+    // diverges from the batch top-k.
+    val st = TestGroupState.create[LeaderboardState](
+      Optional.empty[LeaderboardState](), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(java.lang.Long.valueOf(min(30))), false)
+    val out = EventStreams.updateLeaderboard((0L, "view"),
+      Iterator(ScoredEvent(1L, new Timestamp(min(10)), "view", 5.0)), st).toSeq
+    assert(out.isEmpty)
+    assert(st.get.scores == Map(1L -> 5.0))
+  }
+
+  test("leaderboard never resurrects state for a closed window") {
+    // Window [0, 60min) with the watermark already at 70 min: its final
+    // leaderboard may have fired — a straggler must not re-create state.
+    val st = TestGroupState.create[LeaderboardState](
+      Optional.empty[LeaderboardState](), GroupStateTimeout.EventTimeTimeout, 0L,
+      Optional.of(java.lang.Long.valueOf(min(70))), false)
+    val out = EventStreams.updateLeaderboard((0L, "view"),
+      Iterator(ScoredEvent(1L, new Timestamp(min(10)), "view", 5.0)), st).toSeq
+    assert(out.isEmpty)
+    assert(!st.exists)
   }
 
   test("nearDupPairs fold bounds per-bucket state to the newest BucketCap entries") {
