@@ -142,6 +142,36 @@ object Similarity {
   private def topKByDot(cand: DataFrame, k: Int): DataFrame =
     topKBy(cand, k, col("dot_q"), col("dot_q"))
 
+  /** sq8 prefilter depth for [[ssSq8Rerank]] — survivors per query that
+    * get the exact float pass. */
+  val RerankM = 20
+
+  /** ss_sq8_rerank: the two-stage production ANN scan — cheap int8 dot
+    * over the FULL corpus selects [[RerankM]] survivors per query, exact
+    * float cosine re-ranks only those to the final top-k. This is the
+    * composition the sq8 operators exist for: at 100 TB stage 1 reads
+    * 1-byte/dim codes (4× less scan I/O) and stage 2 touches
+    * |Q|·RerankM vectors — a constant — so the expensive float pass
+    * never sees the corpus. The survivor set is broadcast back onto the
+    * (bucketed) vector table; the final rank is a window over |Q|·M
+    * rows, driver-trivial. */
+  def ssSq8Rerank(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.sq8Dot
+    val pre = vecs(spark, sfDir)
+      .join(broadcast(queriesDf(spark, sfDir)), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), sq8Dot(col("qv"), col("v")).as("dot_q"))
+    val survivors = topKByDot(pre, RerankM).select(col("q_id"), col("vec_id"))
+    val re = vecs(spark, sfDir)
+      .join(broadcast(survivors), "vec_id")
+      .join(broadcast(queriesDf(spark, sfDir)), "q_id")
+      .select(col("q_id"), col("vec_id"), cosineSim(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("vec_id"))
+    re.withColumn("rank", row_number().over(w).cast("long")).filter(col("rank") <= TopK)
+      .select(col("q_id"), col("rank"), col("vec_id"),
+        round(col("cos") * 1000000, 0).cast("long").as("cos_ppm"))
+      .orderBy(col("q_id"), col("rank"))
+  }
+
   /** ss_ivf_sq8: IVF coarse quantizer + int8 fine scoring — the classic
     * production ANN composition (FAISS's IVF,SQ8 index re-expressed as a
     * plan): queries probe their [[NProbe]] nearest centroids (float L2,
@@ -362,6 +392,7 @@ object Similarity {
     "ss_brute_topk"      -> (ssBruteTopk _),
     "ss_sq8_topk"        -> (ssSq8Topk _),
     "ss_ivf_sq8"         -> (ssIvfSq8 _),
+    "ss_sq8_rerank"      -> (ssSq8Rerank _),
     "ss_ivf_topk"        -> (ssIvfTopk _),
     "ss_ivf_trained"     -> (ssIvfTrained _),
     "ss_lsh_topk"        -> (ssLshTopk _),
@@ -424,6 +455,23 @@ object Similarity {
          |    row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, vec_id) AS rank
          |  FROM cand)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, dot_q
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ss_sq8_rerank" ->
+      s"""WITH $eCte, $qCte,
+         |pre AS (
+         |  SELECT q_id, vec_id, dot_q,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY dot_q DESC, vec_id) AS r
+         |  FROM (SELECT q_id, vec_id, ${sq8Sql("qv", "v")} AS dot_q
+         |        FROM q CROSS JOIN e WHERE vec_id != q_id)),
+         |sel AS (SELECT q_id, vec_id FROM pre WHERE r <= $RerankM),
+         |re AS (
+         |  SELECT s.q_id, s.vec_id, ${cosineSql("q.qv", "e.v")} AS cos
+         |  FROM sel s JOIN e ON e.vec_id = s.vec_id JOIN q ON q.q_id = s.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM re)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  CAST(round(cos*1000000, 0) AS BIGINT) AS cos_ppm
          |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "ss_ivf_topk" ->
       s"""WITH $eCte, $qCte, $cCte,

@@ -52,6 +52,11 @@ class IvfRecallSpec extends SparkSpec {
     val ivfSq8 = recallOf(Similarity.ssIvfSq8(spark, sfDir))
     assert(ivfSq8 >= ivfFloat - 0.1,
       s"IVF-SQ8 recall $ivfSq8 far below float IVF $ivfFloat")
+    // the two-stage scan recovers what raw sq8 ranking loses: a true
+    // top-5 neighbor would have to fall outside sq8's top-20 to be missed
+    val rerank = recallOf(Similarity.ssSq8Rerank(spark, sfDir))
+    assert(rerank >= r, s"rerank recall $rerank below raw sq8 $r")
+    assert(rerank >= 0.95, s"sq8+float-rerank recall@5 = $rerank")
   }
 
   test("multi-table LSH recall@5 beats or matches the single-table probe") {

@@ -9,7 +9,7 @@ class PlanAuditSpec extends SparkSpec {
   // Brute-force top-k IS corpus × broadcast-query-set by definition —
   // the bounded cross product is the operator contract, not a regression
   // (sq8 is the same exhaustive scan on 1-byte/dim integer codes).
-  private val allowedCross = Set("ss_brute_topk", "ss_sq8_topk")
+  private val allowedCross = Set("ss_brute_topk", "ss_sq8_topk", "ss_sq8_rerank")
 
   test("no query plans a CartesianProduct or BroadcastNestedLoop with a real right side") {
     SparkEntry.queries.foreach { case (name, q) =>
