@@ -511,6 +511,26 @@ object Kernels {
     acc
   }
 
+  /** ALL word n-gram occurrences in order (space-joined adjacent tokens)
+    * — the native form of the zip_with(slice, slice, concat) chain, whose
+    * lambda evaluates interpreted per element. Distinct-shingle callers
+    * use [[wordShingles]]; LM/counting callers need every occurrence. */
+  def wordNgrams(text: UTF8String, n: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    val total = toks.length - n + 1
+    if (total <= 0) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](total)
+    var i = 0
+    while (i < total) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(toks(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Intra-document n-gram repetition in ONE text pass: per-n-gram
     * occurrence counts (space-joined adjacent tokens — the same n-grams
     * the SQL mirror's unnest + GROUP BY builds) reduced to (total

@@ -277,6 +277,22 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$K.rewardStats($c)")
   }
 
+  /** ALL word n-gram occurrences (not distinct — [[WordShingles]] is the
+    * distinct form) — see [[Kernels.wordNgrams]]. */
+  case class WordNgrams(child: Expression, n: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkString(prettyName, child)
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def prettyName: String = "word_ngrams"
+    override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+      copy(child = newChild)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.wordNgrams(input.asInstanceOf[UTF8String], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.wordNgrams($c, $n)")
+  }
+
   /** Intra-doc n-gram repetition stats — see [[Kernels.ngramRepetition]].
     * Struct fields: total / top / dup n-gram occurrence counts. */
   case class NgramRepetition(child: Expression, n: Int)
@@ -472,4 +488,7 @@ object NativeExpressions {
 
   def ngramRepetition(c: Column, n: Int): Column =
     ColumnBridge.column(NgramRepetition(ColumnBridge.expression(c), n))
+
+  def wordNgrams(c: Column, n: Int): Column =
+    ColumnBridge.column(WordNgrams(ColumnBridge.expression(c), n))
 }

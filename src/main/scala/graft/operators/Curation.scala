@@ -183,13 +183,12 @@ object Curation {
     * skew-split (a join, not a window — the round-4 posting-list
     * lesson). */
   def txBigramLm(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = docs(spark, sfDir).select(col("doc_id"), tokens(col("text")).as("toks"))
-    val bg = toks.filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), explode(zip_with(
-        slice(col("toks"), lit(1), size(col("toks")) - 1),
-        slice(col("toks"), lit(2), size(col("toks")) - 1),
-        (a, b) => concat(a, lit(" "), b))).as("bg"))
-    val tfa = toks.select(explode(col("toks")).as("tok"))
+    import graft.functions.NativeExpressions.wordNgrams
+    val d = docs(spark, sfDir)
+    // native all-occurrence bigram pass — the zip_with(slice, slice,
+    // concat) chain this replaces runs an interpreted lambda per token
+    val bg = d.select(col("doc_id"), explode(wordNgrams(col("text"), 2)).as("bg"))
+    val tfa = d.select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("tfa"))
     val tfab = bg.groupBy(col("bg")).agg(count(lit(1)).as("tfab"))
     bg.join(broadcast(tfab), "bg")

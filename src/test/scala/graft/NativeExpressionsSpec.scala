@@ -154,6 +154,21 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(hofEdge == 16256L)
   }
 
+  test("wordNgrams == HOF zip_with bigram chain on edge cases and real docs") {
+    val docs = (samples ++ Seq("a", "a b", "a  b   c"))
+      .toDF("text")
+      .union(spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
+    val ts = tokens(col("text"))
+    val hof = when(size(ts) >= 2, zip_with(
+      slice(ts, lit(1), size(ts) - 1), slice(ts, lit(2), size(ts) - 1),
+      (a, b) => concat(a, lit(" "), b))).otherwise(array())
+    val diff = docs.select(hof.as("hof"),
+      graft.functions.NativeExpressions.wordNgrams(col("text"), 2).as("native"))
+      .filter(not(col("hof") <=> col("native")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("ngramRepetition == relational explode+groupBy stats") {
     val docs = (samples ++ Seq("a a a a", "x y x y x"))
       .toDF("text")
