@@ -73,12 +73,25 @@ object Bench {
           spark.stop()
           sys.exit(1)
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Per-query progress on stderr so a capped log still shows how far
+      // the run got even if the final JSON line is lost.
+      System.err.println(f"[bench] $name%-24s $sec%.2f s")
+      name -> sec
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver tail-caps captured stdout, which truncated the r5 record
+    // mid-JSON. The metrics object is therefore ALSO written to a dedicated
+    // file (self-contained artifact); stdout keeps the one-line contract.
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(outFile),
+      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    println(json)
     spark.stop()
   }
 }

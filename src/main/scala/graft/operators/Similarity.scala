@@ -356,9 +356,30 @@ object Similarity {
     * per round like dd_components. */
   def p21Lloyds(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.NativeExpressions.argminL2
-    val vm = Tables.embeddings(spark, sfDir)
+    val vm = lloydsVm(spark, sfDir)
+    val centArr = lloydsCentArr(spark, sfDir)
+    vm.crossJoin(broadcast(centArr))
       .select(col("vec_id"),
+        argminL2(col("v"), col("cents")).getField("c_id").as("cluster"))
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .orderBy(col("cluster"))
+  }
+
+  /** Micro-fixed-point corpus for the Lloyd's family (label carried for the
+    * cluster-analysis operators; Catalyst prunes it where unused). */
+  private def lloydsVm(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => round(x.cast("double") * 1000000d, 0)).as("v"))
+
+  /** The trained Lloyd's centroid set after [[LloydsIters]] iterations,
+    * collected into ONE broadcastable array row — shared by p21_lloyds /
+    * p21_cluster_profile / p21_separability so the three gates analyze the
+    * SAME clustering the oracle reproduces. */
+  private def lloydsCentArr(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.argminL2
+    val vm = lloydsVm(spark, sfDir).select(col("vec_id"), col("v"))
     var cents = vm.filter(col("vec_id") % 50 === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     for (_ <- 1 to LloydsIters) {
@@ -379,12 +400,73 @@ object Similarity {
         .select(col("cluster").as("c_id"), col("cv"))
         .localCheckpoint(true)
     }
-    val centArr = cents.agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
-    vm.crossJoin(broadcast(centArr))
-      .select(col("vec_id"),
+    cents.agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+  }
+
+  /** p21_cluster_profile: per-(cluster, label) occupancy over the Lloyd's
+    * clustering — size, share (ppm), and the cluster's dominant label —
+    * the reference's per-cluster feature-distribution analysis
+    * (21-embedding-and-clustering.py:394-461 analyze_clusters:
+    * size / feature_distribution / dominant_feature) re-expressed as one
+    * exact aggregate. Scale shape: assignment is the same map-only
+    * broadcast-argmin pass as p21_cluster_assign; the profile itself
+    * shuffles only (cluster, label) groups — k·|labels| rows — and the
+    * share/dominant windows run over that tiny aggregate, never the
+    * corpus. All-integer output → full hash gate. */
+  def p21ClusterProfile(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.argminL2
+    val asg = lloydsVm(spark, sfDir)
+      .crossJoin(broadcast(lloydsCentArr(spark, sfDir)))
+      .select(col("label").cast("long").as("label"),
         argminL2(col("v"), col("cents")).getField("c_id").as("cluster"))
+    val counts = asg.groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("n"))
+    val wSize = Window.partitionBy(col("cluster"))
+    val wRank = Window.partitionBy(col("cluster")).orderBy(col("n").desc, col("label"))
+    counts
+      .withColumn("cluster_size", sum(col("n")).over(wSize))
+      .withColumn("rnk", row_number().over(wRank))
+      .select(col("cluster"), col("label"), col("n"), col("cluster_size"),
+        expr("n * 1000000L div cluster_size").as("share_ppm"),
+        when(col("rnk") === 1, lit(1L)).otherwise(lit(0L)).as("is_dominant"))
+      .orderBy(col("cluster"), col("label"))
+  }
+
+  /** p21_separability: per-cluster simplified silhouette over the Lloyd's
+    * clustering — for each vector, a = distance to its own (nearest)
+    * centroid, b = distance to the second-nearest, s = (b−a)/b ∈ [0,1] —
+    * the centroid-based separability statistic standing in for the
+    * reference's silhouette_score / calculate_feature_separability
+    * (21-embedding-and-clustering.py:315-340, :825-880; the exact
+    * silhouette's all-pairs a/b is quadratic and the reference itself
+    * uses it only on a small sample). Integer-exact: micro-fixed-point
+    * distances are exact integers, sqrt/divide are identical single IEEE
+    * ops per row, the per-row score rounds to ppm BEFORE aggregation, and
+    * the per-cluster mean is integer floor(sum/count) — so the gate is a
+    * full hash match. Scale shape: one map-only broadcast pass (top-2 of
+    * the centroid array per row), then a k-group aggregate. */
+  def p21Separability(spark: SparkSession, sfDir: String): DataFrame = {
+    val sorted = array_sort(transform(col("cents"),
+      c => struct(l2SqDist(col("v"), c.getField("cv")).as("d"),
+        c.getField("c_id").as("c_id"))))
+    val rows = lloydsVm(spark, sfDir)
+      .crossJoin(broadcast(lloydsCentArr(spark, sfDir)))
+      .withColumn("sorted", sorted)
+      .select(
+        col("sorted").getItem(0).getField("c_id").as("cluster"),
+        col("sorted").getItem(0).getField("d").as("a2"),
+        // single-centroid corpus (tiny SF): fall back to a2 → s = 0
+        // (try_element_at: a plain element_at(…, 2) would THROW under
+        // ANSI mode instead of yielding the NULL this coalesce guards)
+        coalesce(try_element_at(col("sorted"), lit(2)).getField("d"),
+          col("sorted").getItem(0).getField("d")).as("b2"))
+    val sil = when(col("b2") === 0d, lit(0.0))
+      .otherwise((sqrt(col("b2")) - sqrt(col("a2"))) / sqrt(col("b2")))
+    rows.withColumn("sil_ppm", floor(sil * 1000000d + lit(0.5)).cast("long"))
       .groupBy(col("cluster"))
-      .agg(count(lit(1)).as("n_vecs"))
+      .agg(count(lit(1)).as("n_vecs"),
+        floor(sum(col("sil_ppm")) / count(lit(1))).cast("long").as("mean_sil_ppm"),
+        min(col("sil_ppm")).as("min_sil_ppm"),
+        max(col("sil_ppm")).as("max_sil_ppm"))
       .orderBy(col("cluster"))
   }
 
@@ -399,7 +481,9 @@ object Similarity {
     "ss_multiprobe_lsh"  -> (ssMultiprobeLsh _),
     "p21_cluster_assign" -> (p21ClusterAssign _),
     "p21_kmeans"         -> (p21Kmeans _),
-    "p21_lloyds"         -> (p21Lloyds _))
+    "p21_lloyds"         -> (p21Lloyds _),
+    "p21_cluster_profile" -> (p21ClusterProfile _),
+    "p21_separability"   -> (p21Separability _))
 
   // ---- DuckDB oracle (p21_kmeans / ss_ivf_trained are rows-only — MLlib
   // training is iterative, no SQL equivalent; IvfRecallSpec gates
@@ -542,30 +626,76 @@ object Similarity {
          |$asgCte
          |SELECT vec_id, cluster, CAST(round(dist2*1000, 0) AS BIGINT) AS dist2_mil
          |FROM asg ORDER BY vec_id""".stripMargin,
-    "p21_lloyds" -> {
-      // Integer-exact Lloyd's, unrolled: micro-fixed-point vectors, the
-      // same IEEE arithmetic as the Spark side (integers < 2^53 are
-      // exact in doubles on both engines).
-      val vmCte =
-        "vm AS (SELECT vec_id, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*1000000)) AS v FROM embeddings)"
-      val c0Cte = "c0 AS (SELECT vec_id AS c_id, v AS cv FROM vm WHERE vec_id % 50 = 0)"
-      def asgCteOf(i: Int, src: String) =
-        s"""a$i AS (
-           |  SELECT vec_id, v, c_id AS cluster FROM (
-           |    SELECT e.vec_id, e.v, c.c_id,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${l2SqSql("e.v", "c.cv")}, c.c_id) AS rn
-           |    FROM vm e CROSS JOIN $src c) WHERE rn = 1)""".stripMargin
-      def updCte(i: Int) =
-        s"""u$i AS (SELECT cluster, unnest(generate_series(1, $Dim)) AS dim, unnest(v) AS x FROM a$i),
-           |m$i AS (SELECT cluster, dim, floor(sum(x)/count(*)) AS m FROM u$i GROUP BY cluster, dim),
-           |c$i AS (SELECT cluster AS c_id, array_agg(m ORDER BY dim) AS cv FROM m$i GROUP BY cluster)""".stripMargin
-      val iters = (1 to LloydsIters)
-        .map(i => s"${asgCteOf(i, s"c${i - 1}")},\n${updCte(i)}").mkString(",\n")
-      s"""WITH $vmCte, $c0Cte,
-         |$iters,
-         |${asgCteOf(LloydsIters + 1, s"c$LloydsIters")}
+    "p21_lloyds" ->
+      s"""WITH $lloydsChainSql,
+         |${lloydsFinalRankSql("fr")}
          |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
-         |FROM a${LloydsIters + 1} GROUP BY cluster ORDER BY cluster""".stripMargin
-    })
+         |FROM fr WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "p21_cluster_profile" ->
+      s"""WITH $lloydsChainSql,
+         |${lloydsFinalRankSql("fr")},
+         |cnt AS (SELECT cluster, CAST(label AS BIGINT) AS label, count(*) AS n
+         |  FROM fr WHERE rn = 1 GROUP BY 1, 2),
+         |w AS (SELECT cluster, label, n,
+         |    sum(n) OVER (PARTITION BY cluster) AS cluster_size,
+         |    row_number() OVER (PARTITION BY cluster ORDER BY n DESC, label) AS rnk
+         |  FROM cnt)
+         |SELECT cluster, label, CAST(n AS BIGINT) AS n,
+         |  CAST(cluster_size AS BIGINT) AS cluster_size,
+         |  CAST(n * 1000000 // cluster_size AS BIGINT) AS share_ppm,
+         |  CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_dominant
+         |FROM w ORDER BY cluster, label""".stripMargin,
+    "p21_separability" ->
+      s"""WITH $lloydsChainSql,
+         |${lloydsFinalRankSql("fr")},
+         |a AS (SELECT vec_id, cluster, d AS a2 FROM fr WHERE rn = 1),
+         |b AS (SELECT vec_id, d AS b2 FROM fr WHERE rn = 2),
+         |s AS (
+         |  SELECT a.cluster,
+         |    CAST(floor(CASE WHEN COALESCE(b.b2, a.a2) = 0 THEN 0.0
+         |      ELSE (sqrt(COALESCE(b.b2, a.a2)) - sqrt(a.a2))
+         |           / sqrt(COALESCE(b.b2, a.a2)) END * 1000000 + 0.5)
+         |      AS BIGINT) AS sil_ppm
+         |  FROM a LEFT JOIN b USING (vec_id))
+         |SELECT cluster, count(*) AS n_vecs,
+         |  CAST(floor(sum(sil_ppm) / count(*)) AS BIGINT) AS mean_sil_ppm,
+         |  CAST(min(sil_ppm) AS BIGINT) AS min_sil_ppm,
+         |  CAST(max(sil_ppm) AS BIGINT) AS max_sil_ppm
+         |FROM s GROUP BY cluster ORDER BY cluster""".stripMargin)
+
+  /** Shared DuckDB CTE chain for the Lloyd's family: micro-fixed-point
+    * corpus `vm` (vec_id, label, v), seed centroids `c0`, and
+    * [[LloydsIters]] unrolled assign→update iterations ending at
+    * `c$LloydsIters` — the same IEEE arithmetic as the Spark side
+    * (integers < 2^53 are exact in doubles on both engines). */
+  private def lloydsChainSql: String = {
+    val vmCte =
+      "vm AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*1000000)) AS v FROM embeddings)"
+    val c0Cte = "c0 AS (SELECT vec_id AS c_id, v AS cv FROM vm WHERE vec_id % 50 = 0)"
+    def asgCteOf(i: Int, src: String) =
+      s"""a$i AS (
+         |  SELECT vec_id, v, c_id AS cluster FROM (
+         |    SELECT e.vec_id, e.v, c.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2SqSql("e.v", "c.cv")}, c.c_id) AS rn
+         |    FROM vm e CROSS JOIN $src c) WHERE rn = 1)""".stripMargin
+    def updCte(i: Int) =
+      s"""u$i AS (SELECT cluster, unnest(generate_series(1, $Dim)) AS dim, unnest(v) AS x FROM a$i),
+         |m$i AS (SELECT cluster, dim, floor(sum(x)/count(*)) AS m FROM u$i GROUP BY cluster, dim),
+         |c$i AS (SELECT cluster AS c_id, array_agg(m ORDER BY dim) AS cv FROM m$i GROUP BY cluster)""".stripMargin
+    val iters = (1 to LloydsIters)
+      .map(i => s"${asgCteOf(i, s"c${i - 1}")},\n${updCte(i)}").mkString(",\n")
+    s"$vmCte, $c0Cte,\n$iters"
+  }
+
+  /** Final-centroid distance ranking per vector (rn = 1 → own/nearest
+    * centroid, rn = 2 → second-nearest), carrying the label — the shared
+    * tail for the p21_lloyds / p21_cluster_profile / p21_separability
+    * oracles (mirrors the Spark side's sorted broadcast-centroid pass). */
+  private def lloydsFinalRankSql(name: String): String =
+    s"""$name AS (
+       |  SELECT e.vec_id, e.label, c.c_id AS cluster, ${l2SqSql("e.v", "c.cv")} AS d,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${l2SqSql("e.v", "c.cv")}, c.c_id) AS rn
+       |  FROM vm e CROSS JOIN c$LloydsIters c)""".stripMargin
 }
