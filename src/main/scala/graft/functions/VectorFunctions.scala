@@ -45,7 +45,11 @@ object VectorFunctions {
 
   /** int8 scalar-quantized dot mirror ([[Kernels.sq8Dot]]): exact integer
     * arithmetic, so no accumulation-order caveat applies — a lambda-list
-    * form is fine where the float mirrors must unroll. */
+    * form is fine where the float mirrors must unroll. The NaN-clips-HIGH
+    * (code 127) cross-engine claim is exercised on the DuckDB side by the
+    * literal-NaN probe in tools/check_oracle.py (sq8_nan_probe) — the
+    * synthetic embeddings contain no NaN, so the hash gate alone never
+    * evaluates this fragment's LEAST/GREATEST NaN ordering. */
   def sq8Sql(a: String, b: String, dim: Int = 64): String =
     s"""CAST(list_sum(list_transform(range(1, ${dim + 1}), i ->
        |      CAST(floor(GREATEST(-1.0, LEAST(1.0, $a[i]))*127 + 0.5) AS BIGINT)

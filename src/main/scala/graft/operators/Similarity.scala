@@ -64,11 +64,16 @@ object Similarity {
     * Falls back to the FULL input when the hash-sample is too small to
     * train on (k-means needs ≥ k rows; a tiny corpus can hash-sample to
     * zero with probability (1−1/mod)ⁿ, where full-corpus training was
-    * always well-defined). The count is one cheap job on the id column —
-    * the trainers that call this are iterative drivers already. */
+    * always well-defined). The sample is persisted BEFORE the guard
+    * count, so the count materializes the same rows the iterative
+    * trainer then re-reads every pass — one corpus scan total instead of
+    * one per use (the too-small branch unpersists immediately and falls
+    * back to the full input). */
   private def trainSample(v: DataFrame, minRows: Long): DataFrame = {
     val s = v.filter(pmod(xxhash64(col("vec_id")), lit(TrainSampleMod)) === 0)
-    if (s.count() >= minRows) s else v
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    if (s.count() >= minRows) s
+    else { s.unpersist(false); v }
   }
 
   /** Query set: vec_id < 10 (part of the corpus; self-matches excluded). */
@@ -332,6 +337,49 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
+  /** Principal-component count for [[p21Pca]] (the reference's
+    * n_components=2 visualization default). */
+  val PcaK = 2
+
+  /** Fit MLlib PCA on the corpus and return (principal-component column
+    * vectors, explained-variance ratios). The fit is ONE distributed
+    * Gramian/covariance pass (64×64 output — driver-trivial at any corpus
+    * size), so unlike the iterative trainers it runs on the full corpus.
+    * Shared by [[p21Pca]] and PcaVarianceSpec. */
+  def pcaFit(spark: SparkSession, sfDir: String): (Seq[Seq[Double]], Seq[Double]) = {
+    import org.apache.spark.ml.feature.PCA
+    import org.apache.spark.ml.functions.array_to_vector
+    val feat = vecs(spark, sfDir).select(array_to_vector(col("v")).as("features"))
+    val model = new PCA().setK(PcaK).setInputCol("features").setOutputCol("pc")
+      .fit(feat)
+    val m = model.pc // DenseMatrix: Dim rows × PcaK cols
+    val comps = (0 until PcaK).map(j => (0 until Dim).map(i => m(i, j)).toSeq)
+    (comps, model.explainedVariance.toArray.toSeq)
+  }
+
+  /** p21_pca: 2-component PCA projection of the embedding corpus — the
+    * reference's reduce_dimensions PCA path
+    * (21-embedding-and-clustering.py:275-283, random_state=42; its t-SNE/
+    * UMAP branches are visualization-only and out of scope). Rows-only
+    * gate: the eigenvector signs and low-order bits depend on float
+    * accumulation order in the distributed covariance pass, so there is
+    * no cross-engine hash; PcaVarianceSpec pins the explained-variance
+    * contract instead (like IvfRecallSpec for the trained IVF). Scale
+    * shape: the fit is one map-side-combined Gramian pass; the projection
+    * broadcasts the 64×2 loadings as literals and runs as a codegen'd
+    * per-row dot — the corpus never shuffles. */
+  def p21Pca(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.VectorFunctions.dot
+    val (comps, _) = pcaFit(spark, sfDir)
+    val pcCols = comps.zipWithIndex.map { case (w, j) =>
+      round(dot(col("v"), array(w.map(lit): _*)) * 1000, 0)
+        .cast("long").as(s"pc${j + 1}_mil")
+    }
+    vecs(spark, sfDir)
+      .select(col("vec_id") +: pcCols: _*)
+      .orderBy(col("vec_id"))
+  }
+
   /** Lloyd's iteration count for the oracle-gated [[p21Lloyds]]. */
   val LloydsIters = 3
 
@@ -483,7 +531,8 @@ object Similarity {
     "p21_kmeans"         -> (p21Kmeans _),
     "p21_lloyds"         -> (p21Lloyds _),
     "p21_cluster_profile" -> (p21ClusterProfile _),
-    "p21_separability"   -> (p21Separability _))
+    "p21_separability"   -> (p21Separability _),
+    "p21_pca"            -> (p21Pca _))
 
   // ---- DuckDB oracle (p21_kmeans / ss_ivf_trained are rows-only — MLlib
   // training is iterative, no SQL equivalent; IvfRecallSpec gates

@@ -168,16 +168,17 @@ object EventStreams {
         .map { case ((u, v), i) =>
           LeaderboardEntry(new Timestamp(wstart), etype, i + 1L, u, v) }
     } else {
-      // A whole WINDOW at-or-below the watermark may already have emitted
-      // its final leaderboard — folding an event back in could resurrect
+      // A whole WINDOW below the watermark may already have emitted its
+      // final leaderboard — folding an event back in could resurrect
       // state and emit twice. But a late EVENT into a still-open window
-      // is valid: emission requires wm ≥ window end, so an open window's
-      // leaderboard cannot have fired yet. The group key IS the window,
-      // so the drop condition is group-level (window end ≤ wm), never a
-      // per-event ts comparison — a per-event filter silently loses
+      // is valid: EventTimeTimeout only fires once the watermark advances
+      // STRICTLY past the timeout timestamp, so at wm == window end the
+      // window provably cannot have emitted yet — the drop condition is
+      // the strict group-level comparison (window end < wm), never ≤ and
+      // never a per-event ts filter, which would silently lose
       // late-but-valid rows the batch top-k counts.
       val wm = state.getCurrentWatermarkMs()
-      if (wstart + LeaderboardWindowMs <= wm) Iterator.empty
+      if (wstart + LeaderboardWindowMs < wm) Iterator.empty
       else {
         val scores = state.getOption.map(_.scores).getOrElse(Map.empty[Long, Double])
         val upd = events.foldLeft(scores) { (m, e) =>

@@ -22,9 +22,30 @@ def canon(rows, cols):
         out.append("|".join(vals))
     return sorted(out), [cols[i] for i in idx]
 
+def sq8_nan_probe(con):
+    """Exercise the DuckDB side of the sq8 NaN contract (Kernels.q8:
+    NaN clips HIGH -> code 127). The synthetic embeddings contain no NaN,
+    so without this probe the oracle mirror's claimed LEAST/GREATEST NaN
+    ordering (VectorFunctions.sq8Sql) would rest on a comment alone.
+    Vector ['nan', -0.5, 2.0, -2.0] quantizes to [127, -63, 127, -127];
+    dotted with [1.0]*4 (codes [127]*4) = 127*(127-63+127-127) = 8128."""
+    sql = """
+      WITH p AS (SELECT ['nan'::DOUBLE, -0.5, 2.0, -2.0] AS a,
+                        CAST([1.0, 1.0, 1.0, 1.0] AS DOUBLE[]) AS b)
+      SELECT CAST(list_sum(list_transform(range(1, 5), i ->
+        CAST(floor(GREATEST(-1.0, LEAST(1.0, a[i]))*127 + 0.5) AS BIGINT)
+        * CAST(floor(GREATEST(-1.0, LEAST(1.0, b[i]))*127 + 0.5) AS BIGINT)))
+        AS BIGINT) FROM p"""
+    got = con.execute(sql).fetchone()[0]
+    if got != 8128:
+        print(f"FAIL sq8_nan_probe: DuckDB NaN clip gave {got}, want 8128 "
+              "(sq8Sql's LEAST/GREATEST NaN ordering diverged from Kernels.q8)")
+        sys.exit(1)
+
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    sq8_nan_probe(con)
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
