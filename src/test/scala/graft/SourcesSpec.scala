@@ -134,6 +134,46 @@ class SourcesSpec extends SparkSpec {
     assert(rows == Set((1L, "first-1"), (2L, "first-2"), (3L, "first-3")))
   }
 
+  test("dedupUpsertParquet recovers exactly-once from a kill before commit") {
+    implicit val sql = spark.sqlContext
+    val dir = tmpDir("recover")
+    val in = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Long, String)]
+
+    def drain(): Unit = {
+      val q = Sinks.dedupUpsertParquet(
+        in.toDF().toDF("k", "seq", "s"),
+        s"$dir/out", s"$dir/ckpt", "k", "seq").start()
+      q.awaitTermination(60000)
+    }
+
+    in.addData((1L, 1L, "first-1"), (2L, 1L, "first-2"))
+    drain()
+
+    // Simulate the worst-case kill: the sink's parquet append landed but
+    // the engine died BEFORE writing the batch's commit marker. Deleting
+    // the newest commits/<n> (keeping offsets/<n>) reproduces exactly
+    // that checkpoint state, so the restart REPLAYS the batch against a
+    // target that already holds its rows — the anti-join must turn the
+    // replay into a no-op, not an append.
+    val commits = new java.io.File(s"$dir/ckpt/commits")
+    val latest = commits.listFiles().filter(_.getName.forall(_.isDigit))
+      .maxBy(_.getName.toLong)
+    assert(latest.delete(), s"could not delete commit marker $latest")
+    // the local ChecksumFs leaves a .<n>.crc sidecar that would block the
+    // replay's commit rename (a real crash leaves neither file)
+    new java.io.File(commits, s".${latest.getName}.crc").delete()
+    drain()
+
+    // and the resumed query keeps consuming new data normally
+    in.addData((2L, 9L, "redelivered-2"), (3L, 1L, "first-3"))
+    drain()
+
+    val rows = spark.read.parquet(s"$dir/out")
+      .select("k", "s").as[(Long, String)].collect().toList.sorted
+    assert(rows == List((1L, "first-1"), (2L, "first-2"), (3L, "first-3")),
+      s"replay duplicated or lost rows: $rows")
+  }
+
   test("compactParquet merges a many-file dataset, preserving the rows") {
     val dir = tmpDir("compact")
     spark.range(1000).toDF("id").repartition(64)
