@@ -613,6 +613,52 @@ object Kernels {
     else null
   }
 
+  /** Top-2 of [[argminL2]] in the same single pass: (nearest distance,
+    * nearest id, second-nearest distance) over the centroid array —
+    * replaces the interpreted transform+array_sort the separability
+    * operator would otherwise pay per row (O(k log k) sort + per-element
+    * lambda vs one O(k) codegen'd scan; measured 52 s → sort-free at 20×
+    * density with 800 centroids). Ordering matches array_sort on
+    * struct(d, c_id) exactly: (d asc, id asc), NaN distances greatest,
+    * ties among NaNs by id. With a single centroid the second distance
+    * equals the first (the caller's b2 = a2 ⇒ silhouette 0 fallback);
+    * empty array → null. */
+  def argmin2L2(v: ArrayData, cents: ArrayData, vFloat: Boolean, cvFloat: Boolean): InternalRow = {
+    var d1 = Double.PositiveInfinity
+    var id1 = Long.MaxValue
+    var have1 = false
+    var d2 = Double.PositiveInfinity
+    var id2 = Long.MaxValue
+    var have2 = false
+    var nan1 = Long.MaxValue // two smallest ids among NaN distances
+    var nan2 = Long.MaxValue
+    var i = 0
+    while (i < cents.numElements()) {
+      val c = cents.getStruct(i, 2)
+      val id = c.getLong(0)
+      val d = l2Sq(v, c.getArray(1), vFloat, cvFloat)
+      if (d.isNaN) {
+        if (id < nan1) { nan2 = nan1; nan1 = id }
+        else if (id < nan2) nan2 = id
+      } else if (!have1 || d < d1 || (d == d1 && id < id1)) {
+        d2 = d1; id2 = id1; have2 = have1
+        d1 = d; id1 = id; have1 = true
+      } else if (!have2 || d < d2 || (d == d2 && id < id2)) {
+        d2 = d; id2 = id; have2 = true
+      }
+      i += 1
+    }
+    // merge the NaN tail in sorted position (finite < NaN always)
+    if (!have1 && nan1 == Long.MaxValue) return null
+    val (fd, fid) = if (have1) (d1, id1) else (Double.NaN, nan1)
+    val sd =
+      if (have1 && have2) d2
+      else if (have1 && nan1 != Long.MaxValue) Double.NaN
+      else if (!have1 && nan2 != Long.MaxValue) Double.NaN
+      else fd // single centroid: second = first
+    new GenericInternalRow(Array[Any](fd, fid, sd))
+  }
+
   /** Sign-LSH bucket: bit p is set when dot(v, planes(p)) > 0. The
     * accumulation is strict left-to-right (0 + w_0·v_0 + w_1·v_1 + …), the
     * same IEEE sequence the ±-literal DuckDB mirror evaluates, so the sign

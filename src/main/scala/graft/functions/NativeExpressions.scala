@@ -419,6 +419,45 @@ object NativeExpressions {
         ${ev.isNull} = (${ev.value} == null);""")
   }
 
+  /** [[ArgminL2]]'s top-2 form: (d, c_id, d2) — nearest distance/id plus
+    * the second-nearest distance, one O(k) pass ([[Kernels.argmin2L2]]);
+    * the simplified-silhouette operator's kernel. */
+  case class Argmin2L2(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val leftOk = NativeExpressions.checkVecVec(prettyName, left, left)
+      if (leftOk.isFailure) return leftOk
+      right.dataType match {
+        case ArrayType(StructType(Array(f0, f1)), _)
+          if f0.dataType == LongType && f1.dataType.isInstanceOf[ArrayType] =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<STRUCT<BIGINT, ARRAY<FLOAT|DOUBLE>>> " +
+            s"for its right argument, got ${other.catalogString}")
+      }
+    }
+    override def dataType: DataType = StructType(Seq(
+      StructField("d", DoubleType, nullable = false),
+      StructField("c_id", LongType, nullable = false),
+      StructField("d2", DoubleType, nullable = false)))
+    override def nullable: Boolean = true // empty centroid array
+    override def prettyName: String = "argmin2_l2"
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): Argmin2L2 =
+      copy(left = newLeft, right = newRight)
+    private def cvFloat: Boolean =
+      right.dataType.asInstanceOf[ArrayType].elementType
+        .asInstanceOf[StructType].fields(1).dataType
+        .asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.argmin2L2(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        isFloatArr(left), cvFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        ${ev.value} = $K.argmin2L2($a, $b, ${isFloatArr(left)}, $cvFloat);
+        ${ev.isNull} = (${ev.value} == null);""")
+  }
+
   /** Sign-LSH bucket over a float/double vector for a fixed ±1 hyperplane
     * matrix (carried into generated code as a plan reference object). */
   case class SignLshBucket(child: Expression, planes: Seq[Seq[Double]])
@@ -473,6 +512,9 @@ object NativeExpressions {
 
   def argminL2(v: Column, cents: Column): Column =
     ColumnBridge.column(ArgminL2(ColumnBridge.expression(v), ColumnBridge.expression(cents)))
+
+  def argmin2L2(v: Column, cents: Column): Column =
+    ColumnBridge.column(Argmin2L2(ColumnBridge.expression(v), ColumnBridge.expression(cents)))
 
   def signLshBucket(c: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(SignLshBucket(ColumnBridge.expression(c), planes))

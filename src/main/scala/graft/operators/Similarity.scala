@@ -493,20 +493,17 @@ object Similarity {
     * full hash match. Scale shape: one map-only broadcast pass (top-2 of
     * the centroid array per row), then a k-group aggregate. */
   def p21Separability(spark: SparkSession, sfDir: String): DataFrame = {
-    val sorted = array_sort(transform(col("cents"),
-      c => struct(l2SqDist(col("v"), c.getField("cv")).as("d"),
-        c.getField("c_id").as("c_id"))))
+    // one O(k) native pass per row — the interpreted transform+array_sort
+    // equivalent cost 27× wall at 20× density / 800 centroids (BASELINE);
+    // the kernel also bakes in the single-centroid fallback (d2 = d → s=0)
+    val best = graft.functions.NativeExpressions.argmin2L2(col("v"), col("cents"))
     val rows = lloydsVm(spark, sfDir)
       .crossJoin(broadcast(lloydsCentArr(spark, sfDir)))
-      .withColumn("sorted", sorted)
+      .withColumn("best", best)
       .select(
-        col("sorted").getItem(0).getField("c_id").as("cluster"),
-        col("sorted").getItem(0).getField("d").as("a2"),
-        // single-centroid corpus (tiny SF): fall back to a2 → s = 0
-        // (try_element_at: a plain element_at(…, 2) would THROW under
-        // ANSI mode instead of yielding the NULL this coalesce guards)
-        coalesce(try_element_at(col("sorted"), lit(2)).getField("d"),
-          col("sorted").getItem(0).getField("d")).as("b2"))
+        col("best").getField("c_id").as("cluster"),
+        col("best").getField("d").as("a2"),
+        col("best").getField("d2").as("b2"))
     val sil = when(col("b2") === 0d, lit(0.0))
       .otherwise((sqrt(col("b2")) - sqrt(col("a2"))) / sqrt(col("b2")))
     rows.withColumn("sil_ppm", floor(sil * 1000000d + lit(0.5)).cast("long"))

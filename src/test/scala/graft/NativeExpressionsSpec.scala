@@ -73,6 +73,43 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(out == Seq(Some(2L), Some(2L)))
   }
 
+  test("argmin2L2 == first two of the sorted HOF distance array") {
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val centArr = e.filter(col("vec_id") % 50 === 0)
+      .agg(collect_list(struct(col("vec_id").as("c_id"), col("v").as("cv"))).as("cents"))
+    val sorted = array_sort(transform(col("cents"), c =>
+      struct(graft.functions.NativeExpressions.l2SqDist(col("v"), c.getField("cv")).as("d"),
+        c.getField("c_id").as("c_id"))))
+    val both = e.crossJoin(centArr)
+      .withColumn("sorted", sorted)
+      .select(
+        struct(
+          col("sorted").getItem(0).getField("d").as("d"),
+          col("sorted").getItem(0).getField("c_id").as("c_id"),
+          coalesce(try_element_at(col("sorted"), lit(2)).getField("d"),
+            col("sorted").getItem(0).getField("d")).as("d2")).as("hof"),
+        graft.functions.NativeExpressions.argmin2L2(col("v"), col("cents")).as("native"))
+    assert(both.filter(not(col("hof") <=> col("native"))).count() == 0)
+  }
+
+  test("argmin2L2 single-centroid and NaN tails match the sort order") {
+    val out = Seq(
+      // single centroid: d2 falls back to d (silhouette-0 contract)
+      (Seq(1.0, 0.0), Seq((7L, Seq(0.0, 0.0)))),
+      // NaN second: one finite, one NaN -> (finite, id, NaN)
+      (Seq(1.0, 0.0), Seq((1L, Seq(Double.NaN, 0.0)), (2L, Seq(0.5, 0.0)))),
+      // tie on d: ids break it, second carries the same d
+      (Seq(0.0, 0.0), Seq((5L, Seq(1.0, 0.0)), (3L, Seq(0.0, 1.0)))))
+      .toDF("v", "cents")
+      .select(graft.functions.NativeExpressions.argmin2L2(col("v"), col("cents")).as("m"))
+      .select(col("m.c_id"), col("m.d"), col("m.d2"))
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(out(0) == ((7L, 1.0, 1.0)))
+    assert(out(1)._1 == 2L && out(1)._2 == 0.25 && out(1)._3.isNaN)
+    assert(out(2) == ((3L, 1.0, 1.0)))
+  }
+
   test("minHashSigs == HOF minhash chain") {
     val k = 16
     val p = 4294967291L

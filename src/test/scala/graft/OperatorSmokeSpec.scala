@@ -13,7 +13,9 @@ class OperatorSmokeSpec extends SparkSpec {
   test("every query key has an oracle or is a documented rows-only op") {
     // MLlib k-means training is iterative, not SQL-expressible; the
     // trained-IVF search quality is pinned by IvfRecallSpec instead.
-    val rowsOnly = Set("p21_kmeans", "ss_ivf_trained")
+    // PCA eigenvector sign/low-bit nondeterminism likewise has no hash
+    // oracle; PcaVarianceSpec pins its variance contract.
+    val rowsOnly = Set("p21_kmeans", "ss_ivf_trained", "p21_pca")
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- rowsOnly
     assert(missing.isEmpty, s"queries without oracle SQL: $missing")
   }
