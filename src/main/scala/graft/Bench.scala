@@ -86,12 +86,18 @@ object Bench {
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // The driver tail-caps captured stdout, which truncated the r5 record
     // mid-JSON. The metrics object is therefore ALSO written to a dedicated
-    // file (self-contained artifact); stdout keeps the one-line contract.
+    // file (self-contained artifact). stdout's one-line contract comes
+    // FIRST and the file write is best-effort — an unwritable path must
+    // not take the always-worked stdout record down with it.
+    println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
-    java.nio.file.Files.write(
+    try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    println(json)
+    catch {
+      case e: java.io.IOException =>
+        System.err.println(s"[bench] metrics file $outFile not written: $e")
+    }
     spark.stop()
   }
 }

@@ -47,6 +47,7 @@ object Annotate {
       docs: DataFrame,
       batchSize: Int = DefaultBatchSize)(
       fn: DocBatch => Seq[String]): DataFrame = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id").cast("long"), col("text"))
@@ -67,7 +68,10 @@ object Annotate {
     * `fn` together — for annotations that need whole-group context (the
     * reference's per-author stages). Shuffles once on the key; per-group
     * state must fit an executor, so key on something bounded (author,
-    * source), never the corpus. */
+    * source), never the corpus. Same loud 1:1 contract as
+    * [[annotateBatches]]: the returned ids must be exactly the group's
+    * ids — a dropped, duplicated, or foreign doc_id would otherwise
+    * silently corrupt the artifact table at the downstream join. */
   def annotateGroups(
       docs: DataFrame,
       keyCol: String)(
@@ -78,7 +82,14 @@ object Annotate {
       .as[(String, Long, String)]
       .groupByKey(_._1)
       .flatMapGroups { (key, rows) =>
-        fn(key, rows.map(r => (r._2, r._3)).toSeq).iterator
+        val group = rows.map(r => (r._2, r._3)).toSeq
+        val out = fn(key, group)
+        val want = group.map(_._1).sorted
+        val got = out.map(_._1).sorted
+        require(got == want,
+          s"annotator for group '$key' returned ids ${got.take(5)}… " +
+            s"!= group ids ${want.take(5)}… (${out.size} rows for ${group.size})")
+        out.iterator
       }
       .toDF("doc_id", "annotation")
   }

@@ -67,13 +67,16 @@ object Similarity {
     * always well-defined). The sample is persisted BEFORE the guard
     * count, so the count materializes the same rows the iterative
     * trainer then re-reads every pass — one corpus scan total instead of
-    * one per use (the too-small branch unpersists immediately and falls
-    * back to the full input). */
-  private def trainSample(v: DataFrame, minRows: Long): DataFrame = {
+    * one per use — and is UNPERSISTED as soon as the trainer returns
+    * (scoped lend, not a leak: a ~corpus/4 block pinned for the rest of
+    * the session would pressure every later query's cache). */
+  private def withTrainSample[T](v: DataFrame, minRows: Long)(train: DataFrame => T): T = {
     val s = v.filter(pmod(xxhash64(col("vec_id")), lit(TrainSampleMod)) === 0)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    if (s.count() >= minRows) s
-    else { s.unpersist(false); v }
+    try {
+      if (s.count() >= minRows) train(s)
+      else train(v)
+    } finally s.unpersist(false)
   }
 
   /** Query set: vec_id < 10 (part of the corpus; self-matches excluded). */
@@ -276,7 +279,7 @@ object Similarity {
     * sample — the centroid-training loop §7 calls for. The trained centers
     * collect to one broadcast array row (k·dim doubles); assignment and
     * probe/scan are byte-identical in shape to ss_ivf_topk. Training runs
-    * on the [[trainSample]] hash-sample only — each k-means|| iteration is
+    * on the [[withTrainSample]] hash-sample only — each k-means|| iteration is
     * a full pass over its input, so the full corpus would pay MaxIter
     * scans for centroids a sample estimates as well; the full corpus is
     * then assigned by the map-only broadcast argmin. Training is
@@ -287,9 +290,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
     val v = vecs(spark, sfDir)
-    val feat = trainSample(v, TrainedK)
-      .select(col("vec_id"), array_to_vector(col("v")).as("features"))
-    val model = new KMeans().setK(TrainedK).setSeed(42L).setMaxIter(20).fit(feat)
+    val model = withTrainSample(v, TrainedK) { s =>
+      new KMeans().setK(TrainedK).setSeed(42L).setMaxIter(20)
+        .fit(s.select(col("vec_id"), array_to_vector(col("v")).as("features")))
+    }
     val centDf = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
       .toDF("c_id", "cv")
@@ -313,7 +317,7 @@ object Similarity {
 
   /** p21_kmeans: MLlib KMeans (k=10, seed=42 per the reference's
     * random_state=42) — cluster sizes, rows-only gate (training is
-    * iterative; no SQL oracle). Trains on the [[trainSample]] hash-sample;
+    * iterative; no SQL oracle). Trains on the [[withTrainSample]] hash-sample;
     * the full corpus is assigned by the same broadcast argmin kernel as
     * the other centroid ops (model.transform over every row would drag
     * MLlib's vector UDF through the corpus instead of a codegen'd
@@ -323,8 +327,10 @@ object Similarity {
     import org.apache.spark.ml.functions.array_to_vector
     import spark.implicits._
     val v = vecs(spark, sfDir)
-    val feat = trainSample(v, 10L).select(array_to_vector(col("v")).as("features"))
-    val model = new KMeans().setK(10).setSeed(42L).setMaxIter(20).fit(feat)
+    val model = withTrainSample(v, 10L) { s =>
+      new KMeans().setK(10).setSeed(42L).setMaxIter(20)
+        .fit(s.select(array_to_vector(col("v")).as("features")))
+    }
     val centArr = model.clusterCenters.zipWithIndex.toSeq
       .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
       .toDF("c_id", "cv")

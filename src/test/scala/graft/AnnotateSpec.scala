@@ -44,6 +44,22 @@ class AnnotateSpec extends SparkSpec {
     assert(e.getMessage != null)
   }
 
+  test("annotateBatches: non-positive batchSize is rejected at the call site") {
+    intercept[IllegalArgumentException] {
+      Annotate.annotateBatches(docs, batchSize = 0)(b => b.texts.toSeq)
+    }
+  }
+
+  test("annotateGroups: id-dropping annotator output fails loudly") {
+    val bad = Annotate.annotateGroups(docs, "lang") { (_, rows) =>
+      rows.drop(1).map { case (id, _) => (id, "x") } // loses one doc
+    }
+    val e = intercept[Exception] {
+      bad.write.format("noop").mode("overwrite").save()
+    }
+    assert(e.getMessage != null)
+  }
+
   test("annotateGroups: whole-group context reaches the function") {
     // stub per-group annotation: each doc labeled with its group's size —
     // verifiable against a plain groupBy count
