@@ -55,6 +55,18 @@ object Pipeline {
     Seq("tx_gopher", "dd_decisions", "tx_contamination", "cur_verdict",
       "tx_mix", "tx_pack")
 
+  /** The stage-21 cluster-analysis chain: Lloyd's cluster sizes, per-
+    * vector assignment, per-cluster label profile, simplified-silhouette
+    * separability, PCA projection. Same artifact contract as
+    * [[curationStages]]: each stage is an independent gated query; the
+    * three Lloyd's-derived stages re-train the (checkpointed) centroid
+    * chain per stage at harness scale, where a 100 TB run persists the
+    * centroid artifact once and joins it (the analysis passes are
+    * map-only against a broadcast of that artifact). */
+  val clusteringStages: Seq[String] =
+    Seq("p21_lloyds", "p21_cluster_assign", "p21_cluster_profile",
+      "p21_separability", "p21_pca")
+
   final case class StageArtifact(
       run_id: String,
       stage: String,

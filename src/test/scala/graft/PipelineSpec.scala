@@ -30,6 +30,27 @@ class PipelineSpec extends SparkSpec {
     assert(!Pipeline.validateArtifact(spark, s"$out/t1/never_ran", Seq("doc_id")))
   }
 
+  test("clustering preset runs end-to-end and the analysis artifacts align") {
+    val out = Files.createTempDirectory("graft_pipeline_clu").toString
+    val manifest = Pipeline.run(spark, sfDir, out, "t6", Pipeline.clusteringStages).collect()
+    assert(manifest.map(_.getAs[String]("stage")).toSeq == Pipeline.clusteringStages)
+    assert(manifest.forall(_.getAs[Long]("rows") > 0))
+    // The three Lloyd's-derived artifacts describe the SAME clustering:
+    // profile occupancy per cluster == lloyds sizes == separability n_vecs.
+    val sizes = spark.read.parquet(s"$out/t6/p21_lloyds")
+      .select("cluster", "n_vecs").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val profile = spark.read.parquet(s"$out/t6/p21_cluster_profile")
+      .groupBy("cluster").agg(org.apache.spark.sql.functions.sum("n").as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val sep = spark.read.parquet(s"$out/t6/p21_separability")
+      .select("cluster", "n_vecs").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(profile == sizes, s"profile occupancy $profile != lloyds sizes $sizes")
+    assert(sep == sizes, s"separability n_vecs $sep != lloyds sizes $sizes")
+    // PCA artifact covers every vector exactly once.
+    assert(spark.read.parquet(s"$out/t6/p21_pca").select("vec_id").distinct().count()
+      == spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+  }
+
   test("curation preset runs end-to-end and the verdict artifact gates the corpus") {
     val out = Files.createTempDirectory("graft_pipeline_cur").toString
     val manifest = Pipeline.run(spark, sfDir, out, "t5", Pipeline.curationStages).collect()
