@@ -81,6 +81,8 @@ object Dedup {
   val HammingMax = 3                // simhash near-dup radius (of 32 bits)
   val CosineThresholdPpm = 250000L  // embedding near-dup cutoff
   val MaxShingleDf = 100            // stop-shingle cap for the inverted index
+  val SubstringL = 12               // exact-run length (tokens) for dd_substring
+  val MaxSpanDf = 100               // stop-span cap for the span inverted index
 
   private val toksSql =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
@@ -231,6 +233,36 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("inter"), col("j_ppm"))
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** dd_substring: exact long-run substring duplication — pairs of
+    * documents sharing at least one identical [[SubstringL]]-token run,
+    * with the count of distinct shared runs. This is the "repeated long
+    * span" signal of suffix-array training-data dedup (Lee et al. 2022,
+    * "Deduplicating Training Data Makes Language Models Better")
+    * re-expressed relationally: a shared L-token window IS a shared
+    * L-shingle, so the span inverted index replaces the suffix array and
+    * the same [[graft.functions.CollectBounded]] df cap bounds hot-span
+    * fan-in (a boilerplate span shared by > [[MaxSpanDf]] docs is a
+    * stop-span — at that density the EXACT-dup collapse dd_exact /
+    * dd_simhash_clusters already handles the cluster). Distinct from
+    * dd_ngram_jaccard: that scores whole-document shingle-set overlap
+    * (near-dup), this finds verbatim long passages between otherwise
+    * different documents (quotation/boilerplate/copy-paste), which
+    * 3-gram Jaccard at 20% can't see. One shingle pass, one bounded
+    * aggregation, map-side pair explode — same scale shape as the other
+    * blockers, never a posting self-join. */
+  def ddSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(NativeExpressions.wordShingles(col("text"), SubstringL)).as("s"))
+      .groupBy(col("s"))
+      .agg(sort_array(graft.functions.Aggregates.collectBounded(
+        struct(col("doc_id")), MaxSpanDf)).as("ids"))
+      .filter(col("ids").isNotNull) // overflowed cap = stop span
+      .select(explode(pairsOf(col("ids"))).as("p"))
+      .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_spans"))
+      .orderBy(col("id_a"), col("id_b"))
 
   /** dd_simhash: 32-bit SimHash over the token multiset, 4×8-bit band
     * blocking, Hamming-verified pairs.
@@ -424,6 +456,7 @@ object Dedup {
     "dd_exact"         -> (ddExact _),
     "dd_minhash_lsh"   -> (ddMinhashLsh _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_substring"     -> (ddSubstring _),
     "dd_simhash"       -> (ddSimhash _),
     "dd_simhash_clusters" -> (ddSimhashClusters _),
     "dd_components"    -> (ddComponents _),
@@ -511,6 +544,15 @@ object Dedup {
          |FROM ip JOIN sz a ON ip.id_a = a.doc_id JOIN sz b ON ip.id_b = b.doc_id
          |WHERE inter * 1000000 // (a.n + b.n - inter) >= $JaccardThresholdPpm
          |ORDER BY id_a, id_b""".stripMargin,
+    "dd_substring" ->
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |s AS (SELECT doc_id, ${shinglesSql("toks", SubstringL)} AS sh FROM t),
+         |posting AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+         |df AS (SELECT sg, count(*) AS df FROM posting GROUP BY sg),
+         |rare AS (SELECT p.doc_id, p.sg FROM posting p JOIN df USING (sg) WHERE df <= $MaxSpanDf)
+         |SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS n_spans
+         |FROM rare x JOIN rare y ON x.sg = y.sg AND x.doc_id < y.doc_id
+         |GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin,
     "dd_simhash" ->
       s"""WITH $simhashFpCte,
          |bd AS (SELECT doc_id, fp, unnest([
