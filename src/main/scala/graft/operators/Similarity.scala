@@ -427,11 +427,11 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => round(x.cast("double") * 1000000d, 0)).as("v"))
 
-  /** The trained Lloyd's centroid set after [[LloydsIters]] iterations,
-    * collected into ONE broadcastable array row — shared by p21_lloyds /
-    * p21_cluster_profile / p21_separability so the three gates analyze the
-    * SAME clustering the oracle reproduces. */
-  private def lloydsCentArr(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The trained Lloyd's centroid TABLE (c_id, cv) after [[LloydsIters]]
+    * iterations — the index-BUILD output. Persist it once per corpus
+    * version via [[writeCentroidArtifact]]; every analysis pass is then
+    * map-only against its broadcast ([[assignFromArtifact]]). */
+  private def lloydsCentroids(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.NativeExpressions.argminL2
     val vm = lloydsVm(spark, sfDir).select(col("vec_id"), col("v"))
     var cents = vm.filter(col("vec_id") % 50 === 0)
@@ -454,7 +454,39 @@ object Similarity {
         .select(col("cluster").as("c_id"), col("cv"))
         .localCheckpoint(true)
     }
-    cents.agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    cents
+  }
+
+  /** [[lloydsCentroids]] collected into ONE broadcastable array row —
+    * shared by p21_lloyds / p21_cluster_profile / p21_separability so the
+    * three gates analyze the SAME clustering the oracle reproduces. */
+  private def lloydsCentArr(spark: SparkSession, sfDir: String): DataFrame =
+    lloydsCentroids(spark, sfDir)
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+
+  /** Index BUILD: train the Lloyd's centroids and persist them as a
+    * parquet artifact — the train/use split of a vector index (FAISS
+    * train → add): at 100 TB the [[LloydsIters]] training passes run
+    * ONCE per corpus version, and every downstream consumer
+    * ([[assignFromArtifact]], profile/separability re-derivations,
+    * IVF bucketing) is a map-only pass against the tiny persisted
+    * table's broadcast. */
+  def writeCentroidArtifact(spark: SparkSession, sfDir: String, path: String): Unit =
+    lloydsCentroids(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(path)
+
+  /** Index USE: per-vector nearest-centroid assignment reading a
+    * persisted centroid artifact — no training, one broadcast argmin
+    * pass over the corpus. Output matches the in-session assignment the
+    * gated operators compute (pinned by PipelineSpec). */
+  def assignFromArtifact(spark: SparkSession, sfDir: String, path: String): DataFrame = {
+    import graft.functions.NativeExpressions.argminL2
+    val centArr = spark.read.parquet(path)
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    lloydsVm(spark, sfDir)
+      .crossJoin(broadcast(centArr))
+      .select(col("vec_id"),
+        argminL2(col("v"), col("cents")).getField("c_id").as("cluster"))
   }
 
   /** p21_cluster_profile: per-(cluster, label) occupancy over the Lloyd's

@@ -51,6 +51,22 @@ class PipelineSpec extends SparkSpec {
       == spark.read.parquet(s"$sfDir/embeddings.parquet").count())
   }
 
+  test("centroid artifact round-trips: assignment from parquet == in-session") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val path = Files.createTempDirectory("graft_cents").toString + "/cents"
+    graft.operators.Similarity.writeCentroidArtifact(spark, sfDir, path)
+    // the artifact-driven assignment reproduces the gated clustering:
+    // its per-cluster sizes must equal p21_lloyds' hash-verified output
+    val fromArtifact = graft.operators.Similarity.assignFromArtifact(spark, sfDir, path)
+      .groupBy("cluster").agg(count(lit(1)).as("n_vecs"))
+    val gated = graft.operators.Similarity.p21Lloyds(spark, sfDir)
+    assert(fromArtifact.except(gated).isEmpty && gated.except(fromArtifact).isEmpty)
+    // and the artifact is tiny: k rows, broadcastable anywhere
+    assert(spark.read.parquet(path).count() ==
+      spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .filter(col("vec_id") % 50 === 0).count())
+  }
+
   test("curation preset runs end-to-end and the verdict artifact gates the corpus") {
     val out = Files.createTempDirectory("graft_pipeline_cur").toString
     val manifest = Pipeline.run(spark, sfDir, out, "t5", Pipeline.curationStages).collect()
