@@ -217,13 +217,9 @@ object Dedup {
     * share a boilerplate shingle. */
   def ddNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
     val posting = shingleDf(spark, sfDir)
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n"),
-        explode(col("sh")).as("s"))
-    val pairs = posting.groupBy(col("s"))
-      .agg(sort_array(graft.functions.Aggregates.collectBounded(
-        struct(col("doc_id"), col("n")), MaxShingleDf.toInt)).as("ids"))
-      .filter(col("ids").isNotNull) // overflowed cap = stop shingle
-      .select(explode(pairsOf(col("ids"))).as("p"))
+      .select(explode(col("sh")).as("s"),
+        struct(col("doc_id"), size(col("sh")).cast("long").as("n")).as("post"))
+    val pairs = boundedPairs(posting, MaxShingleDf)
       .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("inter"),
         first(col("p.a.n")).as("n_a"), first(col("p.b.n")).as("n_b"))
@@ -251,18 +247,34 @@ object Dedup {
     * 3-gram Jaccard at 20% can't see. One shingle pass, one bounded
     * aggregation, map-side pair explode — same scale shape as the other
     * blockers, never a posting self-join. */
-  def ddSubstring(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"),
-        explode(NativeExpressions.wordShingles(col("text"), SubstringL)).as("s"))
-      .groupBy(col("s"))
-      .agg(sort_array(graft.functions.Aggregates.collectBounded(
-        struct(col("doc_id")), MaxSpanDf)).as("ids"))
-      .filter(col("ids").isNotNull) // overflowed cap = stop span
-      .select(explode(pairsOf(col("ids"))).as("p"))
+  def ddSubstring(spark: SparkSession, sfDir: String): DataFrame = {
+    val posting = Tables.documents(spark, sfDir)
+      // wordShingles' short-text fallback emits the WHOLE document as one
+      // shingle — fine for Jaccard set overlap, but here it would report
+      // two identical 8-token docs as sharing a "12-token run" that does
+      // not exist. Docs shorter than the run length cannot contain one:
+      // out by definition (the oracle guards identically on len(toks)).
+      .filter(size(NativeExpressions.wordTokens(col("text"))) >= SubstringL)
+      .select(explode(NativeExpressions.wordShingles(col("text"), SubstringL)).as("s"),
+        struct(col("doc_id")).as("post"))
+    boundedPairs(posting, MaxSpanDf)
       .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_spans"))
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The df-capped posting-list pair stage shared by the shingle blockers
+    * ([[ddNgramJaccard]], [[ddSubstring]]): bounded collect per key
+    * ([[graft.functions.CollectBounded]] — overflow = stop-key NULL),
+    * sorted id structs, map-side pair explode. Input: (s, post) rows —
+    * key column `s`, per-doc payload struct `post` (must lead with
+    * doc_id so the sort orders pairs by id). */
+  private def boundedPairs(posting: DataFrame, cap: Int): DataFrame =
+    posting.groupBy(col("s"))
+      .agg(sort_array(graft.functions.Aggregates.collectBounded(
+        col("post"), cap)).as("ids"))
+      .filter(col("ids").isNotNull)
+      .select(explode(pairsOf(col("ids"))).as("p"))
 
   /** dd_simhash: 32-bit SimHash over the token multiset, 4×8-bit band
     * blocking, Hamming-verified pairs.
@@ -546,7 +558,8 @@ object Dedup {
          |ORDER BY id_a, id_b""".stripMargin,
     "dd_substring" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
-         |s AS (SELECT doc_id, ${shinglesSql("toks", SubstringL)} AS sh FROM t),
+         |s AS (SELECT doc_id, ${shinglesSql("toks", SubstringL)} AS sh FROM t
+         |  WHERE len(toks) >= $SubstringL),
          |posting AS (SELECT doc_id, unnest(sh) AS sg FROM s),
          |df AS (SELECT sg, count(*) AS df FROM posting GROUP BY sg),
          |rare AS (SELECT p.doc_id, p.sg FROM posting p JOIN df USING (sg) WHERE df <= $MaxSpanDf)
