@@ -230,6 +230,39 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** dd_minhash_estimate: the verify-free half of the MinHash story —
+    * Jaccard ESTIMATED from signature agreement (matching positions / K)
+    * for every banding candidate pair, no second corpus pass. This is
+    * the 100 TB knob dd_minhash_lsh's verify rescan trades against:
+    * signatures are K longs per doc (the corpus text is never re-read),
+    * the estimator is unbiased (P[sig match] = J) with stderr
+    * √(J(1−J)/K) — coarse at K=16 but free; use the verified operator
+    * when exact pair scores matter. Shuffle shape: band join on the
+    * band key + two joins against the K-long signature table — all
+    * fan-in ∝ candidate count, never corpus size. */
+  def ddMinhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    val sigDf = shingleDf(spark, sfDir)
+      .select(col("doc_id"), NativeExpressions.minHashSigs(col("sh"), K, P).as("sigs"))
+    val bandKeys = array((0 until BANDS).map { b =>
+      concat_ws(":", lit(b) +: (0 until R).map(r =>
+        element_at(col("sigs"), b * R + r + 1)): _*)
+    }: _*)
+    val bands = sigDf.select(col("doc_id"), explode(bandKeys).as("bk"))
+    val cands = bands.as("x").join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+    val matches = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    cands
+      .join(sigDf.select(col("doc_id").as("id_a"), col("sigs").as("sa")), "id_a")
+      .join(sigDf.select(col("doc_id").as("id_b"), col("sigs").as("sb")), "id_b")
+      .select(col("id_a"), col("id_b"), matches.as("matching_sigs"))
+      .withColumn("est_j_ppm", expr(s"matching_sigs * 1000000L div $K"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** dd_substring: exact long-run substring duplication — pairs of
     * documents sharing at least one identical [[SubstringL]]-token run,
     * with the count of distinct shared runs. This is the "repeated long
@@ -468,6 +501,7 @@ object Dedup {
     "dd_exact"         -> (ddExact _),
     "dd_minhash_lsh"   -> (ddMinhashLsh _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_minhash_estimate" -> (ddMinhashEstimate _),
     "dd_substring"     -> (ddSubstring _),
     "dd_simhash"       -> (ddSimhash _),
     "dd_simhash_clusters" -> (ddSimhashClusters _),
@@ -556,6 +590,32 @@ object Dedup {
          |FROM ip JOIN sz a ON ip.id_a = a.doc_id JOIN sz b ON ip.id_b = b.doc_id
          |WHERE inter * 1000000 // (a.n + b.n - inter) >= $JaccardThresholdPpm
          |ORDER BY id_a, id_b""".stripMargin,
+    "dd_minhash_estimate" -> {
+      val sv = (0 until K).map(i => s"sig$i").mkString("[", ", ", "]")
+      s"""WITH $shingleCte,
+         |h AS (SELECT doc_id, sh, [md5(x) FOR x IN sh] AS hs FROM s),
+         |ab AS (SELECT doc_id, sh,
+         |    [${hexLongSql("h", 8)} FOR h IN hs] AS av,
+         |    [${hexLongSql("substr(h,9,8)", 8)} FOR h IN hs] AS bv
+         |  FROM h),
+         |sg AS (SELECT doc_id, sh,
+         |    $minhashSigsSql
+         |  FROM ab),
+         |sgv AS (SELECT doc_id, $sv AS sv FROM sg),
+         |bd AS (SELECT doc_id, unnest($bandUnnestSql) AS bk FROM sg),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bd x JOIN bd y ON x.bk = y.bk AND x.doc_id < y.doc_id)
+         |SELECT id_a, id_b,
+         |  CAST(list_sum(list_transform(range(1, ${K + 1}),
+         |    i -> CASE WHEN a.sv[i] = b.sv[i] THEN 1 ELSE 0 END)) AS BIGINT)
+         |    AS matching_sigs,
+         |  CAST(list_sum(list_transform(range(1, ${K + 1}),
+         |    i -> CASE WHEN a.sv[i] = b.sv[i] THEN 1 ELSE 0 END)) * 1000000 // $K
+         |    AS BIGINT) AS est_j_ppm
+         |FROM cand JOIN sgv a ON cand.id_a = a.doc_id
+         |  JOIN sgv b ON cand.id_b = b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "dd_substring" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, ${shinglesSql("toks", SubstringL)} AS sh FROM t
