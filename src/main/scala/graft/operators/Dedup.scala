@@ -241,8 +241,14 @@ object Dedup {
     * band key + two joins against the K-long signature table — all
     * fan-in ∝ candidate count, never corpus size. */
   def ddMinhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
+    // The signature table is materialized ONCE (K longs per doc — this is
+    // the table a production run persists): the band self-join and the
+    // two estimate joins below would otherwise each re-tokenize and
+    // re-hash the corpus, which is exactly the repeated text pass this
+    // operator exists to avoid.
     val sigDf = shingleDf(spark, sfDir)
       .select(col("doc_id"), NativeExpressions.minHashSigs(col("sh"), K, P).as("sigs"))
+      .localCheckpoint(true)
     val bandKeys = array((0 until BANDS).map { b =>
       concat_ws(":", lit(b) +: (0 until R).map(r =>
         element_at(col("sigs"), b * R + r + 1)): _*)
