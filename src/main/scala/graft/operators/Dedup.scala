@@ -159,15 +159,7 @@ object Dedup {
     // all K signatures in one native pass (one md5 per shingle)
     val sigDf = sh.select(col("doc_id"), col("sh"),
       NativeExpressions.minHashSigs(col("sh"), K, P).as("sigs"))
-    val bandKeys = array((0 until BANDS).map { b =>
-      concat_ws(":", lit(b) +: (0 until R).map(r =>
-        element_at(col("sigs"), b * R + r + 1)): _*)
-    }: _*)
-    val bands = sigDf.select(col("doc_id"), explode(bandKeys).as("bk"))
-    val candsPlain = bands.as("x").join(bands.as("y"),
-        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    val candsPlain = minhashCandidates(sigDf)
     val bloomOn = docScanBytes(spark, sfDir) >= spark.conf
       .getOption(BloomMinScanBytesKey).map(_.toLong)
       .getOrElse(BloomMinScanBytesDefault)
@@ -240,6 +232,28 @@ object Dedup {
     * when exact pair scores matter. Shuffle shape: band join on the
     * band key + two joins against the K-long signature table — all
     * fan-in ∝ candidate count, never corpus size. */
+  /** The LSH band keys of a `sigs` signature array — ONE definition
+    * shared by [[ddMinhashLsh]] and [[ddMinhashEstimate]] (same lesson
+    * as [[simhashBandKeys]]: a band-shape change that doesn't propagate
+    * everywhere silently desynchronizes the operators or their
+    * oracles). */
+  private def minhashBandKeys: Column =
+    array((0 until BANDS).map { b =>
+      concat_ws(":", lit(b) +: (0 until R).map(r =>
+        element_at(col("sigs"), b * R + r + 1)): _*)
+    }: _*)
+
+  /** Banding candidate pairs (id_a < id_b, distinct) from a
+    * (doc_id, …, sigs) signature table — the shared blocker stage of the
+    * two MinHash operators. */
+  private def minhashCandidates(sigDf: DataFrame): DataFrame = {
+    val bands = sigDf.select(col("doc_id"), explode(minhashBandKeys).as("bk"))
+    bands.as("x").join(bands.as("y"),
+        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .distinct()
+  }
+
   def ddMinhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
     // The signature table is materialized ONCE (K longs per doc — this is
     // the table a production run persists): the band self-join and the
@@ -249,15 +263,7 @@ object Dedup {
     val sigDf = shingleDf(spark, sfDir)
       .select(col("doc_id"), NativeExpressions.minHashSigs(col("sh"), K, P).as("sigs"))
       .localCheckpoint(true)
-    val bandKeys = array((0 until BANDS).map { b =>
-      concat_ws(":", lit(b) +: (0 until R).map(r =>
-        element_at(col("sigs"), b * R + r + 1)): _*)
-    }: _*)
-    val bands = sigDf.select(col("doc_id"), explode(bandKeys).as("bk"))
-    val cands = bands.as("x").join(bands.as("y"),
-        col("x.bk") === col("y.bk") && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
-      .distinct()
+    val cands = minhashCandidates(sigDf)
     val matches = aggregate(
       zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
       lit(0L), (acc, v) => acc + v)
@@ -528,6 +534,23 @@ object Dedup {
       s"concat($b, ':', ${parts.mkString(", ':', ")})"
     }.mkString("[", ",\n      ", "]")
 
+  /** Shared oracle chain (expects the `s` CTE of [[shingleCte]]):
+    * per-doc MinHash signatures `sg` and banding candidate pairs `cand`
+    * — the SQL mirror of [[minhashCandidates]], one definition for both
+    * MinHash oracles. */
+  private def minhashCandCte: String =
+    s"""h AS (SELECT doc_id, sh, [md5(x) FOR x IN sh] AS hs FROM s),
+       |ab AS (SELECT doc_id, sh,
+       |    [${hexLongSql("h", 8)} FOR h IN hs] AS av,
+       |    [${hexLongSql("substr(h,9,8)", 8)} FOR h IN hs] AS bv
+       |  FROM h),
+       |sg AS (SELECT doc_id, sh,
+       |    $minhashSigsSql
+       |  FROM ab),
+       |bd AS (SELECT doc_id, unnest($bandUnnestSql) AS bk FROM sg),
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bd x JOIN bd y ON x.bk = y.bk AND x.doc_id < y.doc_id)""".stripMargin
+
   private def simhashCntsSql: String =
     (0 until 32).map { j =>
       s"len(list_filter(hv, v -> (v // ${1L << j}) % 2 = 1)) AS c$j"
@@ -565,17 +588,7 @@ object Dedup {
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dd_minhash_lsh" ->
       s"""WITH $shingleCte,
-         |h AS (SELECT doc_id, sh, [md5(x) FOR x IN sh] AS hs FROM s),
-         |ab AS (SELECT doc_id, sh,
-         |    [${hexLongSql("h", 8)} FOR h IN hs] AS av,
-         |    [${hexLongSql("substr(h,9,8)", 8)} FOR h IN hs] AS bv
-         |  FROM h),
-         |sg AS (SELECT doc_id, sh,
-         |    $minhashSigsSql
-         |  FROM ab),
-         |bd AS (SELECT doc_id, unnest($bandUnnestSql) AS bk FROM sg),
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bd x JOIN bd y ON x.bk = y.bk AND x.doc_id < y.doc_id),
+         |$minhashCandCte,
          |j AS (SELECT id_a, id_b,
          |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
          |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS tot
@@ -599,18 +612,8 @@ object Dedup {
     "dd_minhash_estimate" -> {
       val sv = (0 until K).map(i => s"sig$i").mkString("[", ", ", "]")
       s"""WITH $shingleCte,
-         |h AS (SELECT doc_id, sh, [md5(x) FOR x IN sh] AS hs FROM s),
-         |ab AS (SELECT doc_id, sh,
-         |    [${hexLongSql("h", 8)} FOR h IN hs] AS av,
-         |    [${hexLongSql("substr(h,9,8)", 8)} FOR h IN hs] AS bv
-         |  FROM h),
-         |sg AS (SELECT doc_id, sh,
-         |    $minhashSigsSql
-         |  FROM ab),
-         |sgv AS (SELECT doc_id, $sv AS sv FROM sg),
-         |bd AS (SELECT doc_id, unnest($bandUnnestSql) AS bk FROM sg),
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bd x JOIN bd y ON x.bk = y.bk AND x.doc_id < y.doc_id)
+         |$minhashCandCte,
+         |sgv AS (SELECT doc_id, $sv AS sv FROM sg)
          |SELECT id_a, id_b,
          |  CAST(list_sum(list_transform(range(1, ${K + 1}),
          |    i -> CASE WHEN a.sv[i] = b.sv[i] THEN 1 ELSE 0 END)) AS BIGINT)
