@@ -66,6 +66,19 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("dd_minhash_estimate never re-reads the corpus text") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    // The operator's contract is ONE pass over the text (the signature
+    // table is eagerly materialized); its final plan must therefore scan
+    // no parquet at all — a FileSourceScan reappearing means a branch
+    // fell off the checkpoint and re-tokenizes the corpus.
+    val plan = SparkEntry.queries("dd_minhash_estimate")(spark, sfDir)
+      .queryExecution.executedPlan
+    val scans = plan.collect { case f: FileSourceScanExec => f }
+    assert(scans.isEmpty,
+      s"estimate plan re-scans parquet:\n${scans.mkString("\n")}")
+  }
+
   test("q_range_join hash-joins on the chunk key, not a theta scan") {
     val plan = SparkEntry.queries("q_range_join")(spark, sfDir)
       .queryExecution.executedPlan.toString
