@@ -64,7 +64,15 @@ object Bench {
     val selected = SparkEntry.queries.keys.toSeq.sorted
       .filter(n => only.forall(_.contains(n)))
 
-    val results = selected.map { name =>
+    // SPARK_GRAFT_RUNS=N repeats the whole suite N times in ONE JVM —
+    // the cheap way to follow BASELINE.md's best-of-2 outlier policy
+    // (separate JVM runs pay startup+codegen twice and still land in
+    // different contention windows). The reported `queries`/`value`
+    // stay the FIRST pass (the driver-comparable cold-ish number);
+    // `queries_best` carries the per-query min across passes.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(1).max(1)
+
+    def onePass(pass: Int): Seq[(String, Double)] = selected.map { name =>
       val t0 = System.nanoTime()
       try runOnce(name)
       catch {
@@ -76,14 +84,22 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       // Per-query progress on stderr so a capped log still shows how far
       // the run got even if the final JSON line is lost.
-      System.err.println(f"[bench] $name%-24s $sec%.2f s")
+      System.err.println(f"[bench] [$pass] $name%-24s $sec%.2f s")
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+
+    val passes = (1 to runs).map(onePass)
+    val results = passes.head
+    val best = selected.map(n =>
+      n -> passes.map(_.toMap.apply(n)).min)
+    def obj(rs: Seq[(String, Double)]): String =
+      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    val bestExtra =
+      if (runs == 1) ""
+      else s""","runs":$runs,"best_total":${best.map(_._2).sum},"queries_best":${obj(best)}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"sf":"$sfDir"$bestExtra}"""
     // The driver tail-caps captured stdout, which truncated the r5 record
     // mid-JSON. The metrics object is therefore ALSO written to a dedicated
     // file (self-contained artifact). stdout's one-line contract comes
