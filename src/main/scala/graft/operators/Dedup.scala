@@ -275,6 +275,60 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** dd_incremental: dedup an INCOMING batch against an EXISTING corpus
+    * — the production increment shape (daily batch vs corpus) the
+    * whole-corpus blockers don't cover: the corpus is never self-paired;
+    * only batch×corpus candidates are generated. Batch = every 10th doc
+    * (deterministic stand-in for the arriving partition). Each new doc
+    * gets a verdict: `exact` (normalized-fingerprint match; match_id =
+    * smallest base holder), `near` (best verified-Jaccard banding
+    * candidate ≥ threshold), or `new`. Scale shape: the exact path is
+    * one fingerprint equi-join; the near path joins the BATCH's band
+    * keys against the corpus band table — fan-in ∝ batch size × bucket
+    * occupancy, never corpus². At 100 TB the corpus signature/band
+    * table is a persisted index (built once, like the
+    * [[ddMinhashEstimate]] checkpoint) and the batch side broadcasts.
+    * Streaming counterpart: dedupDocs / dedupUpsertParquet cover the
+    * exact path; this adds the near-dup increment. */
+  def ddIncremental(spark: SparkSession, sfDir: String): DataFrame = {
+    val newP = col("doc_id") % 10 === 0
+    val docs = Tables.documents(spark, sfDir)
+    val fpAll = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+    val exact = fpAll.filter(newP)
+      .join(fpAll.filter(!newP).select(col("doc_id").as("b_id"), col("fp")), "fp")
+      .groupBy(col("doc_id")).agg(min(col("b_id")).as("exact_match"))
+    val sh = shingleDf(spark, sfDir)
+    val bands = sh
+      .select(col("doc_id"), NativeExpressions.minHashSigs(col("sh"), K, P).as("sigs"))
+      .select(col("doc_id"), explode(minhashBandKeys).as("bk"))
+    val cand = bands.filter(newP)
+      .join(bands.filter(!newP).select(col("doc_id").as("b_id"), col("bk")), "bk")
+      .select(col("doc_id"), col("b_id")).distinct()
+    val nearAll = cand
+      .join(sh.select(col("doc_id"), col("sh").as("sh_n")), "doc_id")
+      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_b"))).cast("long"))
+      .withColumn("j_ppm",
+        expr("inter * 1000000L div (size(sh_n) + size(sh_b) - inter)"))
+      .filter(col("j_ppm") >= JaccardThresholdPpm)
+    val wBest = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("j_ppm").desc, col("b_id"))
+    val near = nearAll.withColumn("rn", row_number().over(wBest))
+      .filter(col("rn") === 1)
+      .select(col("doc_id"), col("b_id").as("near_match"), col("j_ppm").as("near_j"))
+    docs.filter(newP).select(col("doc_id"))
+      .join(exact, Seq("doc_id"), "left")
+      .join(near, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("exact_match").isNotNull, lit("exact"))
+          .when(col("near_match").isNotNull, lit("near"))
+          .otherwise(lit("new")).as("method"),
+        coalesce(col("exact_match"), col("near_match"), lit(-1L)).as("match_id"),
+        when(col("exact_match").isNotNull, lit(1000000L))
+          .otherwise(coalesce(col("near_j"), lit(0L))).as("j_ppm"))
+      .orderBy(col("doc_id"))
+  }
+
   /** dd_substring: exact long-run substring duplication — pairs of
     * documents sharing at least one identical [[SubstringL]]-token run,
     * with the count of distinct shared runs. This is the "repeated long
@@ -514,6 +568,7 @@ object Dedup {
     "dd_minhash_lsh"   -> (ddMinhashLsh _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_estimate" -> (ddMinhashEstimate _),
+    "dd_incremental"   -> (ddIncremental _),
     "dd_substring"     -> (ddSubstring _),
     "dd_simhash"       -> (ddSimhash _),
     "dd_simhash_clusters" -> (ddSimhashClusters _),
@@ -625,6 +680,39 @@ object Dedup {
          |  JOIN sgv b ON cand.id_b = b.doc_id
          |ORDER BY id_a, id_b""".stripMargin
     },
+    "dd_incremental" ->
+      s"""WITH $shingleCte,
+         |$minhashCandCte,
+         |fp AS (SELECT doc_id,
+         |    md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |e AS (SELECT n.doc_id, min(b.doc_id) AS exact_match
+         |  FROM fp n JOIN fp b ON n.fp = b.fp
+         |  WHERE n.doc_id % 10 = 0 AND b.doc_id % 10 != 0 GROUP BY n.doc_id),
+         |cnb AS (
+         |  SELECT id_a AS doc_id, id_b AS b_id FROM cand
+         |    WHERE id_a % 10 = 0 AND id_b % 10 != 0
+         |  UNION ALL
+         |  SELECT id_b AS doc_id, id_a AS b_id FROM cand
+         |    WHERE id_b % 10 = 0 AND id_a % 10 != 0),
+         |nj AS (SELECT cnb.doc_id, cnb.b_id,
+         |    CAST(len(list_intersect(a.sh, b.sh)) * 1000000
+         |      // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+         |      AS BIGINT) AS j_ppm
+         |  FROM cnb JOIN s a ON cnb.doc_id = a.doc_id JOIN s b ON cnb.b_id = b.doc_id),
+         |nr AS (SELECT doc_id, b_id, j_ppm,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY j_ppm DESC, b_id) AS rn
+         |  FROM nj WHERE j_ppm >= $JaccardThresholdPpm)
+         |SELECT d.doc_id,
+         |  CASE WHEN e.exact_match IS NOT NULL THEN 'exact'
+         |       WHEN nr.b_id IS NOT NULL THEN 'near' ELSE 'new' END AS method,
+         |  CAST(COALESCE(e.exact_match, nr.b_id, -1) AS BIGINT) AS match_id,
+         |  CAST(CASE WHEN e.exact_match IS NOT NULL THEN 1000000
+         |       ELSE COALESCE(nr.j_ppm, 0) END AS BIGINT) AS j_ppm
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+         |LEFT JOIN e USING (doc_id)
+         |LEFT JOIN (SELECT doc_id, b_id, j_ppm FROM nr WHERE rn = 1) nr USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
     "dd_substring" ->
       s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
          |s AS (SELECT doc_id, ${shinglesSql("toks", SubstringL)} AS sh FROM t
