@@ -297,10 +297,15 @@ object Dedup {
     val exact = fpAll.filter(newP)
       .join(fpAll.filter(!newP).select(col("doc_id").as("b_id"), col("fp")), "fp")
       .groupBy(col("doc_id")).agg(min(col("b_id")).as("exact_match"))
-    val sh = shingleDf(spark, sfDir)
+    // Tokenize/shingle ONCE and band ONCE (the [[ddMinhashEstimate]]
+    // lesson): without the checkpoints, the two band-join sides re-run
+    // the shingle+minhash pipeline and the two verify joins re-tokenize
+    // the corpus — four text passes for one.
+    val sh = shingleDf(spark, sfDir).localCheckpoint(true)
     val bands = sh
       .select(col("doc_id"), NativeExpressions.minHashSigs(col("sh"), K, P).as("sigs"))
       .select(col("doc_id"), explode(minhashBandKeys).as("bk"))
+      .localCheckpoint(true)
     val cand = bands.filter(newP)
       .join(bands.filter(!newP).select(col("doc_id").as("b_id"), col("bk")), "bk")
       .select(col("doc_id"), col("b_id")).distinct()
@@ -589,6 +594,14 @@ object Dedup {
       s"concat($b, ':', ${parts.mkString(", ':', ")})"
     }.mkString("[", ",\n      ", "]")
 
+  /** Normalized-content fingerprint mirror of [[fingerprint]] — ONE
+    * definition for every oracle that joins or groups on exact content
+    * identity (dd_exact, dd_incremental); a normalization change that
+    * reaches only one copy would silently redefine "exact" between
+    * operators. */
+  private val fpSql =
+    """md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g'))"""
+
   /** Shared oracle chain (expects the `s` CTE of [[shingleCte]]):
     * per-doc MinHash signatures `sg` and banding candidate pairs `cand`
     * — the SQL mirror of [[minhashCandidates]], one definition for both
@@ -638,7 +651,7 @@ object Dedup {
 
   val oracle: Map[String, String] = Map(
     "dd_exact" ->
-      """SELECT md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp,
+      s"""SELECT $fpSql AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
     "dd_minhash_lsh" ->
@@ -683,9 +696,7 @@ object Dedup {
     "dd_incremental" ->
       s"""WITH $shingleCte,
          |$minhashCandCte,
-         |fp AS (SELECT doc_id,
-         |    md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'), '\\s+', ' ', 'g')) AS fp
-         |  FROM documents),
+         |fp AS (SELECT doc_id, $fpSql AS fp FROM documents),
          |e AS (SELECT n.doc_id, min(b.doc_id) AS exact_match
          |  FROM fp n JOIN fp b ON n.fp = b.fp
          |  WHERE n.doc_id % 10 = 0 AND b.doc_id % 10 != 0 GROUP BY n.doc_id),
@@ -695,11 +706,13 @@ object Dedup {
          |  UNION ALL
          |  SELECT id_b AS doc_id, id_a AS b_id FROM cand
          |    WHERE id_b % 10 = 0 AND id_a % 10 != 0),
-         |nj AS (SELECT cnb.doc_id, cnb.b_id,
-         |    CAST(len(list_intersect(a.sh, b.sh)) * 1000000
-         |      // (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
-         |      AS BIGINT) AS j_ppm
+         |ni AS (SELECT cnb.doc_id, cnb.b_id,
+         |    CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+         |    CAST(len(a.sh) + len(b.sh) AS BIGINT) AS tot
          |  FROM cnb JOIN s a ON cnb.doc_id = a.doc_id JOIN s b ON cnb.b_id = b.doc_id),
+         |nj AS (SELECT doc_id, b_id,
+         |    CAST(inter * 1000000 // (tot - inter) AS BIGINT) AS j_ppm
+         |  FROM ni),
          |nr AS (SELECT doc_id, b_id, j_ppm,
          |    row_number() OVER (PARTITION BY doc_id ORDER BY j_ppm DESC, b_id) AS rn
          |  FROM nj WHERE j_ppm >= $JaccardThresholdPpm)

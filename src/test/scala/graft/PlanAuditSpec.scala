@@ -58,8 +58,12 @@ class PlanAuditSpec extends SparkSpec {
     // shingle into one task (AQE splits skewed joins, not windows) — the
     // round-4 scale-killer. df must come from a map-side-combinable groupBy
     // equi-joined back; these plans should contain no window at all.
+    // sparkPlan, NOT executedPlan: under AQE the executed plan is an
+    // AdaptiveSparkPlanExec LEAF, so collect{...} on it finds nothing and
+    // the assertion could never fail (the same pitfall PlanDump disables
+    // AQE for).
     Seq("tx_corpus_novelty", "dd_ngram_jaccard").foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.executedPlan
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.sparkPlan
       val windows = plan.collect { case w: WindowExec => w }
       assert(windows.isEmpty,
         s"$name plans a Window over the posting list:\n${windows.mkString("\n")}")
@@ -72,8 +76,9 @@ class PlanAuditSpec extends SparkSpec {
     // table is eagerly materialized); its final plan must therefore scan
     // no parquet at all — a FileSourceScan reappearing means a branch
     // fell off the checkpoint and re-tokenizes the corpus.
+    // sparkPlan, not executedPlan — see the AQE-leaf note above.
     val plan = SparkEntry.queries("dd_minhash_estimate")(spark, sfDir)
-      .queryExecution.executedPlan
+      .queryExecution.sparkPlan
     val scans = plan.collect { case f: FileSourceScanExec => f }
     assert(scans.isEmpty,
       s"estimate plan re-scans parquet:\n${scans.mkString("\n")}")
