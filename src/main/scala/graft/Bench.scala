@@ -92,26 +92,35 @@ object Bench {
     val results = passes.head
     val best = selected.map(n =>
       n -> passes.map(_.toMap.apply(n)).min)
+    // ms precision in the record: full-double seconds tripled the line
+    // length, and the driver's capped capture lost the front 15 rows of
+    // the r6 map. Sub-ms digits are noise at these run times anyway.
+    def fmt(v: Double): String = // Locale.ROOT: a comma decimal separator would corrupt the JSON
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def obj(rs: Seq[(String, Double)]): String =
-      rs.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val bestExtra =
       if (runs == 1) ""
-      else s""","runs":$runs,"best_total":${best.map(_._2).sum},"queries_best":${obj(best)}"""
+      else s""","runs":$runs,"best_total":${fmt(best.map(_._2).sum)},"queries_best":${obj(best)}"""
+    // Per-query map FIRST (the driver grades it; the scalars tail the
+    // line) and ms-rounded values keep the whole line well inside the
+    // driver's capture window — the r6 record lost 15/85 rows to the cap.
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":${obj(results)},"sf":"$sfDir"$bestExtra}"""
+      s"""{"queries":${obj(results)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"$bestExtra}"""
     // The driver tail-caps captured stdout, which truncated the r5 record
     // mid-JSON. The metrics object is therefore ALSO written to a dedicated
     // file (self-contained artifact). stdout's one-line contract comes
-    // FIRST and the file write is best-effort — an unwritable path must
-    // not take the always-worked stdout record down with it.
+    // FIRST and the file write is best-effort — an unwritable path (bad
+    // SPARK_GRAFT_BENCH_OUT included — InvalidPathException is unchecked)
+    // must not take the always-worked stdout record down with it.
     println(json)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
       (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch {
-      case e: java.io.IOException =>
+      case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] metrics file $outFile not written: $e")
     }
     spark.stop()

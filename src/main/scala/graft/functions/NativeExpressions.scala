@@ -391,7 +391,11 @@ object NativeExpressions {
       if (leftOk.isFailure) return leftOk
       right.dataType match {
         case ArrayType(StructType(Array(f0, f1)), _)
-          if f0.dataType == LongType && f1.dataType.isInstanceOf[ArrayType] =>
+          if f0.dataType == LongType &&
+            (f1.dataType match {
+              case ArrayType(FloatType | DoubleType, _) => true
+              case _ => false
+            }) =>
           TypeCheckResult.TypeCheckSuccess
         case other => TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires ARRAY<STRUCT<BIGINT, ARRAY<FLOAT|DOUBLE>>> " +
@@ -429,7 +433,11 @@ object NativeExpressions {
       if (leftOk.isFailure) return leftOk
       right.dataType match {
         case ArrayType(StructType(Array(f0, f1)), _)
-          if f0.dataType == LongType && f1.dataType.isInstanceOf[ArrayType] =>
+          if f0.dataType == LongType &&
+            (f1.dataType match {
+              case ArrayType(FloatType | DoubleType, _) => true
+              case _ => false
+            }) =>
           TypeCheckResult.TypeCheckSuccess
         case other => TypeCheckResult.TypeCheckFailure(
           s"$prettyName requires ARRAY<STRUCT<BIGINT, ARRAY<FLOAT|DOUBLE>>> " +

@@ -442,7 +442,13 @@ object Rewards {
     * (training/rewards/aggregator.py re-expressed with equal weights).
     * The HOF-heavy statistics come from one native [[graft.functions
     * .NativeExpressions.RewardStats]] pass shared across columns. */
-  def rwRewards(spark: SparkSession, sfDir: String): DataFrame = {
+  def rwRewards(spark: SparkSession, sfDir: String): DataFrame =
+    rwRewardsCore(spark, sfDir).orderBy(col("doc_id"))
+
+  /** The reward projection without the presentation sort — [[rwReport]]
+    * aggregates this directly (a sort under an aggregate is either dead
+    * weight or, if Catalyst keeps it, a full extra shuffle). */
+  private def rwRewardsCore(spark: SparkSession, sfDir: String): DataFrame = {
     val st = col("st")
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), t,
@@ -467,30 +473,40 @@ object Rewards {
       .withColumn("r_total",
         expr(s"(${allRewardCols.mkString(" + ")}) div ${allRewardCols.length}"))
       .withColumn("r_total_weighted", expr(weightedTotalExpr))
-      .orderBy(col("doc_id"))
   }
 
   /** rw_report: the reward-evaluation REPORT (scripts/evaluate_rewards.py's
     * operational surface): per-reward corpus aggregates — count, integer
     * mean, min/max, median — over every reward column plus both totals.
-    * One stack (unpivot) over the rw_rewards projection, one map-side-
-    * combinable aggregation on the 18 reward names. The median routes
-    * through [[graft.functions.Quantiles.pctl]]: exact for the oracle
-    * gate; with only 18 groups, exact percentile buffers ~corpus/18
-    * values per group, so at 100 TB flip the approx knob for bounded
-    * sketch state. */
+    *
+    * Shape (round 7): aggregate WIDE, then unpivot the one-row result —
+    * ONE grouping-less aggregate computes all 18×(count/mean/min/max/p50)
+    * columns in a single corpus pass with map-side partials, and the
+    * stack runs over the single result row (driver-trivial). The r6
+    * shape stacked FIRST, manufacturing 18×N unpivoted rows that all
+    * went through the shuffle; this one shuffles only per-partition
+    * aggregate buffers. The median routes through
+    * [[graft.functions.Quantiles.pctl]]: exact percentile buffers the
+    * column's values (×18 columns here — the grouping-less merge lands
+    * on one reducer), so at 100 TB flip the approx knob: the same call
+    * sites become bounded t-digest-style sketches and the single-reducer
+    * merge is sketch-sized, not corpus-sized. */
   def rwReport(spark: SparkSession, sfDir: String): DataFrame = {
     val names = allRewardCols ++ Seq("r_total", "r_total_weighted")
-    rwRewards(spark, sfDir)
-      .select(expr(s"stack(${names.length}, " +
-        names.map(n => s"'$n', $n").mkString(", ") + ") AS (reward, v)"))
-      .groupBy(col("reward"))
-      .agg(count(lit(1)).as("n"),
-        expr("sum(v) div count(*)").as("mean_ppm"),
-        min(col("v")).as("min_ppm"),
-        max(col("v")).as("max_ppm"),
-        round(graft.functions.Quantiles.pctl(spark, "v", 0.5), 0)
-          .cast("long").as("p50_ppm"))
+    val aggs = names.zipWithIndex.flatMap { case (n, i) => Seq(
+      expr(s"sum($n) div count(*)").as(s"mean_$i"),
+      min(col(n)).as(s"min_$i"),
+      max(col(n)).as(s"max_$i"),
+      round(graft.functions.Quantiles.pctl(spark, n, 0.5), 0)
+        .cast("long").as(s"p50_$i"))
+    }
+    val wide = rwRewardsCore(spark, sfDir)
+      .agg(count(lit(1)).as("n_all"), aggs: _*)
+    val stackArgs = names.zipWithIndex.map { case (n, i) =>
+      s"'$n', n_all, mean_$i, min_$i, max_$i, p50_$i"
+    }.mkString(", ")
+    wide.select(expr(s"stack(${names.length}, $stackArgs) " +
+        "AS (reward, n, mean_ppm, min_ppm, max_ppm, p50_ppm)"))
       .orderBy(col("reward"))
   }
 

@@ -427,14 +427,22 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         transform(col("embedding"), x => round(x.cast("double") * 1000000d, 0)).as("v"))
 
+  /** Seed modulus of the default Lloyd's chain: every [[LloydsSeedMod]]-th
+    * vector seeds a centroid (k grows with SF, stays broadcastable). */
+  val LloydsSeedMod = 50
+
   /** The trained Lloyd's centroid TABLE (c_id, cv) after [[LloydsIters]]
     * iterations — the index-BUILD output. Persist it once per corpus
     * version via [[writeCentroidArtifact]]; every analysis pass is then
-    * map-only against its broadcast ([[assignFromArtifact]]). */
-  private def lloydsCentroids(spark: SparkSession, sfDir: String): DataFrame = {
+    * map-only against its broadcast ([[assignFromArtifact]]). `seedMod`
+    * sets the seed density (k ≈ N/seedMod) — the k-sweep of
+    * [[p21OptimizeK]] varies it; everything else trains at
+    * [[LloydsSeedMod]]. */
+  private def lloydsCentroids(spark: SparkSession, sfDir: String,
+      seedMod: Int = LloydsSeedMod): DataFrame = {
     import graft.functions.NativeExpressions.argminL2
     val vm = lloydsVm(spark, sfDir).select(col("vec_id"), col("v"))
-    var cents = vm.filter(col("vec_id") % 50 === 0)
+    var cents = vm.filter(col("vec_id") % seedMod === 0)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     for (_ <- 1 to LloydsIters) {
       val centArr = cents.agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
@@ -458,10 +466,31 @@ object Similarity {
   }
 
   /** [[lloydsCentroids]] collected into ONE broadcastable array row —
-    * shared by p21_lloyds / p21_cluster_profile / p21_separability so the
-    * three gates analyze the SAME clustering the oracle reproduces. */
-  private def lloydsCentArr(spark: SparkSession, sfDir: String): DataFrame =
-    lloydsCentroids(spark, sfDir)
+    * shared by p21_lloyds / p21_cluster_profile / p21_separability /
+    * p21_optimize_k / p21_feature_dist so the gates analyze the SAME
+    * clustering the oracle reproduces.
+    *
+    * The trained centroid TABLE is CACHED per (session, corpus dir,
+    * seed mod): before round 7 each gate re-ran the full
+    * [[LloydsIters]]-pass training — three training passes per analysis
+    * suite, which at 100 TB is three corpus-scan sets for one
+    * clustering. The first caller trains and localCheckpoints the k-row
+    * table (k·dim doubles — trivially small); later gates re-collect
+    * the one-row array from those materialized blocks (a k-row keyless
+    * aggregate — the re-agg is microseconds and keeps every consumer's
+    * broadcast side a visible `keys=[]` aggregate, the single-row
+    * contract PlanAuditSpec pins). Entries are keyed by session so a
+    * restarted session retrains instead of touching another session's
+    * dead blocks; the map stays tiny (one entry per corpus version ×
+    * seed mod actually analyzed). Cross-session persistence is the
+    * [[writeCentroidArtifact]] / [[assignFromArtifact]] split. */
+  private val centTableCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+
+  private def lloydsCentArr(spark: SparkSession, sfDir: String,
+      seedMod: Int = LloydsSeedMod): DataFrame =
+    centTableCache.computeIfAbsent((spark, sfDir, seedMod), _ =>
+      lloydsCentroids(spark, sfDir, seedMod).localCheckpoint(true))
       .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
 
   /** Index BUILD: train the Lloyd's centroids and persist them as a
@@ -553,6 +582,107 @@ object Similarity {
       .orderBy(col("cluster"))
   }
 
+  /** Seed-modulus sweep for [[p21OptimizeK]] — k ≈ N/mod per entry, so
+    * the sweep covers a coarse→fine clustering range at any SF without
+    * hard-coding k (the reference sweeps k = 2..MAX_CLUSTERS on a fixed-
+    * size frame; a corpus-relative sweep is the shape that survives
+    * 100×). Includes [[LloydsSeedMod]] so the sweep shares the default
+    * chain's cached centroids with the other p21 gates. */
+  val OptimizeKMods: Seq[Int] = Seq(100, 50, 25)
+
+  /** One sweep row for [[p21OptimizeK]]: train the integer-exact Lloyd's
+    * chain at `seedMod`, then ONE map-only broadcast pass computes, per
+    * row, the top-2 centroid distances (a2, b2) → simplified-silhouette
+    * ppm AND the inertia term a2 — a single grouping-less aggregate
+    * (map-side partials) reduces both. Inertia sums exact micro²-scale
+    * integers in DECIMAL(38,0) — doubles lose exactness past 2^53 and a
+    * BIGINT sum overflows at stress densities — then integer-divides
+    * back to original units (DuckDB mirrors with HUGEINT `//`). */
+  private def optimizeKRow(spark: SparkSession, sfDir: String, seedMod: Int): DataFrame = {
+    val best = graft.functions.NativeExpressions.argmin2L2(col("v"), col("cents"))
+    val rows = lloydsVm(spark, sfDir)
+      .crossJoin(broadcast(lloydsCentArr(spark, sfDir, seedMod)))
+      .withColumn("k", size(col("cents")).cast("long"))
+      .withColumn("best", best)
+      .select(col("k"), col("best").getField("d").as("a2"),
+        col("best").getField("d2").as("b2"))
+    val sil = when(col("b2") === 0d, lit(0.0))
+      .otherwise((sqrt(col("b2")) - sqrt(col("a2"))) / sqrt(col("b2")))
+    rows.withColumn("sil_ppm", floor(sil * 1000000d + lit(0.5)).cast("long"))
+      .groupBy(col("k")) // constant per sweep entry — one group, partials stay map-side
+      .agg(
+        floor(sum(col("sil_ppm")) / count(lit(1))).cast("long").as("mean_sil_ppm"),
+        expr("CAST(sum(CAST(a2 AS DECIMAL(38,0))) div 1000000000000 AS BIGINT)")
+          .as("inertia"))
+      .select(lit(seedMod.toLong).as("seed_mod"), col("k").as("n_clusters"),
+        col("mean_sil_ppm"), col("inertia"))
+  }
+
+  /** p21_optimize_k: silhouette-driven cluster-count selection — the
+    * reference's optimize_clusters k-sweep (21-embedding-and-clustering
+    * .py:315-340, driving the pipeline at :937: per-k KMeans → silhouette
+    * + inertia → argmax) re-expressed over the hash-gated Lloyd's chain.
+    * One row per [[OptimizeKMods]] entry: (seed_mod, n_clusters,
+    * mean_sil_ppm, inertia, is_optimal), is_optimal = 1 at the
+    * silhouette argmax (ties → fewer clusters, matching np.argmax's
+    * first hit on an ascending-k sweep). Scale shape: each sweep entry
+    * is the gated chain's own cost (training passes + one scoring pass);
+    * the final argmax window runs over |sweep| rows — driver-trivial. */
+  def p21OptimizeK(spark: SparkSession, sfDir: String): DataFrame = {
+    val rows = OptimizeKMods.map(optimizeKRow(spark, sfDir, _)).reduce(_ unionByName _)
+    val w = Window.orderBy(col("mean_sil_ppm").desc, col("n_clusters"), col("seed_mod").desc)
+    rows
+      .withColumn("is_optimal",
+        when(row_number().over(w) === 1, lit(1L)).otherwise(lit(0L)))
+      .orderBy(col("seed_mod").desc)
+  }
+
+  /** p21_feature_dist: multi-feature per-cluster distributions — the
+    * reference's analyze_feature_distributions_across_clusters
+    * (21-embedding-and-clustering.py:463-520, called at :948: for each
+    * categorical feature value, its spread over clusters + the dominant
+    * cluster + purity). p21_cluster_profile covers the embeddings-side
+    * `label`; this generalizes to DOCUMENT-side categoricals (structure /
+    * emoji_usage / length_bucket — the repo's derivations of the
+    * reference's structure/emoji feature frame) joined over the 1:1
+    * doc_id = vec_id mapping. share_ppm on the dominant row IS the
+    * reference's purity. Scale shape: one broadcast-argmin assignment
+    * pass, one N-row equi-join on the id, features stacked AFTER the
+    * join (map-side — 3 skinny rows per doc into the aggregate's
+    * partials); the shuffled groups are (feature, value, cluster) —
+    * bounded by the taxonomies (≤ 3·|values|·k rows), never the corpus;
+    * the share/dominant windows run over that tiny aggregate. */
+  def p21FeatureDist(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.argminL2
+    import graft.functions.TextFunctions.{emojiUsage, lengthBucket}
+    val asg = lloydsVm(spark, sfDir)
+      .crossJoin(broadcast(lloydsCentArr(spark, sfDir)))
+      .select(col("vec_id").as("doc_id"),
+        argminL2(col("v"), col("cents")).getField("c_id").as("cluster"))
+    val counts = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        Annotations.structureCol.as("structure"),
+        emojiUsage(col("text")).as("emoji_usage"),
+        lengthBucket(col("text")).as("length_bucket"))
+      .join(asg, "doc_id")
+      .select(col("cluster"), expr(
+        """stack(3, 'structure', structure, 'emoji_usage', emoji_usage,
+          |  'length_bucket', length_bucket) AS (feature, value)""".stripMargin))
+      .groupBy(col("feature"), col("value"), col("cluster"))
+      .agg(count(lit(1)).as("n"))
+    val wTot = Window.partitionBy(col("feature"), col("value"))
+    val wRank = Window.partitionBy(col("feature"), col("value"))
+      .orderBy(col("n").desc, col("cluster"))
+    counts
+      .withColumn("value_total", sum(col("n")).over(wTot))
+      .withColumn("rnk", row_number().over(wRank))
+      .select(col("feature"), col("value"), col("cluster"), col("n"),
+        col("value_total"),
+        expr("n * 1000000L div value_total").as("share_ppm"),
+        when(col("rnk") === 1, lit(1L)).otherwise(lit(0L)).as("is_dominant"))
+      .orderBy(col("feature"), col("value"), col("cluster"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "ss_brute_topk"      -> (ssBruteTopk _),
     "ss_sq8_topk"        -> (ssSq8Topk _),
@@ -567,6 +697,8 @@ object Similarity {
     "p21_lloyds"         -> (p21Lloyds _),
     "p21_cluster_profile" -> (p21ClusterProfile _),
     "p21_separability"   -> (p21Separability _),
+    "p21_optimize_k"     -> (p21OptimizeK _),
+    "p21_feature_dist"   -> (p21FeatureDist _),
     "p21_pca"            -> (p21Pca _))
 
   // ---- DuckDB oracle (p21_kmeans / ss_ivf_trained are rows-only — MLlib
@@ -711,12 +843,12 @@ object Similarity {
          |SELECT vec_id, cluster, CAST(round(dist2*1000, 0) AS BIGINT) AS dist2_mil
          |FROM asg ORDER BY vec_id""".stripMargin,
     "p21_lloyds" ->
-      s"""WITH $lloydsChainSql,
+      s"""WITH ${lloydsChainSql()},
          |${lloydsFinalRankSql("fr")}
          |SELECT cluster, CAST(count(*) AS BIGINT) AS n_vecs
          |FROM fr WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
     "p21_cluster_profile" ->
-      s"""WITH $lloydsChainSql,
+      s"""WITH ${lloydsChainSql()},
          |${lloydsFinalRankSql("fr")},
          |cnt AS (SELECT cluster, CAST(label AS BIGINT) AS label, count(*) AS n
          |  FROM fr WHERE rn = 1 GROUP BY 1, 2),
@@ -730,7 +862,7 @@ object Similarity {
          |  CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_dominant
          |FROM w ORDER BY cluster, label""".stripMargin,
     "p21_separability" ->
-      s"""WITH $lloydsChainSql,
+      s"""WITH ${lloydsChainSql()},
          |${lloydsFinalRankSql("fr")},
          |a AS (SELECT vec_id, cluster, d AS a2 FROM fr WHERE rn = 1),
          |b AS (SELECT vec_id, d AS b2 FROM fr WHERE rn = 2),
@@ -745,41 +877,120 @@ object Similarity {
          |  CAST(floor(sum(sil_ppm) / count(*)) AS BIGINT) AS mean_sil_ppm,
          |  CAST(min(sil_ppm) AS BIGINT) AS min_sil_ppm,
          |  CAST(max(sil_ppm) AS BIGINT) AS max_sil_ppm
-         |FROM s GROUP BY cluster ORDER BY cluster""".stripMargin)
+         |FROM s GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "p21_optimize_k" -> {
+      // One unrolled chain per sweep mod (suffixed CTEs), a per-mod stats
+      // CTE mirroring the Spark grouping-less aggregate, then the argmax
+      // window. HUGEINT sum mirrors the Spark side's DECIMAL(38,0).
+      def statsCte(m: Int): String = {
+        val x = s"_s$m"
+        s"""${lloydsFinalRankSql(s"fr$x", x, mat = true)},
+           |st$x AS MATERIALIZED (
+           |  SELECT CAST($m AS BIGINT) AS seed_mod,
+           |    (SELECT count(*) FROM c$LloydsIters$x) AS n_clusters,
+           |    CAST(floor(sum(sil_ppm) / count(*)) AS BIGINT) AS mean_sil_ppm,
+           |    CAST(sum(CAST(a2 AS HUGEINT)) // 1000000000000 AS BIGINT) AS inertia
+           |  FROM (
+           |    SELECT a.a2,
+           |      CAST(floor(CASE WHEN COALESCE(b.b2, a.a2) = 0 THEN 0.0
+           |        ELSE (sqrt(COALESCE(b.b2, a.a2)) - sqrt(a.a2))
+           |             / sqrt(COALESCE(b.b2, a.a2)) END * 1000000 + 0.5)
+           |        AS BIGINT) AS sil_ppm
+           |    FROM (SELECT vec_id, d AS a2 FROM fr$x WHERE rn = 1) a
+           |    LEFT JOIN (SELECT vec_id, d AS b2 FROM fr$x WHERE rn = 2) b
+           |      USING (vec_id)))""".stripMargin
+      }
+      val vmCte =
+        "vm AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*1000000)) AS v FROM embeddings)"
+      val chains = OptimizeKMods
+        .map(m => lloydsChainTailSql(m, s"_s$m", mat = true)).mkString(",\n")
+      val stats = OptimizeKMods.map(statsCte).mkString(",\n")
+      val union = OptimizeKMods.map(m => s"SELECT * FROM st_s$m")
+        .mkString(" UNION ALL ")
+      s"""WITH $vmCte,
+         |$chains,
+         |$stats,
+         |u AS ($union),
+         |r AS (SELECT *, row_number() OVER (
+         |    ORDER BY mean_sil_ppm DESC, n_clusters, seed_mod DESC) AS rn
+         |  FROM u)
+         |SELECT seed_mod, CAST(n_clusters AS BIGINT) AS n_clusters,
+         |  mean_sil_ppm, inertia,
+         |  CAST(CASE WHEN rn = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_optimal
+         |FROM r ORDER BY seed_mod DESC""".stripMargin
+    },
+    "p21_feature_dist" ->
+      s"""WITH ${lloydsChainSql()},
+         |${lloydsFinalRankSql("fr")},
+         |asg AS (SELECT vec_id AS doc_id, cluster FROM fr WHERE rn = 1),
+         |f AS (
+         |  SELECT doc_id, 'structure' AS feature, ${Annotations.structureSql} AS value FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 'emoji_usage' AS feature, ${DocPipeline.emojiUsageSql} AS value FROM documents
+         |  UNION ALL
+         |  SELECT doc_id, 'length_bucket' AS feature, ${DocPipeline.lengthBucketSql} AS value FROM documents),
+         |cnt AS (SELECT feature, value, cluster, count(*) AS n
+         |  FROM f JOIN asg USING (doc_id) GROUP BY 1, 2, 3),
+         |w AS (SELECT feature, value, cluster, n,
+         |    sum(n) OVER (PARTITION BY feature, value) AS value_total,
+         |    row_number() OVER (PARTITION BY feature, value
+         |      ORDER BY n DESC, cluster) AS rnk
+         |  FROM cnt)
+         |SELECT feature, value, cluster, CAST(n AS BIGINT) AS n,
+         |  CAST(value_total AS BIGINT) AS value_total,
+         |  CAST(n * 1000000 // value_total AS BIGINT) AS share_ppm,
+         |  CAST(CASE WHEN rnk = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_dominant
+         |FROM w ORDER BY feature, value, cluster""".stripMargin)
 
   /** Shared DuckDB CTE chain for the Lloyd's family: micro-fixed-point
-    * corpus `vm` (vec_id, label, v), seed centroids `c0`, and
+    * corpus `vm` (vec_id, label, v), seed centroids `c0$sfx`, and
     * [[LloydsIters]] unrolled assign→update iterations ending at
-    * `c$LloydsIters` — the same IEEE arithmetic as the Spark side
-    * (integers < 2^53 are exact in doubles on both engines). */
-  private def lloydsChainSql: String = {
+    * `c$LloydsIters$sfx` — the same IEEE arithmetic as the Spark side
+    * (integers < 2^53 are exact in doubles on both engines). `sfx`
+    * disambiguates CTE names when [[p21OptimizeK]]'s sweep inlines
+    * several chains into one statement. */
+  private def lloydsChainSql(seedMod: Int = LloydsSeedMod, sfx: String = ""): String = {
     val vmCte =
       "vm AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*1000000)) AS v FROM embeddings)"
-    val c0Cte = "c0 AS (SELECT vec_id AS c_id, v AS cv FROM vm WHERE vec_id % 50 = 0)"
+    s"$vmCte,\n${lloydsChainTailSql(seedMod, sfx)}"
+  }
+
+  /** The chain minus the shared `vm` CTE — for multi-chain statements.
+    * `mat` = emit `AS MATERIALIZED`: DuckDB re-EVALUATES a plain CTE at
+    * every reference, and [[p21OptimizeK]]'s statement references each
+    * chain's tail several times across three chains — the expanded plan
+    * OOM'd the oracle session until the chains were pinned
+    * materialized. The single-chain oracles keep plain CTEs (their
+    * re-evaluation is the long-recorded DuckDB baseline cost). */
+  private def lloydsChainTailSql(seedMod: Int, sfx: String, mat: Boolean = false): String = {
+    val as = if (mat) "AS MATERIALIZED" else "AS"
+    val c0Cte = s"c0$sfx $as (SELECT vec_id AS c_id, v AS cv FROM vm WHERE vec_id % $seedMod = 0)"
     def asgCteOf(i: Int, src: String) =
-      s"""a$i AS (
+      s"""a$i$sfx $as (
          |  SELECT vec_id, v, c_id AS cluster FROM (
          |    SELECT e.vec_id, e.v, c.c_id,
          |      row_number() OVER (PARTITION BY e.vec_id
          |        ORDER BY ${l2SqSql("e.v", "c.cv")}, c.c_id) AS rn
          |    FROM vm e CROSS JOIN $src c) WHERE rn = 1)""".stripMargin
     def updCte(i: Int) =
-      s"""u$i AS (SELECT cluster, unnest(generate_series(1, $Dim)) AS dim, unnest(v) AS x FROM a$i),
-         |m$i AS (SELECT cluster, dim, floor(sum(x)/count(*)) AS m FROM u$i GROUP BY cluster, dim),
-         |c$i AS (SELECT cluster AS c_id, array_agg(m ORDER BY dim) AS cv FROM m$i GROUP BY cluster)""".stripMargin
+      s"""u$i$sfx $as (SELECT cluster, unnest(generate_series(1, $Dim)) AS dim, unnest(v) AS x FROM a$i$sfx),
+         |m$i$sfx $as (SELECT cluster, dim, floor(sum(x)/count(*)) AS m FROM u$i$sfx GROUP BY cluster, dim),
+         |c$i$sfx $as (SELECT cluster AS c_id, array_agg(m ORDER BY dim) AS cv FROM m$i$sfx GROUP BY cluster)""".stripMargin
     val iters = (1 to LloydsIters)
-      .map(i => s"${asgCteOf(i, s"c${i - 1}")},\n${updCte(i)}").mkString(",\n")
-    s"$vmCte, $c0Cte,\n$iters"
+      .map(i => s"${asgCteOf(i, s"c${i - 1}$sfx")},\n${updCte(i)}").mkString(",\n")
+    s"$c0Cte,\n$iters"
   }
 
   /** Final-centroid distance ranking per vector (rn = 1 → own/nearest
     * centroid, rn = 2 → second-nearest), carrying the label — the shared
-    * tail for the p21_lloyds / p21_cluster_profile / p21_separability
-    * oracles (mirrors the Spark side's sorted broadcast-centroid pass). */
-  private def lloydsFinalRankSql(name: String): String =
-    s"""$name AS (
+    * tail for the p21_lloyds / p21_cluster_profile / p21_separability /
+    * p21_optimize_k / p21_feature_dist oracles (mirrors the Spark side's
+    * sorted broadcast-centroid pass). */
+  private def lloydsFinalRankSql(name: String, sfx: String = "",
+      mat: Boolean = false): String =
+    s"""$name ${if (mat) "AS MATERIALIZED" else "AS"} (
        |  SELECT e.vec_id, e.label, c.c_id AS cluster, ${l2SqSql("e.v", "c.cv")} AS d,
        |    row_number() OVER (PARTITION BY e.vec_id
        |      ORDER BY ${l2SqSql("e.v", "c.cv")}, c.c_id) AS rn
-       |  FROM vm e CROSS JOIN c$LloydsIters c)""".stripMargin
+       |  FROM vm e CROSS JOIN c$LloydsIters$sfx c)""".stripMargin
 }
