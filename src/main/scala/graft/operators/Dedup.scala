@@ -316,12 +316,22 @@ object Dedup {
       .withColumn("j_ppm",
         expr("inter * 1000000L div (size(sh_n) + size(sh_b) - inter)"))
       .filter(col("j_ppm") >= JaccardThresholdPpm)
+    incrementalVerdicts(docs.filter(newP).select(col("doc_id")), exact, nearAll)
+  }
+
+  /** Shared verdict assembly for [[ddIncremental]] and
+    * [[incrementalFromArtifact]]: pick each batch doc's best near
+    * candidate (highest verified Jaccard, ties → smallest base id) and
+    * resolve exact > near > new. The window partitions on the batch doc
+    * id — state per task is one batch doc's candidate list. */
+  private def incrementalVerdicts(batchIds: DataFrame, exact: DataFrame,
+      nearAll: DataFrame): DataFrame = {
     val wBest = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("j_ppm").desc, col("b_id"))
     val near = nearAll.withColumn("rn", row_number().over(wBest))
       .filter(col("rn") === 1)
       .select(col("doc_id"), col("b_id").as("near_match"), col("j_ppm").as("near_j"))
-    docs.filter(newP).select(col("doc_id"))
+    batchIds
       .join(exact, Seq("doc_id"), "left")
       .join(near, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -332,6 +342,57 @@ object Dedup {
         when(col("exact_match").isNotNull, lit(1000000L))
           .otherwise(coalesce(col("near_j"), lit(0L))).as("j_ppm"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Index BUILD for the incremental path: per-doc dedup signatures —
+    * normalized fingerprint, 3-gram shingle set, MinHash signature — as
+    * one parquet artifact. This is the persisted corpus index
+    * [[ddIncremental]]'s contract promises: built ONCE per corpus
+    * version in a single text pass; every arriving batch then dedups
+    * against it ([[incrementalFromArtifact]]) without the corpus ever
+    * being re-tokenized. The artifact is O(corpus) rows but each row is
+    * signatures only (no text) — at 100 TB it is the table you bucket
+    * by band key / fingerprint so batch joins prune to matching
+    * buckets. */
+  def writeSignatureArtifact(spark: SparkSession, sfDir: String, path: String): Unit =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        NativeExpressions.wordShingles(col("text"), 3).as("sh"))
+      .withColumn("sigs", NativeExpressions.minHashSigs(col("sh"), K, P))
+      .write.mode("overwrite").parquet(path)
+
+  /** Index USE: [[ddIncremental]]'s batch-vs-corpus verdicts with the
+    * corpus side read from a [[writeSignatureArtifact]] parquet — the
+    * only tokenize/minhash pass is over the arriving batch; the corpus
+    * contributes pre-computed fp/band/shingle columns straight from the
+    * scan. Verdicts are identical to the in-session operator (pinned by
+    * PipelineSpec's round-trip test). */
+  def incrementalFromArtifact(spark: SparkSession, sfDir: String,
+      artifactPath: String): DataFrame = {
+    val newP = col("doc_id") % 10 === 0
+    val art = spark.read.parquet(artifactPath).filter(!newP)
+    val batch = Tables.documents(spark, sfDir).filter(newP)
+    val exact = batch.select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .join(art.select(col("doc_id").as("b_id"), col("fp")), "fp")
+      .groupBy(col("doc_id")).agg(min(col("b_id")).as("exact_match"))
+    // One batch text pass, checkpointed — the band join and the verify
+    // join both read it (the [[ddMinhashEstimate]] lesson).
+    val bsh = batch
+      .select(col("doc_id"), NativeExpressions.wordShingles(col("text"), 3).as("sh"))
+      .withColumn("sigs", NativeExpressions.minHashSigs(col("sh"), K, P))
+      .localCheckpoint(true)
+    val cand = bsh.select(col("doc_id"), explode(minhashBandKeys).as("bk"))
+      .join(art.select(col("doc_id").as("b_id"), col("sigs"))
+        .select(col("b_id"), explode(minhashBandKeys).as("bk")), "bk")
+      .select(col("doc_id"), col("b_id")).distinct()
+    val nearAll = cand
+      .join(bsh.select(col("doc_id"), col("sh").as("sh_n")), "doc_id")
+      .join(art.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_b"))).cast("long"))
+      .withColumn("j_ppm",
+        expr("inter * 1000000L div (size(sh_n) + size(sh_b) - inter)"))
+      .filter(col("j_ppm") >= JaccardThresholdPpm)
+    incrementalVerdicts(batch.select(col("doc_id")), exact, nearAll)
   }
 
   /** dd_substring: exact long-run substring duplication — pairs of

@@ -67,6 +67,20 @@ class PipelineSpec extends SparkSpec {
         .filter(col("vec_id") % 50 === 0).count())
   }
 
+  test("signature artifact round-trips: incremental verdicts from parquet == in-session") {
+    val path = Files.createTempDirectory("graft_sigs").toString + "/sigs"
+    graft.operators.Dedup.writeSignatureArtifact(spark, sfDir, path)
+    val fromArtifact = graft.operators.Dedup.incrementalFromArtifact(spark, sfDir, path)
+    val inSession = graft.operators.Dedup.ddIncremental(spark, sfDir)
+    assert(fromArtifact.except(inSession).isEmpty && inSession.except(fromArtifact).isEmpty,
+      "artifact-path incremental verdicts diverge from the in-session operator")
+    // the artifact is one signature row per corpus doc, text-free
+    val art = spark.read.parquet(path)
+    assert(art.count() == spark.read.parquet(s"$sfDir/documents.parquet").count())
+    assert(Seq("doc_id", "fp", "sh", "sigs").forall(art.columns.contains))
+    assert(!art.columns.contains("text"))
+  }
+
   test("curation preset runs end-to-end and the verdict artifact gates the corpus") {
     val out = Files.createTempDirectory("graft_pipeline_cur").toString
     val manifest = Pipeline.run(spark, sfDir, out, "t5", Pipeline.curationStages).collect()
