@@ -237,7 +237,7 @@ object Dedup {
     * as [[simhashBandKeys]]: a band-shape change that doesn't propagate
     * everywhere silently desynchronizes the operators or their
     * oracles). */
-  private def minhashBandKeys: Column =
+  private[graft] def minhashBandKeys: Column =
     array((0 until BANDS).map { b =>
       concat_ws(":", lit(b) +: (0 until R).map(r =>
         element_at(col("sigs"), b * R + r + 1)): _*)
@@ -324,7 +324,7 @@ object Dedup {
     * candidate (highest verified Jaccard, ties → smallest base id) and
     * resolve exact > near > new. The window partitions on the batch doc
     * id — state per task is one batch doc's candidate list. */
-  private def incrementalVerdicts(batchIds: DataFrame, exact: DataFrame,
+  private[graft] def incrementalVerdicts(batchIds: DataFrame, exact: DataFrame,
       nearAll: DataFrame): DataFrame = {
     val wBest = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id")).orderBy(col("j_ppm").desc, col("b_id"))

@@ -38,6 +38,21 @@ case class LeaderboardEntry(
 /** One document on the wire (streaming near-dup input). */
 case class DocEvent(doc_id: Long, ts: Timestamp, text: String)
 
+/** One document on the incremental-dedup wire: `is_base` rows build the
+  * corpus index state (the streaming analog of dd_incremental's
+  * persisted signature artifact); non-base rows get verdict fragments. */
+case class IncDocEvent(doc_id: Long, ts: Timestamp, text: String, is_base: Boolean)
+
+/** Per-key incremental-dedup state — `fp:` buckets use `minBaseId` (the
+  * smallest base holder of the fingerprint; MaxValue = none), `mh:` band
+  * buckets use `docs` (recent base (doc_id, shingles), newest first). */
+case class IncBucketState(minBaseId: Long, docs: List[(Long, Seq[String])], lastTs: Long)
+
+/** One incremental-dedup verdict fragment ("exact" or "near"); a doc's
+  * final verdict is the downstream reduce over its fragments
+  * ([[EventStreams.reduceIncrementalVerdicts]]). */
+case class VerdictFragment(doc_id: Long, method: String, match_id: Long, j_ppm: Long, ts: Timestamp)
+
 /** Per-(band, bucket) recent-document state: (doc_id, fp), newest first. */
 case class BucketState(docs: List[(Long, Long)], lastTs: Long)
 
@@ -296,6 +311,105 @@ object EventStreams {
       }
       out.result().iterator
     }
+
+  /** Streaming incremental dedup — the streaming form of dd_incremental's
+    * exact/near/new verdicts: base (corpus) documents fold their
+    * fingerprint and MinHash-band signatures into state; each arriving
+    * non-base document emits one fragment per match it finds — `exact`
+    * from its fingerprint bucket (match_id = the smallest base holder,
+    * dd_incremental's keep-min contract), `near` from each band bucket
+    * whose base entries verify at Jaccard ≥ the batch threshold (the
+    * SAME banding and j_ppm arithmetic as the batch operator — shared
+    * [[graft.operators.Dedup.minhashBandKeys]], shared constants).
+    *
+    * A doc fans out to 1 fingerprint key + BANDS band keys, so a
+    * cross-band match emits up to BANDS fragments and a near-dup that is
+    * also an exact dup emits both kinds; the per-doc verdict is one
+    * downstream reduce ([[reduceIncrementalVerdicts]]) — the same
+    * split [[nearDupPairs]] documents for its per-band pair emissions.
+    * Scale shape: state per occupied band bucket is ≤ [[BucketCap]]
+    * (id, shingle-set) entries of BASE docs only (the streaming resident
+    * form of the writeSignatureArtifact index; shingles must ride along
+    * because verification happens in-bucket), evicted by event-time
+    * timeout one [[DupHorizonMs]] past idle; fingerprint buckets hold
+    * two longs. Non-base docs never enter state — verdict traffic
+    * cannot grow the index. */
+  def incrementalVerdictFragments(docs: Dataset[IncDocEvent]): Dataset[VerdictFragment] = {
+    import docs.sparkSession.implicits._
+    import graft.functions.NativeExpressions.{fingerprint, minHashSigs, wordShingles}
+    import graft.operators.Dedup
+    docs
+      .withWatermark("ts", "10 minutes")
+      .select(col("doc_id"), col("ts"), col("is_base"),
+        fingerprint(col("text")).as("fp"),
+        wordShingles(col("text"), 3).as("sh"))
+      .withColumn("sigs", minHashSigs(col("sh"), Dedup.K, Dedup.P))
+      .select(col("doc_id"), col("ts"), col("is_base"), col("sh"),
+        explode(concat(
+          array(concat(lit("fp:"), col("fp"))),
+          transform(Dedup.minhashBandKeys, bk => concat(lit("mh:"), bk)))).as("key"))
+      .as[(Long, Timestamp, Boolean, Seq[String], String)]
+      .groupByKey(_._5)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateIncVerdicts)
+  }
+
+  private[streaming] def updateIncVerdicts(
+      key: String,
+      rows: Iterator[(Long, Timestamp, Boolean, Seq[String], String)],
+      state: GroupState[IncBucketState]): Iterator[VerdictFragment] =
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      val wm = state.getCurrentWatermarkMs()
+      val out = Seq.newBuilder[VerdictFragment]
+      var minBase = state.getOption.map(_.minBaseId).getOrElse(Long.MaxValue)
+      var docs = state.getOption.map(_.docs).getOrElse(Nil)
+      var lastTs = state.getOption.map(_.lastTs).getOrElse(0L)
+      val isFp = key.startsWith("fp:")
+      rows.toArray.filter(_._2.getTime >= wm).sortBy(r => (r._2.getTime, r._1))
+        .foreach { case (id, ts, isBase, sh, _) =>
+          if (isBase) {
+            if (isFp) minBase = math.min(minBase, id)
+            else docs = ((id, sh) :: docs).take(BucketCap)
+          } else if (isFp) {
+            if (minBase != Long.MaxValue)
+              out += VerdictFragment(id, "exact", minBase, 1000000L, ts)
+          } else {
+            val a = sh.toSet
+            docs.foreach { case (bid, bsh) =>
+              val b = bsh.toSet
+              val inter = a.iterator.count(b)
+              val union = a.size + b.size - inter
+              // union == 0 (two empty shingle sets) is the batch side's
+              // null `div` — no verified pair either way
+              val j = if (union == 0) 0L else inter * 1000000L / union
+              if (j >= graft.operators.Dedup.JaccardThresholdPpm)
+                out += VerdictFragment(id, "near", bid, j, ts)
+            }
+          }
+          lastTs = math.max(lastTs, ts.getTime)
+        }
+      if (minBase != Long.MaxValue || docs.nonEmpty) {
+        state.update(IncBucketState(minBase, docs, lastTs))
+        state.setTimeoutTimestamp(math.max(lastTs + DupHorizonMs, wm + 1))
+      }
+      out.result().iterator
+    }
+
+  /** The downstream exactly-once reduce over
+    * [[incrementalVerdictFragments]] output (a batch pass, e.g. in the
+    * foreachBatch sink): per doc, exact beats near beats new; the best
+    * near match is highest verified Jaccard, ties to the smallest base
+    * id — assembled by the SAME code as batch dd_incremental, so the two
+    * paths cannot drift. `batchIds` is the (doc_id) universe to verdict
+    * (docs with no fragments come out `new`). */
+  def reduceIncrementalVerdicts(fragments: DataFrame, batchIds: DataFrame): DataFrame = {
+    val exact = fragments.filter(col("method") === "exact")
+      .groupBy(col("doc_id")).agg(min(col("match_id")).as("exact_match"))
+    val nearAll = fragments.filter(col("method") === "near")
+      .select(col("doc_id"), col("match_id").as("b_id"), col("j_ppm"))
+      .distinct()
+    graft.operators.Dedup.incrementalVerdicts(batchIds, exact, nearAll)
+  }
 
   private def close(userId: Long, s: SessionState): UserSession =
     UserSession(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.value)

@@ -320,6 +320,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming incremental verdicts match batch dd_incremental on the real table") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.IncDocEvent
+    val batch = graft.operators.Dedup.ddIncremental(spark, sfDir)
+      .as[(Long, String, Long, Long)].collect().toSet
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+    // corpus (base) docs stream in first, the arriving batch an hour later
+    val base = all.filter(_.getLong(0) % 10 != 0).toSeq
+      .map(r => IncDocEvent(r.getLong(0), t("2026-01-01 09:00:00"), r.getString(1), is_base = true))
+    val arriving = all.filter(_.getLong(0) % 10 == 0).toSeq
+      .map(r => IncDocEvent(r.getLong(0), t("2026-01-01 10:00:00"), r.getString(1), is_base = false))
+    val in = MemoryStream[IncDocEvent]
+    val q = EventStreams.incrementalVerdictFragments(in.toDS())
+      .writeStream.format("memory").queryName("inc_verdicts")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(base)
+      q.processAllAvailable()
+      in.addData(arriving)
+      q.processAllAvailable()
+      val batchIds = arriving.map(_.doc_id).toDF("doc_id")
+      val got = EventStreams.reduceIncrementalVerdicts(
+          spark.table("inc_verdicts"), batchIds)
+        .as[(Long, String, Long, Long)].collect().toSet
+      assert(got == batch,
+        s"streamed ${got.size} verdicts vs batch ${batch.size}: " +
+          s"missing=${(batch -- got).take(3)} extra=${(got -- batch).take(3)}")
+    } finally q.stop()
+  }
+
   test("streaming qualityGate matches batch tx_gopher over the real documents table") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions._
