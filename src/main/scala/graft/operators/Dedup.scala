@@ -292,32 +292,52 @@ object Dedup {
     * exact path; this adds the near-dup increment. */
   def ddIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val newP = col("doc_id") % 10 === 0
-    val docs = Tables.documents(spark, sfDir)
-    val fpAll = docs.select(col("doc_id"), fingerprint(col("text")).as("fp"))
-    val exact = fpAll.filter(newP)
-      .join(fpAll.filter(!newP).select(col("doc_id").as("b_id"), col("fp")), "fp")
+    // ONE text pass (the [[ddMinhashEstimate]] lesson): fingerprint +
+    // shingles + signatures checkpointed together; both increment sides
+    // derive from the materialized table, so the band join and the two
+    // verify joins never re-tokenize.
+    val sig = signatureDf(spark, sfDir).localCheckpoint(true)
+    incrementalAgainst(sig.filter(newP),
+      sig.filter(!newP).withColumnRenamed("doc_id", "b_id"))
+  }
+
+  /** The batch-vs-corpus increment over two SIGNATURE tables — ONE
+    * construction shared by [[ddIncremental]] (both sides from one
+    * in-session text pass) and [[incrementalFromArtifact]] (corpus side
+    * from the persisted index), so the verify arithmetic cannot drift
+    * between the two paths. `batchSig` is (doc_id, fp, sh, sigs);
+    * `corpusSig` is (b_id, fp, sh, sigs). One exact fingerprint
+    * equi-join, one band-key equi-join (fan-in ∝ batch size × bucket
+    * occupancy, never corpus²), Jaccard verification on candidates
+    * only, then the shared verdict assembly. */
+  private def incrementalAgainst(batchSig: DataFrame, corpusSig: DataFrame): DataFrame = {
+    val exact = batchSig.select(col("doc_id"), col("fp"))
+      .join(corpusSig.select(col("b_id"), col("fp")), "fp")
       .groupBy(col("doc_id")).agg(min(col("b_id")).as("exact_match"))
-    // Tokenize/shingle ONCE and band ONCE (the [[ddMinhashEstimate]]
-    // lesson): without the checkpoints, the two band-join sides re-run
-    // the shingle+minhash pipeline and the two verify joins re-tokenize
-    // the corpus — four text passes for one.
-    val sh = shingleDf(spark, sfDir).localCheckpoint(true)
-    val bands = sh
-      .select(col("doc_id"), NativeExpressions.minHashSigs(col("sh"), K, P).as("sigs"))
+    val cand = batchSig.select(col("doc_id"), col("sigs"))
       .select(col("doc_id"), explode(minhashBandKeys).as("bk"))
-      .localCheckpoint(true)
-    val cand = bands.filter(newP)
-      .join(bands.filter(!newP).select(col("doc_id").as("b_id"), col("bk")), "bk")
+      .join(corpusSig.select(col("b_id"), col("sigs"))
+        .select(col("b_id"), explode(minhashBandKeys).as("bk")), "bk")
       .select(col("doc_id"), col("b_id")).distinct()
     val nearAll = cand
-      .join(sh.select(col("doc_id"), col("sh").as("sh_n")), "doc_id")
-      .join(sh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
+      .join(batchSig.select(col("doc_id"), col("sh").as("sh_n")), "doc_id")
+      .join(corpusSig.select(col("b_id"), col("sh").as("sh_b")), "b_id")
       .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_b"))).cast("long"))
       .withColumn("j_ppm",
         expr("inter * 1000000L div (size(sh_n) + size(sh_b) - inter)"))
       .filter(col("j_ppm") >= JaccardThresholdPpm)
-    incrementalVerdicts(docs.filter(newP).select(col("doc_id")), exact, nearAll)
+    incrementalVerdicts(batchSig.select(col("doc_id")), exact, nearAll)
   }
+
+  /** Per-doc dedup signatures (fingerprint, distinct 3-gram shingles,
+    * MinHash signature) in one text pass — the projection behind
+    * [[ddIncremental]], [[writeSignatureArtifact]], and the batch side
+    * of [[incrementalFromArtifact]]. */
+  private def signatureDf(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+        NativeExpressions.wordShingles(col("text"), 3).as("sh"))
+      .withColumn("sigs", NativeExpressions.minHashSigs(col("sh"), K, P))
 
   /** Shared verdict assembly for [[ddIncremental]] and
     * [[incrementalFromArtifact]]: pick each batch doc's best near
@@ -355,11 +375,7 @@ object Dedup {
     * by band key / fingerprint so batch joins prune to matching
     * buckets. */
   def writeSignatureArtifact(spark: SparkSession, sfDir: String, path: String): Unit =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), fingerprint(col("text")).as("fp"),
-        NativeExpressions.wordShingles(col("text"), 3).as("sh"))
-      .withColumn("sigs", NativeExpressions.minHashSigs(col("sh"), K, P))
-      .write.mode("overwrite").parquet(path)
+    signatureDf(spark, sfDir).write.mode("overwrite").parquet(path)
 
   /** Index USE: [[ddIncremental]]'s batch-vs-corpus verdicts with the
     * corpus side read from a [[writeSignatureArtifact]] parquet — the
@@ -370,29 +386,13 @@ object Dedup {
   def incrementalFromArtifact(spark: SparkSession, sfDir: String,
       artifactPath: String): DataFrame = {
     val newP = col("doc_id") % 10 === 0
-    val art = spark.read.parquet(artifactPath).filter(!newP)
-    val batch = Tables.documents(spark, sfDir).filter(newP)
-    val exact = batch.select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .join(art.select(col("doc_id").as("b_id"), col("fp")), "fp")
-      .groupBy(col("doc_id")).agg(min(col("b_id")).as("exact_match"))
-    // One batch text pass, checkpointed — the band join and the verify
-    // join both read it (the [[ddMinhashEstimate]] lesson).
-    val bsh = batch
-      .select(col("doc_id"), NativeExpressions.wordShingles(col("text"), 3).as("sh"))
-      .withColumn("sigs", NativeExpressions.minHashSigs(col("sh"), K, P))
-      .localCheckpoint(true)
-    val cand = bsh.select(col("doc_id"), explode(minhashBandKeys).as("bk"))
-      .join(art.select(col("doc_id").as("b_id"), col("sigs"))
-        .select(col("b_id"), explode(minhashBandKeys).as("bk")), "bk")
-      .select(col("doc_id"), col("b_id")).distinct()
-    val nearAll = cand
-      .join(bsh.select(col("doc_id"), col("sh").as("sh_n")), "doc_id")
-      .join(art.select(col("doc_id").as("b_id"), col("sh").as("sh_b")), "b_id")
-      .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_b"))).cast("long"))
-      .withColumn("j_ppm",
-        expr("inter * 1000000L div (size(sh_n) + size(sh_b) - inter)"))
-      .filter(col("j_ppm") >= JaccardThresholdPpm)
-    incrementalVerdicts(batch.select(col("doc_id")), exact, nearAll)
+    // The only text pass is the arriving batch's (checkpointed — the
+    // band join and the verify join both read it); the corpus
+    // contributes pre-computed signature columns straight from the scan.
+    incrementalAgainst(
+      signatureDf(spark, sfDir).filter(newP).localCheckpoint(true),
+      spark.read.parquet(artifactPath).filter(!newP)
+        .withColumnRenamed("doc_id", "b_id"))
   }
 
   /** dd_substring: exact long-run substring duplication — pairs of

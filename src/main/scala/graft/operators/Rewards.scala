@@ -507,6 +507,9 @@ object Rewards {
     }.mkString(", ")
     wide.select(expr(s"stack(${names.length}, $stackArgs) " +
         "AS (reward, n, mean_ppm, min_ppm, max_ppm, p50_ppm)"))
+      // a grouping-less agg yields one row even over an EMPTY corpus;
+      // the grouped oracle yields zero — drop the n=0 fan-out for parity
+      .filter(col("n") > 0)
       .orderBy(col("reward"))
   }
 

@@ -488,10 +488,15 @@ object Similarity {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
 
   private def lloydsCentArr(spark: SparkSession, sfDir: String,
-      seedMod: Int = LloydsSeedMod): DataFrame =
+      seedMod: Int = LloydsSeedMod): DataFrame = {
+    // Dead-session entries pin the stopped session and its checkpoint
+    // blocks for the JVM lifetime — evict them whenever the cache is
+    // consulted (the map holds a handful of keys; the sweep is free).
+    centTableCache.keySet.removeIf(_._1.sparkContext.isStopped)
     centTableCache.computeIfAbsent((spark, sfDir, seedMod), _ =>
       lloydsCentroids(spark, sfDir, seedMod).localCheckpoint(true))
       .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+  }
 
   /** Index BUILD: train the Lloyd's centroids and persist them as a
     * parquet artifact — the train/use split of a vector index (FAISS
@@ -900,14 +905,12 @@ object Similarity {
            |    LEFT JOIN (SELECT vec_id, d AS b2 FROM fr$x WHERE rn = 2) b
            |      USING (vec_id)))""".stripMargin
       }
-      val vmCte =
-        "vm AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*1000000)) AS v FROM embeddings)"
       val chains = OptimizeKMods
         .map(m => lloydsChainTailSql(m, s"_s$m", mat = true)).mkString(",\n")
       val stats = OptimizeKMods.map(statsCte).mkString(",\n")
       val union = OptimizeKMods.map(m => s"SELECT * FROM st_s$m")
         .mkString(" UNION ALL ")
-      s"""WITH $vmCte,
+      s"""WITH $vmCteSql,
          |$chains,
          |$stats,
          |u AS ($union),
@@ -949,11 +952,16 @@ object Similarity {
     * (integers < 2^53 are exact in doubles on both engines). `sfx`
     * disambiguates CTE names when [[p21OptimizeK]]'s sweep inlines
     * several chains into one statement. */
-  private def lloydsChainSql(seedMod: Int = LloydsSeedMod, sfx: String = ""): String = {
-    val vmCte =
-      "vm AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*1000000)) AS v FROM embeddings)"
-    s"$vmCte,\n${lloydsChainTailSql(seedMod, sfx)}"
-  }
+  private def lloydsChainSql(seedMod: Int = LloydsSeedMod, sfx: String = ""): String =
+    s"$vmCteSql,\n${lloydsChainTailSql(seedMod, sfx)}"
+
+  /** The micro-fixed-point `vm` CTE — ONE definition shared by every
+    * chain statement (the [[lloydsVm]] mirror; a scale/rounding edit
+    * that reaches only one copy silently desynchronizes the p21
+    * oracles from each other). A def, not a val: the `oracle` map's
+    * initializer runs before later vals would be assigned. */
+  private def vmCteSql: String =
+    "vm AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*1000000)) AS v FROM embeddings)"
 
   /** The chain minus the shared `vm` CTE — for multi-chain statements.
     * `mat` = emit `AS MATERIALIZED`: DuckDB re-EVALUATES a plain CTE at

@@ -333,7 +333,12 @@ object EventStreams {
     * because verification happens in-bucket), evicted by event-time
     * timeout one [[DupHorizonMs]] past idle; fingerprint buckets hold
     * two longs. Non-base docs never enter state — verdict traffic
-    * cannot grow the index. */
+    * cannot grow the index. The cap is a recency window, same trade as
+    * [[nearDupPairs]]: a band bucket holding more than [[BucketCap]]
+    * base docs (boilerplate-heavy corpora) silently forgets its oldest
+    * entries, so verdicts can diverge from batch dd_incremental there —
+    * bounded state is the streaming contract; run the batch operator
+    * (or raise the cap) when exhaustive recall matters. */
   def incrementalVerdictFragments(docs: Dataset[IncDocEvent]): Dataset[VerdictFragment] = {
     import docs.sparkSession.implicits._
     import graft.functions.NativeExpressions.{fingerprint, minHashSigs, wordShingles}
@@ -365,18 +370,30 @@ object EventStreams {
       var docs = state.getOption.map(_.docs).getOrElse(Nil)
       var lastTs = state.getOption.map(_.lastTs).getOrElse(0L)
       val isFp = key.startsWith("fp:")
-      rows.toArray.filter(_._2.getTime >= wm).sortBy(r => (r._2.getTime, r._1))
+      // Stored shingle Seqs become Sets once per bucket invocation (lazy
+      // — fp buckets and all-base batches never pay it), not once per
+      // arriving doc; inserts maintain both views.
+      var docSets: List[(Long, Set[String])] = null
+      // Sort base rows BEFORE arriving rows at equal timestamps: a base
+      // doc and its arriving duplicate landing in one micro-batch must
+      // match (the corpus side is always "already indexed" in the batch
+      // operator), regardless of id order.
+      rows.toArray.filter(_._2.getTime >= wm)
+        .sortBy(r => (r._2.getTime, !r._3, r._1))
         .foreach { case (id, ts, isBase, sh, _) =>
           if (isBase) {
             if (isFp) minBase = math.min(minBase, id)
-            else docs = ((id, sh) :: docs).take(BucketCap)
+            else {
+              docs = ((id, sh) :: docs).take(BucketCap)
+              if (docSets != null) docSets = ((id, sh.toSet) :: docSets).take(BucketCap)
+            }
           } else if (isFp) {
             if (minBase != Long.MaxValue)
               out += VerdictFragment(id, "exact", minBase, 1000000L, ts)
           } else {
             val a = sh.toSet
-            docs.foreach { case (bid, bsh) =>
-              val b = bsh.toSet
+            if (docSets == null) docSets = docs.map { case (i, s) => (i, s.toSet) }
+            docSets.foreach { case (bid, b) =>
               val inter = a.iterator.count(b)
               val union = a.size + b.size - inter
               // union == 0 (two empty shingle sets) is the batch side's
