@@ -44,6 +44,7 @@ object SparkEntry {
     "q_cube"          -> (Analytics.cubeRevenue _),
     "q_decile"        -> (Analytics.decileSpend _),
     "q_market_basket" -> (Analytics.marketBasket _),
+    "q_approx_distinct" -> (Analytics.approxDistinct _),
   )
 
   private val analyticsOracle: Map[String, String] = Map(
@@ -226,5 +227,25 @@ object SparkEntry {
         |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
         |GROUP BY 1, 2
         |ORDER BY n_orders DESC, part_a, part_b LIMIT 100""".stripMargin,
+    // The KMV estimate is merge-order independent (k smallest of a union),
+    // so the window mirror over the same md5-window hashes reproduces the
+    // sketch bit-for-bit: exact count below k, (k-1)*2^32 // h_k at/above.
+    "q_approx_distinct" ->
+      s"""WITH hm AS (SELECT event_type,
+        |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
+        |    md5(concat('kmv#', CAST(user_id AS VARCHAR))) AS hx
+        |  FROM events),
+        |h AS (SELECT DISTINCT event_type, day,
+        |    ${graft.functions.TextFunctions.hexLongSql("hx", 8)} AS h FROM hm),
+        |r AS (SELECT event_type, day, h,
+        |    row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
+        |  FROM h),
+        |t AS (SELECT event_type, day, count(*) AS cnt, max(h) AS hk
+        |  FROM r WHERE rn <= ${Analytics.KmvK} GROUP BY event_type, day)
+        |SELECT event_type, day,
+        |  CAST(CASE WHEN cnt < ${Analytics.KmvK} THEN cnt
+        |    ELSE ${Analytics.KmvK - 1} * 4294967296 // greatest(hk, 1) END
+        |    AS BIGINT) AS approx_users
+        |FROM t ORDER BY event_type, day""".stripMargin,
   )
 }

@@ -98,6 +98,97 @@ case class CollectBounded(
   override def prettyName: String = "collect_bounded"
 }
 
+/** KMV (k-minimum-values) distinct-count sketch (Bar-Yossef et al. 2002):
+  * keep the k smallest DISTINCT hash values seen; with the hashes uniform
+  * on [0, 2³²), n distinct values push the kth-smallest down to ≈ k·2³²/n,
+  * so n̂ = (k−1)·2³² / h₍ₖ₎ (the unbiased form), exact below k. The state
+  * is ≤ k longs per group REGARDLESS of input cardinality — the property
+  * that replaces a 100 TB distinct-shuffle with a map-side-combinable
+  * k-long buffer. Unlike HLL unions or sampling, "k smallest of a union"
+  * is commutative and associative, so the result is independent of
+  * partitioning and merge order — which is what lets the DuckDB oracle
+  * reproduce it bit-for-bit from a window over the same md5-derived
+  * hashes (relative error ~1/√k comes from the hash, not the engine).
+  * Input must already be the 32-bit-space hash (BIGINT): hashing stays in
+  * codegen'd builtins; the sketch only maintains order statistics.
+  */
+case class KmvDistinct(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+  with UnaryLike[Expression] {
+
+  def this(child: Expression, k: Int) = this(child, k, 0, 0)
+
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (k < 2) TypeCheckResult.TypeCheckFailure(
+      s"kmv_distinct requires k >= 2, got $k")
+    else if (child.dataType != LongType) TypeCheckResult.TypeCheckFailure(
+      s"kmv_distinct requires a BIGINT hash input, got ${child.dataType.catalogString}")
+    else TypeCheckResult.TypeCheckSuccess
+
+  override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+    new java.util.TreeSet[java.lang.Long]()
+
+  // TreeSet.add dedups; pollLast trims back to k. Values above the current
+  // kth-smallest can never enter the final k, so they're dropped unseen.
+  private def insert(buf: java.util.TreeSet[java.lang.Long], v: Long): Unit =
+    if (buf.size < k) { buf.add(v); () }
+    else if (v < buf.last) { if (buf.add(v)) { buf.pollLast(); () } }
+
+  override def update(
+      buf: java.util.TreeSet[java.lang.Long],
+      input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+    val v = child.eval(input)
+    if (v != null) insert(buf, v.asInstanceOf[Long])
+    buf
+  }
+
+  override def merge(
+      buf: java.util.TreeSet[java.lang.Long],
+      other: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+    val it = other.iterator()
+    while (it.hasNext) insert(buf, it.next())
+    buf
+  }
+
+  /** 2³² — the hash space the md5-hex-window hashes are uniform on. */
+  private val HashSpace = 1L << 32
+
+  override def eval(buf: java.util.TreeSet[java.lang.Long]): Any =
+    if (buf.size < k) buf.size.toLong
+    // h₍ₖ₎ = 0 needs every kept hash to be 0 — impossible for k ≥ 2
+    // distinct values; the guard mirrors the oracle's greatest(hk, 1).
+    else (k - 1).toLong * HashSpace / math.max(buf.last, 1L)
+
+  override def serialize(obj: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * obj.size)
+    val it = obj.iterator()
+    while (it.hasNext) bb.putLong(it.next())
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+    val buf = createAggregationBuffer()
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    while (bb.remaining() >= 8) buf.add(bb.getLong())
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): KmvDistinct =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): KmvDistinct =
+    copy(child = newChild)
+  override def prettyName: String = "kmv_distinct"
+}
+
 object Aggregates {
 
   /** collect_list capped at `maxSize` elements of per-key state; NULL for
@@ -105,6 +196,13 @@ object Aggregates {
   def collectBounded(c: Column, maxSize: Int): Column =
     ColumnBridge.column(
       CollectBounded(ColumnBridge.expression(c), maxSize).toAggregateExpression())
+
+  /** KMV distinct-count estimate over a BIGINT hash column uniform on
+    * [0, 2³²); exact below k, (k−1)·2³²/h₍ₖ₎ at or above. See
+    * [[KmvDistinct]]. */
+  def kmvDistinct(c: Column, k: Int): Column =
+    ColumnBridge.column(
+      KmvDistinct(ColumnBridge.expression(c), k).toAggregateExpression())
 
   /** Materialize a Bloom filter over a BIGINT column as serialized bytes
     * (Spark's runtime-filter sketch, `org.apache.spark.util.sketch

@@ -418,4 +418,29 @@ object Analytics {
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
       .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("v"))
       .orderBy(col("hour"), col("event_type"))
+
+  /** [[approxDistinct]]'s sketch size: k smallest hashes kept per group
+    * (relative error ~1/√k ≈ 12%). Small enough that sf0.01's
+    * per-(type, day) cardinalities straddle it, so the correctness gate
+    * exercises BOTH the exact-below-k and the estimator branch. */
+  val KmvK: Int = 64
+
+  /** q_approx_distinct: distinct users per (event_type, day) via the
+    * [[graft.functions.KmvDistinct]] k-minimum-values sketch — the
+    * bounded-state form of count(DISTINCT user_id). An exact distinct
+    * shuffles every (group, user) pair; the sketch's partial aggregate
+    * carries at most k longs per group through the map-side combine and
+    * the shuffle, so the cost at 100 TB is the group count, not the
+    * event count. The hash (md5 hex window, the same 32-bit scheme as
+    * the dedup oracles) is computed by codegen'd builtins; merge-order
+    * independence of "k smallest" makes the estimate reproducible
+    * bit-for-bit by the DuckDB oracle's window mirror. */
+  def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        conv(substring(md5(concat(lit("kmv#"), col("user_id").cast("string"))), 1, 8),
+          16, 10).cast("long").as("h"))
+      .groupBy(col("event_type"), col("day"))
+      .agg(graft.functions.Aggregates.kmvDistinct(col("h"), KmvK).as("approx_users"))
+      .orderBy(col("event_type"), col("day"))
 }

@@ -125,6 +125,28 @@ object Dedup {
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
       .orderBy(col("keep_id"))
 
+  /** dd_softdedup: duplication down-weighting (the SoftDeDup policy —
+    * Xue et al. 2024 — instead of dropping): every doc kept, weighted
+    * 10⁶ div |its exact-dup cluster| so each distinct content
+    * contributes one unit of sampling mass however many times it
+    * recurs. The fingerprint projection is computed in ONE text pass
+    * and checkpointed (at 100 TB the (id, fp) table is ~0.1% of the
+    * corpus; re-deriving it would scan the text twice), then the
+    * cluster-size aggregate — map-side-combinable, so hot fingerprints
+    * cost one partial per task, never a hot-key window — joins back on
+    * the same fp key the groupBy shuffled on. */
+  def ddSoftdedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val fp = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+      .localCheckpoint(true)
+    val g = fp.groupBy(col("fp"))
+      .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("canonical_id"))
+    fp.join(g, "fp")
+      .select(col("doc_id"), col("dup_count"),
+        expr("1000000L div dup_count").as("weight_ppm"), col("canonical_id"))
+      .orderBy(col("doc_id"))
+  }
+
   // Bloom sizing for the verify-join pruning: FP rate only costs pruning
   // efficiency (exact equi-joins run after), never correctness. 1M items
   // in 8M bits ≈ 3% FP; grow both with the expected candidate count.
@@ -631,6 +653,7 @@ object Dedup {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dd_exact"         -> (ddExact _),
+    "dd_softdedup"     -> (ddSoftdedup _),
     "dd_minhash_lsh"   -> (ddMinhashLsh _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
     "dd_minhash_estimate" -> (ddMinhashEstimate _),
@@ -715,6 +738,13 @@ object Dedup {
       s"""SELECT $fpSql AS fp,
         |  min(doc_id) AS keep_id, count(*) AS n_docs
         |FROM documents GROUP BY 1 ORDER BY keep_id""".stripMargin,
+    "dd_softdedup" ->
+      s"""WITH fp AS (SELECT doc_id, $fpSql AS fp FROM documents),
+        |g AS (SELECT fp, count(*) AS dup_count, min(doc_id) AS canonical_id
+        |  FROM fp GROUP BY fp)
+        |SELECT doc_id, dup_count, 1000000 // dup_count AS weight_ppm, canonical_id
+        |FROM fp JOIN g USING (fp)
+        |ORDER BY doc_id""".stripMargin,
     "dd_minhash_lsh" ->
       s"""WITH $shingleCte,
          |$minhashCandCte,

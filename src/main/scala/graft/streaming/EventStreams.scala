@@ -84,6 +84,25 @@ object EventStreams {
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("v"))
 
+  /** Streaming distinct-user cardinality per (hour window, type) — the
+    * streaming form of q_approx_distinct. The KMV sketch's agg buffer
+    * (≤ k longs) IS the state-store row, so per-window state stays
+    * bounded however many distinct users a window sees — the streaming
+    * analogue of the batch operator's bounded shuffle — and because "k
+    * smallest of a union" is merge-order independent, the emitted
+    * estimate equals the batch operator's on the same window, whatever
+    * the micro-batch slicing was (pinned by the equivalence test).
+    * Input needs (ts TIMESTAMP, user_id BIGINT, event_type STRING). */
+  def approxUsersWindowed(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.Aggregates.kmvDistinct(
+        conv(substring(md5(concat(lit("kmv#"), col("user_id").cast("string"))), 1, 8),
+          16, 10).cast("long"), graft.operators.Analytics.KmvK).as("approx_users"))
+      .select(col("window.start").as("hour"), col("event_type"),
+        col("approx_users"))
+
   /** Exactly-once-per-event-id dedup inside the watermark horizon — the
     * streaming form of dd_exact for at-least-once sources. State is one
     * key per event_id and is dropped once the watermark passes, so it

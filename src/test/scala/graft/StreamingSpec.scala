@@ -264,6 +264,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming approxUsersWindowed matches batch KMV estimates over the real events table") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.ScoredEvent
+
+    val events = spark.read.parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select(col("user_id"), col("ts"), col("event_type"), col("value"))
+
+    // Batch truth: the same sketch over the same hour windows — KMV is
+    // merge-order independent, so the streaming estimate must be EQUAL,
+    // not merely close, regardless of micro-batch slicing.
+    val batch = events
+      .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
+        col("event_type"))
+      .agg(graft.functions.Aggregates.kmvDistinct(
+        conv(substring(md5(concat(lit("kmv#"), col("user_id").cast("string"))), 1, 8),
+          16, 10).cast("long"), graft.operators.Analytics.KmvK).as("approx_users"))
+      .as[(Timestamp, String, Long)].collect().toSeq.sorted
+
+    val in = MemoryStream[ScoredEvent]
+    val q = EventStreams.approxUsersWindowed(in.toDF())
+      .writeStream.format("memory").queryName("kmv_eq")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      // two micro-batches so in-flight state merges with new arrivals
+      val rows = events.as[ScoredEvent].collect()
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toIndexedSeq)
+      q.processAllAvailable()
+      in.addData(b.toIndexedSeq)
+      q.processAllAvailable()
+      val got = spark.table("kmv_eq")
+        .as[(Timestamp, String, Long)].collect().toSeq.sorted
+      assert(got.nonEmpty)
+      assert(got == batch)
+    } finally q.stop()
+  }
+
   test("topkLeaderboard emits each closed window exactly once, capped at K rows") {
     implicit val sql = spark.sqlContext
     import graft.streaming.ScoredEvent
