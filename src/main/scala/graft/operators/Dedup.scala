@@ -81,6 +81,7 @@ object Dedup {
   val HammingMax = 3                // simhash near-dup radius (of 32 bits)
   val CosineThresholdPpm = 250000L  // embedding near-dup cutoff
   val MaxShingleDf = 100            // stop-shingle cap for the inverted index
+  val ContainmentThresholdPpm = 800000L // dd_containment cutoff (C >= 0.8)
   val SubstringL = 12               // exact-run length (tokens) for dd_substring
   val MaxSpanDf = 100               // stop-span cap for the span inverted index
 
@@ -450,6 +451,46 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** dd_containment: asymmetric doc-in-doc detection — pairs where the
+    * smaller shingle set is ≥ [[ContainmentThresholdPpm]] contained in
+    * the larger (C(A,B) = |A∩B|/|A|, Broder's containment). This is the
+    * subset signal symmetric measures structurally miss: a short doc
+    * quoted whole inside a long one has containment 1.0 but Jaccard
+    * |A|/|B| — below any dedup threshold once the container is ~5× the
+    * contained — and MinHash banding misses it for the same reason (band
+    * collision probability follows JACCARD, so subset pairs rarely
+    * collide). Candidates come from the same df-capped inverted index as
+    * [[ddNgramJaccard]] (shared [[boundedPairs]]; map-side pair explode,
+    * never a posting self-join): any rare shared shingle blocks the
+    * pair, and a contained doc shares ALL its shingles with its
+    * container, so recall fails only when every one of its shingles is a
+    * stop-shingle — boilerplate density at which the exact/simhash
+    * cluster collapse already owns the pair. `inter` counts df-capped
+    * shared shingles on BOTH engines (the blocker's stop-shingle
+    * semantics, identical to dd_ngram_jaccard's), so the emitted
+    * containment is exact over the non-stop vocabulary. j_ppm rides
+    * along so consumers can split subset-only pairs (quote/aggregation
+    * extraction) from plain near-dups (drop-one dedup). */
+  def ddContainment(spark: SparkSession, sfDir: String): DataFrame = {
+    val posting = shingleDf(spark, sfDir)
+      .select(explode(col("sh")).as("s"),
+        struct(col("doc_id"), size(col("sh")).cast("long").as("n")).as("post"))
+    boundedPairs(posting, MaxShingleDf)
+      .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("p.a.n")).as("n_a"), first(col("p.b.n")).as("n_b"))
+      // contained = the smaller shingle set; equal sizes tie-break to the
+      // smaller id (id_a < id_b by the blocker's sorted pair explode)
+      .withColumn("contained_id", expr("CASE WHEN n_a <= n_b THEN id_a ELSE id_b END"))
+      .withColumn("container_id", expr("CASE WHEN n_a <= n_b THEN id_b ELSE id_a END"))
+      .withColumn("cont_ppm", expr("inter * 1000000L div least(n_a, n_b)"))
+      .withColumn("j_ppm", expr("inter * 1000000L div (n_a + n_b - inter)"))
+      .filter(col("cont_ppm") >= ContainmentThresholdPpm)
+      .select(col("contained_id"), col("container_id"), col("inter"),
+        col("cont_ppm"), col("j_ppm"))
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
   /** The df-capped posting-list pair stage shared by the shingle blockers
     * ([[ddNgramJaccard]], [[ddSubstring]]): bounded collect per key
     * ([[graft.functions.CollectBounded]] — overflow = stop-key NULL),
@@ -656,6 +697,7 @@ object Dedup {
     "dd_softdedup"     -> (ddSoftdedup _),
     "dd_minhash_lsh"   -> (ddMinhashLsh _),
     "dd_ngram_jaccard" -> (ddNgramJaccard _),
+    "dd_containment"   -> (ddContainment _),
     "dd_minhash_estimate" -> (ddMinhashEstimate _),
     "dd_incremental"   -> (ddIncremental _),
     "dd_substring"     -> (ddSubstring _),
@@ -768,6 +810,24 @@ object Dedup {
          |FROM ip JOIN sz a ON ip.id_a = a.doc_id JOIN sz b ON ip.id_b = b.doc_id
          |WHERE inter * 1000000 // (a.n + b.n - inter) >= $JaccardThresholdPpm
          |ORDER BY id_a, id_b""".stripMargin,
+    "dd_containment" ->
+      s"""WITH $shingleCte,
+         |posting AS (SELECT doc_id, unnest(sh) AS sg FROM s),
+         |df AS (SELECT sg, count(*) AS df FROM posting GROUP BY sg),
+         |rare AS (SELECT p.doc_id, p.sg FROM posting p JOIN df USING (sg) WHERE df <= $MaxShingleDf),
+         |ip AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b, count(*) AS inter
+         |  FROM rare x JOIN rare y ON x.sg = y.sg AND x.doc_id < y.doc_id GROUP BY 1, 2),
+         |sz AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n FROM s),
+         |m AS (SELECT id_a, id_b, CAST(inter AS BIGINT) AS inter, a.n AS n_a, b.n AS n_b
+         |  FROM ip JOIN sz a ON ip.id_a = a.doc_id JOIN sz b ON ip.id_b = b.doc_id)
+         |SELECT CASE WHEN n_a <= n_b THEN id_a ELSE id_b END AS contained_id,
+         |  CASE WHEN n_a <= n_b THEN id_b ELSE id_a END AS container_id,
+         |  inter,
+         |  CAST(inter * 1000000 // least(n_a, n_b) AS BIGINT) AS cont_ppm,
+         |  CAST(inter * 1000000 // (n_a + n_b - inter) AS BIGINT) AS j_ppm
+         |FROM m
+         |WHERE inter * 1000000 // least(n_a, n_b) >= $ContainmentThresholdPpm
+         |ORDER BY contained_id, container_id""".stripMargin,
     "dd_minhash_estimate" -> {
       val sv = (0 until K).map(i => s"sig$i").mkString("[", ", ", "]")
       s"""WITH $shingleCte,
