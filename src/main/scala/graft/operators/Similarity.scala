@@ -688,7 +688,59 @@ object Similarity {
       .orderBy(col("feature"), col("value"), col("cluster"))
   }
 
+  /** SemDeDup cosine bar (ε): within-cluster pairs at or above this
+    * cosine are semantic duplicates. */
+  val SemanticThresholdPpm = 350000L
+
+  /** dd_semantic: SemDeDup (Abbas et al. 2023) — semantic dedup with the
+    * k-means clustering AS the blocking structure: assign every vector
+    * to its Lloyd's cluster, score cosine only WITHIN a cluster, and
+    * drop every doc that has a semantic duplicate (cos ≥
+    * [[SemanticThresholdPpm]]) with a smaller id in its cluster
+    * (keep-min-id, the deterministic stand-in for the paper's
+    * keep-one-per-ε-ball). Output is the doc-level verdict table —
+    * one row per vector, (vec_id, cluster, n_dups, is_kept) — so the
+    * output is corpus-sized regardless of dup density (the pair set
+    * stays internal). This is the embedding-space complement of
+    * cur_verdict's text-space drop-list: paraphrases and re-encodings
+    * that shingle/simhash dedup can't see.
+    *
+    * Scale shape: the SemDeDup trick is that the candidate set is
+    * cluster-bucketed — pair fan-in is Σ|cluster|², never corpus², and
+    * k grows with the corpus (seed density 1/[[LloydsSeedMod]]) so
+    * expected bucket occupancy stays constant. One broadcast-argmin
+    * assignment pass, one equi-join self-pair on the cluster key, one
+    * map-side-combinable per-vec aggregate; the cosine runs on the raw
+    * float vectors (same IEEE arithmetic as dd_embedding), assignment
+    * on the micro-fixed space the hash-gated chain defines. At 100 TB
+    * the assignment consumes the persisted centroid artifact
+    * ([[assignFromArtifact]]) instead of retraining. */
+  def ddSemantic(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.argminL2
+    val asg = lloydsVm(spark, sfDir)
+      .crossJoin(broadcast(lloydsCentArr(spark, sfDir)))
+      .select(col("vec_id"),
+        argminL2(col("v"), col("cents")).getField("c_id").as("cluster"))
+    val e = vecs(spark, sfDir).join(asg, "vec_id")
+    val pairs = e.as("x").join(e.as("y"),
+        col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("id_a"), col("y.vec_id").as("id_b"),
+        round(cosineSim(col("x.v"), col("y.v")) * 1000000, 0).cast("long").as("cos_ppm"))
+      .filter(col("cos_ppm") >= SemanticThresholdPpm)
+    val touched = pairs.select(col("id_a").as("vec_id"), col("id_b").as("other"))
+      .unionByName(pairs.select(col("id_b").as("vec_id"), col("id_a").as("other")))
+    val stats = touched.groupBy(col("vec_id"))
+      .agg(count(lit(1)).as("n_dups"), min(col("other")).as("min_other"))
+    asg.join(stats, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(col("n_dups"), lit(0L)).as("n_dups"),
+        when(coalesce(col("min_other"), lit(Long.MaxValue)) < col("vec_id"),
+          lit(0L)).otherwise(lit(1L)).as("is_kept"))
+      .orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dd_semantic"        -> (ddSemantic _),
     "ss_brute_topk"      -> (ssBruteTopk _),
     "ss_sq8_topk"        -> (ssSq8Topk _),
     "ss_ivf_sq8"         -> (ssIvfSq8 _),
@@ -723,6 +775,31 @@ object Similarity {
        |    FROM e CROSS JOIN c) WHERE rn = 1)""".stripMargin
 
   val oracle: Map[String, String] = Map(
+    "dd_semantic" ->
+      // MATERIALIZED chain/join CTEs: the within-cluster self-join
+      // references the assignment twice, and DuckDB re-EVALUATES plain
+      // CTEs per reference — the expanded twin Lloyd's chains OOM the
+      // oracle session at sf0.1 (same fix as p21_optimize_k's sweep).
+      s"""WITH $vmCteSql,
+         |${lloydsChainTailSql(LloydsSeedMod, "", mat = true)},
+         |${lloydsFinalRankSql("fr", mat = true)},
+         |asg AS MATERIALIZED (SELECT vec_id, cluster FROM fr WHERE rn = 1),
+         |ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |j AS MATERIALIZED (SELECT a.vec_id, a.cluster, ee.v FROM asg a JOIN ee USING (vec_id)),
+         |p AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |  FROM j x JOIN j y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |  WHERE CAST(round((${cosineSql("x.v", "y.v")}) * 1000000, 0) AS BIGINT)
+         |    >= $SemanticThresholdPpm),
+         |t AS (SELECT id_a AS vec_id, id_b AS other FROM p
+         |  UNION ALL SELECT id_b, id_a FROM p),
+         |s AS (SELECT vec_id, count(*) AS n_dups, min(other) AS min_other
+         |  FROM t GROUP BY 1)
+         |SELECT a.vec_id, a.cluster,
+         |  CAST(COALESCE(s.n_dups, 0) AS BIGINT) AS n_dups,
+         |  CAST(CASE WHEN COALESCE(s.min_other, 9223372036854775807) < a.vec_id
+         |    THEN 0 ELSE 1 END AS BIGINT) AS is_kept
+         |FROM asg a LEFT JOIN s USING (vec_id)
+         |ORDER BY vec_id""".stripMargin,
     "ss_brute_topk" ->
       s"""WITH $eCte, $qCte,
          |cand AS (
