@@ -282,6 +282,98 @@ object TextOps {
       .orderBy(col("doc_id"))
   }
 
+  /** The fixed keyword query [[txBm25]] ranks against — corpus-frequent
+    * terms so the ranking is exercised end-to-end; production callers
+    * parameterize. */
+  val Bm25Query = Seq("spark", "window", "join")
+  val Bm25TopK = 20
+
+  /** tx_bm25: BM25 keyword retrieval (Robertson/Okapi; k1 = 1.2,
+    * b = 0.75) — top-[[Bm25TopK]] documents for [[Bm25Query]]. The score
+    * algebra is integer-exact: with A = Σdl (total corpus tokens) and N
+    * docs, the per-term denominator tf + k1·(1−b) + k1·b·dl·N/A is
+    * scaled by 10·A into 10·A·tf + 3·A + 9·N·dl (all BIGINT), so
+    * contrib_ppm = idf_ppm·22·A·tf div that — identical integer division
+    * on both engines, and the per-doc sum is order-independent. The only
+    * float is the idf itself, ln(1 + (N−df+0.5)/(df+0.5)), rounded to
+    * ppm BEFORE entering the integer algebra (the same one-float-then-
+    * fix-point seam the p21 silhouette uses). Intermediate products stay
+    * < 2⁶³ up to ~10¹¹ corpus tokens; past that the contrib computation
+    * moves to DECIMAL(38,0) like p21_optimize_k's inertia.
+    *
+    * Scale shape: the posting table is filtered to the query terms
+    * BEFORE any shuffle (a |query|-term corpus scan — map-only), so the
+    * grouped state is O(matching docs × |query|); df/N/A are tiny
+    * broadcast aggregates; the final top-k is TakeOrdered (partial
+    * per-partition top-k, no global sort), and the rank window runs
+    * post-limit over [[Bm25TopK]] rows. */
+  def txBm25(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docsOrdered(spark, sfDir)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
+    val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("a_toks"))
+    val posting = toks
+      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
+      .filter(col("tok").isin(Bm25Query: _*))
+      .groupBy(col("doc_id"), col("dl"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val idf = posting.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        round(log(lit(1d) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))) * 1000000, 0).cast("long").as("idf_ppm"))
+    val ranked = posting.join(broadcast(idf), "tok").crossJoin(broadcast(stats))
+      .selectExpr("doc_id",
+        """idf_ppm * (22L * a_toks * tf)
+          |  div (10L * a_toks * tf + 3L * a_toks + 9L * n_docs * dl)
+          |  AS contrib_ppm""".stripMargin)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("contrib_ppm")).as("score_ppm"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_ppm").desc, col("doc_id"))
+      .limit(Bm25TopK)
+    val w = Window.orderBy(col("score_ppm").desc, col("doc_id"))
+    ranked.withColumn("rank", row_number().over(w).cast("long"))
+      .select(col("rank"), col("doc_id"), col("score_ppm"), col("n_terms"))
+      .orderBy(col("rank"))
+  }
+
+  val TfidfTopK = 3
+
+  /** tx_tfidf: per-document keyword extraction — the [[TfidfTopK]]
+    * highest-TF-IDF terms per doc (tfidf_ppm = tf · idf_ppm with
+    * idf_ppm = round(ln(N/df)·10⁶): one float, ppm-fixed before the
+    * integer multiply, like [[txBm25]]). Ties break to the
+    * lexicographically smaller term on both engines.
+    *
+    * Scale shape: the vocab-sized df/idf table broadcasts (same seam as
+    * tx_unigram_lm); per-doc selection is a collect-sort-slice aggregate
+    * — state bounded by distinct-terms-per-doc, map-side combinable —
+    * NOT a corpus-wide rank window (the oracle's row_number form is the
+    * semantic mirror, not the plan). */
+  def txTfidf(spark: SparkSession, sfDir: String): DataFrame = {
+    val tf = docsOrdered(spark, sfDir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val nDocs = docsOrdered(spark, sfDir).agg(count(lit(1)).as("n_docs"))
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("tok"),
+        round(log(col("n_docs").cast("double") / col("df")) * 1000000, 0)
+          .cast("long").as("idf_ppm"))
+    tf.join(broadcast(idf), "tok")
+      .select(col("doc_id"),
+        struct((col("tf") * col("idf_ppm") * -1).as("neg"), col("tok"),
+          col("tf"), (col("tf") * col("idf_ppm")).as("tfidf_ppm")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(slice(array_sort(collect_list(col("e"))), 1, TfidfTopK).as("top"))
+      .select(col("doc_id"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col("doc_id"), (col("pos") + 1).cast("long").as("rank"),
+        col("e.tok").as("tok"), col("e.tf").as("tf"),
+        col("e.tfidf_ppm").as("tfidf_ppm"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
   /** tx_fingerprint: normalized md5 fingerprint (case/punct-jitter-robust
     * exact-dup key; reference dedup norm per 7-clean-topics.py charset
     * rules, re-expressed). */
@@ -300,12 +392,54 @@ object TextOps {
     "tx_pack" -> (txPack _),
     "tx_collocations" -> (txCollocations _),
     "tx_readability"  -> (txReadability _),
+    "tx_bm25"         -> (txBm25 _),
+    "tx_tfidf"        -> (txTfidf _),
     "tx_fingerprint"  -> (txFingerprint _))
 
   private[operators] val sqlTokens =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 
   val oracle: Map[String, String] = Map(
+    "tx_bm25" -> {
+      val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+         |d AS (SELECT doc_id, toks, CAST(length(toks) AS BIGINT) AS dl FROM t),
+         |st AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(dl) AS BIGINT) AS a_toks FROM d),
+         |p AS (SELECT doc_id, dl, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, dl, unnest(toks) AS tok FROM d)
+         |  WHERE tok IN ($terms) GROUP BY 1, 2, 3),
+         |f AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM p GROUP BY 1),
+         |i AS (SELECT tok,
+         |  CAST(round(ln(1 + (st.n_docs - df + 0.5)/(df + 0.5)) * 1000000, 0)
+         |    AS BIGINT) AS idf_ppm FROM f, st),
+         |c AS (SELECT doc_id,
+         |  idf_ppm * (22 * st.a_toks * tf)
+         |    // (10 * st.a_toks * tf + 3 * st.a_toks + 9 * st.n_docs * dl)
+         |    AS contrib_ppm
+         |  FROM p JOIN i USING (tok), st),
+         |s AS (SELECT doc_id, CAST(sum(contrib_ppm) AS BIGINT) AS score_ppm,
+         |  CAST(count(*) AS BIGINT) AS n_terms FROM c GROUP BY 1),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score_ppm DESC, doc_id) AS rank
+         |  FROM s)
+         |SELECT CAST(rank AS BIGINT) AS rank, doc_id, score_ppm, n_terms
+         |FROM r WHERE rank <= $Bm25TopK ORDER BY rank""".stripMargin
+    },
+    "tx_tfidf" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+         |tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+         |i AS (SELECT tok,
+         |  CAST(round(ln(CAST(n.n_docs AS DOUBLE) / df) * 1000000, 0) AS BIGINT)
+         |    AS idf_ppm
+         |  FROM (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1), n),
+         |s AS (SELECT doc_id, tok, tf, tf * idf_ppm AS tfidf_ppm,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tf * idf_ppm DESC, tok) AS rank
+         |  FROM tf JOIN i USING (tok))
+         |SELECT doc_id, CAST(rank AS BIGINT) AS rank, tok, tf, tfidf_ppm
+         |FROM s WHERE rank <= $TfidfTopK ORDER BY doc_id, rank""".stripMargin,
     "tx_tokens" ->
       s"""SELECT doc_id,
          |  CAST(length($sqlTokens) AS BIGINT) AS n_tokens,
