@@ -230,13 +230,17 @@ object SparkEntry {
     // The KMV estimate is merge-order independent (k smallest of a union),
     // so the window mirror over the same md5-window hashes reproduces the
     // sketch bit-for-bit: exact count below k, (k-1)*2^32 // h_k at/above.
+    // '||' (NOT concat, which DuckDB NULL-coerces to '') keeps a NULL
+    // user_id's hash NULL, and the filter drops it — mirroring
+    // KmvDistinct's null-skip on the Spark side (Aggregates.kmvHash).
     "q_approx_distinct" ->
       s"""WITH hm AS (SELECT event_type,
         |    CAST(date_trunc('day', CAST(ts AS TIMESTAMP)) AS TIMESTAMP) AS day,
-        |    md5(concat('kmv#', CAST(user_id AS VARCHAR))) AS hx
+        |    md5('kmv#' || CAST(user_id AS VARCHAR)) AS hx
         |  FROM events),
         |h AS (SELECT DISTINCT event_type, day,
-        |    ${graft.functions.TextFunctions.hexLongSql("hx", 8)} AS h FROM hm),
+        |    ${graft.functions.TextFunctions.hexLongSql("hx", 8)} AS h FROM hm
+        |  WHERE hx IS NOT NULL),
         |r AS (SELECT event_type, day, h,
         |    row_number() OVER (PARTITION BY event_type, day ORDER BY h) AS rn
         |  FROM h),

@@ -204,6 +204,20 @@ object Aggregates {
     ColumnBridge.column(
       KmvDistinct(ColumnBridge.expression(c), k).toAggregateExpression())
 
+  /** THE [[kmvDistinct]] input hash: salted md5 hex window → uniform
+    * BIGINT on [0, 2³²). Single definition shared by the batch operator,
+    * the streaming mirror, and their specs — the salt ("kmv#") and the
+    * 8-hex-digit width are load-bearing (the DuckDB oracle in
+    * SparkEntry mirrors both), so a change that reached only one copy
+    * would silently break the batch/streaming/oracle equalities. NULL
+    * inputs hash to NULL (concat propagates) and [[KmvDistinct]] skips
+    * them; the oracle filters its NULL hashes to match. */
+  def kmvHash(c: Column): Column = {
+    import org.apache.spark.sql.functions.{concat, conv, lit, md5, substring}
+    conv(substring(md5(concat(lit("kmv#"), c.cast("string"))), 1, 8), 16, 10)
+      .cast("long")
+  }
+
   /** Materialize a Bloom filter over a BIGINT column as serialized bytes
     * (Spark's runtime-filter sketch, `org.apache.spark.util.sketch
     * .BloomFilter`). The result is bounded by `numBits` (≤ ~1 MiB at the

@@ -438,8 +438,7 @@ object Analytics {
   def approxDistinct(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
-        conv(substring(md5(concat(lit("kmv#"), col("user_id").cast("string"))), 1, 8),
-          16, 10).cast("long").as("h"))
+        graft.functions.Aggregates.kmvHash(col("user_id")).as("h"))
       .groupBy(col("event_type"), col("day"))
       .agg(graft.functions.Aggregates.kmvDistinct(col("h"), KmvK).as("approx_users"))
       .orderBy(col("event_type"), col("day"))

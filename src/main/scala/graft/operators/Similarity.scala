@@ -717,10 +717,13 @@ object Similarity {
     * ([[assignFromArtifact]]) instead of retraining. */
   def ddSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.NativeExpressions.argminL2
+    // Checkpointed: asg feeds both self-join sides AND the final verdict
+    // join — without it the broadcast-argmin pass runs 3x per query.
     val asg = lloydsVm(spark, sfDir)
       .crossJoin(broadcast(lloydsCentArr(spark, sfDir)))
       .select(col("vec_id"),
         argminL2(col("v"), col("cents")).getField("c_id").as("cluster"))
+      .localCheckpoint()
     val e = vecs(spark, sfDir).join(asg, "vec_id")
     val pairs = e.as("x").join(e.as("y"),
         col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))

@@ -292,30 +292,39 @@ object TextOps {
     * b = 0.75) — top-[[Bm25TopK]] documents for [[Bm25Query]]. The score
     * algebra is integer-exact: with A = Σdl (total corpus tokens) and N
     * docs, the per-term denominator tf + k1·(1−b) + k1·b·dl·N/A is
-    * scaled by 10·A into 10·A·tf + 3·A + 9·N·dl (all BIGINT), so
-    * contrib_ppm = idf_ppm·22·A·tf div that — identical integer division
-    * on both engines, and the per-doc sum is order-independent. The only
-    * float is the idf itself, ln(1 + (N−df+0.5)/(df+0.5)), rounded to
-    * ppm BEFORE entering the integer algebra (the same one-float-then-
-    * fix-point seam the p21 silhouette uses). Intermediate products stay
-    * < 2⁶³ up to ~10¹¹ corpus tokens; past that the contrib computation
-    * moves to DECIMAL(38,0) like p21_optimize_k's inertia.
+    * scaled by 10·A into 10·A·tf + 3·A + 9·N·dl, so contrib_ppm =
+    * idf_ppm·22·A·tf div that — identical integer division on both
+    * engines, and the per-doc sum is order-independent. The products
+    * run in DECIMAL(38,0) (DuckDB: HUGEINT), like p21_optimize_k's
+    * inertia: idf_ppm·22·A·tf ≲ 6·10²⁷ even at 10¹³ corpus tokens,
+    * far under the 10³⁸ ceiling, where a BIGINT algebra would wrap
+    * (silently, mis-ranking) past ~10¹⁰ tokens on rare terms. The
+    * quotient is ≈ 2.2·idf_ppm — always BIGINT-safe. The only float is
+    * the idf itself, ln(1 + (N−df+0.5)/(df+0.5)), rounded to ppm
+    * BEFORE entering the integer algebra (the same one-float-then-
+    * fix-point seam the p21 silhouette uses).
     *
-    * Scale shape: the posting table is filtered to the query terms
-    * BEFORE any shuffle (a |query|-term corpus scan — map-only), so the
+    * Scale shape: ONE corpus text pass — the narrow (doc_id, dl,
+    * query-term hits) projection is checkpointed, so the corpus stats
+    * aggregate, the df count, and the scoring join all reuse it
+    * (without the checkpoint Catalyst re-evaluates the tokenize
+    * subtree once per reference: 4 full corpus scans; the same
+    * one-text-pass discipline dd_softdedup and dd_minhash_estimate
+    * pin). The query-term filter runs BEFORE any shuffle, so the
     * grouped state is O(matching docs × |query|); df/N/A are tiny
     * broadcast aggregates; the final top-k is TakeOrdered (partial
     * per-partition top-k, no global sort), and the rank window runs
     * post-limit over [[Bm25TopK]] rows. */
   def txBm25(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val toks = docsOrdered(spark, sfDir)
+    val base = docsOrdered(spark, sfDir)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"), size(col("toks")).cast("long").as("dl"))
-    val stats = toks.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("a_toks"))
-    val posting = toks
-      .select(col("doc_id"), col("dl"), explode(col("toks")).as("tok"))
-      .filter(col("tok").isin(Bm25Query: _*))
+      .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
+        filter(col("toks"), t => t.isin(Bm25Query: _*)).as("qtoks"))
+      .localCheckpoint()
+    val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("a_toks"))
+    val posting = base
+      .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("tok"))
       .groupBy(col("doc_id"), col("dl"), col("tok"))
       .agg(count(lit(1)).as("tf"))
     val idf = posting.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -325,8 +334,10 @@ object TextOps {
           (col("df") + lit(0.5))) * 1000000, 0).cast("long").as("idf_ppm"))
     val ranked = posting.join(broadcast(idf), "tok").crossJoin(broadcast(stats))
       .selectExpr("doc_id",
-        """idf_ppm * (22L * a_toks * tf)
-          |  div (10L * a_toks * tf + 3L * a_toks + 9L * n_docs * dl)
+        """CAST(idf_ppm AS DECIMAL(38,0)) * (22 * CAST(a_toks AS DECIMAL(38,0)) * tf)
+          |  div (10 * CAST(a_toks AS DECIMAL(38,0)) * tf
+          |       + 3 * CAST(a_toks AS DECIMAL(38,0))
+          |       + 9 * CAST(n_docs AS DECIMAL(38,0)) * dl)
           |  AS contrib_ppm""".stripMargin)
       .groupBy(col("doc_id"))
       .agg(sum(col("contrib_ppm")).as("score_ppm"), count(lit(1)).as("n_terms"))
@@ -350,11 +361,17 @@ object TextOps {
     * tx_unigram_lm); per-doc selection is a collect-sort-slice aggregate
     * — state bounded by distinct-terms-per-doc, map-side combinable —
     * NOT a corpus-wide rank window (the oracle's row_number form is the
-    * semantic mirror, not the plan). */
+    * semantic mirror, not the plan). The tf posting table is
+    * checkpointed: it feeds both the df/idf aggregate and the scoring
+    * join, and without the checkpoint each reference re-runs the full
+    * tokenize + explode + shuffle. n_docs stays a separate count-only
+    * scan (column-pruned to parquet metadata) because it must count
+    * ALL documents, including any row the tokenizer drops. */
   def txTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     val tf = docsOrdered(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
     val nDocs = docsOrdered(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -414,9 +431,10 @@ object TextOps {
          |  CAST(round(ln(1 + (st.n_docs - df + 0.5)/(df + 0.5)) * 1000000, 0)
          |    AS BIGINT) AS idf_ppm FROM f, st),
          |c AS (SELECT doc_id,
-         |  idf_ppm * (22 * st.a_toks * tf)
-         |    // (10 * st.a_toks * tf + 3 * st.a_toks + 9 * st.n_docs * dl)
-         |    AS contrib_ppm
+         |  CAST(CAST(idf_ppm AS HUGEINT) * (22 * CAST(st.a_toks AS HUGEINT) * tf)
+         |    // (10 * CAST(st.a_toks AS HUGEINT) * tf
+         |        + 3 * CAST(st.a_toks AS HUGEINT)
+         |        + 9 * CAST(st.n_docs AS HUGEINT) * dl) AS BIGINT) AS contrib_ppm
          |  FROM p JOIN i USING (tok), st),
          |s AS (SELECT doc_id, CAST(sum(contrib_ppm) AS BIGINT) AS score_ppm,
          |  CAST(count(*) AS BIGINT) AS n_terms FROM c GROUP BY 1),

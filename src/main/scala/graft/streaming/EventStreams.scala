@@ -98,8 +98,8 @@ object EventStreams {
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(graft.functions.Aggregates.kmvDistinct(
-        conv(substring(md5(concat(lit("kmv#"), col("user_id").cast("string"))), 1, 8),
-          16, 10).cast("long"), graft.operators.Analytics.KmvK).as("approx_users"))
+        graft.functions.Aggregates.kmvHash(col("user_id")),
+        graft.operators.Analytics.KmvK).as("approx_users"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("approx_users"))
 

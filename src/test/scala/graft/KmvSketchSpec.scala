@@ -60,8 +60,7 @@ class KmvSketchSpec extends SparkSpec {
     val exact = ev.groupBy(col("event_type"))
       .agg(countDistinct(col("user_id")).as("n"))
     val est = ev.select(col("event_type"),
-        conv(substring(md5(concat(lit("kmv#"), col("user_id").cast("string"))), 1, 8),
-          16, 10).cast("long").as("h"))
+        graft.functions.Aggregates.kmvHash(col("user_id")).as("h"))
       .groupBy(col("event_type"))
       .agg(Aggregates.kmvDistinct(col("h"), K).as("nhat"))
     val worst = exact.join(est, "event_type")

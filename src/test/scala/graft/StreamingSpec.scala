@@ -280,8 +280,8 @@ class StreamingSpec extends SparkSpec {
       .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"),
         col("event_type"))
       .agg(graft.functions.Aggregates.kmvDistinct(
-        conv(substring(md5(concat(lit("kmv#"), col("user_id").cast("string"))), 1, 8),
-          16, 10).cast("long"), graft.operators.Analytics.KmvK).as("approx_users"))
+        graft.functions.Aggregates.kmvHash(col("user_id")),
+        graft.operators.Analytics.KmvK).as("approx_users"))
       .as[(Timestamp, String, Long)].collect().toSeq.sorted
 
     val in = MemoryStream[ScoredEvent]
