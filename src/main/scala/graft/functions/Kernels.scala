@@ -152,6 +152,58 @@ object Kernels {
     new GenericArrayData(sigs)
   }
 
+  /** Winnowing fingerprints (Schleimer et al. 2003): k-gram md5-window
+    * hashes ([[be32]] of the digest = the hexLong/conv hex window both
+    * oracles use), per-window rightmost-min selection via the
+    * h·2^posBits + (2^posBits−1−pos) key, distinct selected hashes.
+    * One JVM pass per row — the interpreted higher-order-function form
+    * of the same algebra ran ~20× slower (md5 + string conv per gram,
+    * per lambda element). Positions ≥ 2^posBits would alias; chunk such
+    * documents upstream. */
+  def winnowFingerprints(text: UTF8String, k: Int, w: Int, posBits: Int): ArrayData = {
+    val toks = tokenize(text.toString)
+    val m = toks.length - k + 1
+    if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    val md = mdLocal.get()
+    val scale = 1L << posBits
+    val keys = new Array[Long](m)
+    val sb = new java.lang.StringBuilder
+    var i = 0
+    while (i < m) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      md.reset()
+      val h = be32(md.digest(
+        sb.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8)), 0)
+      keys(i) = h * scale + (scale - 1 - i)
+      i += 1
+    }
+    val sel = new java.util.LinkedHashSet[java.lang.Long]
+    var s = 0
+    val last = math.max(m - w, 0)
+    while (s <= last) {
+      var mn = Long.MaxValue
+      var j = s
+      val end = math.min(s + w, m)
+      while (j < end) {
+        if (keys(j) < mn) mn = keys(j)
+        j += 1
+      }
+      sel.add(mn / scale)
+      s += 1
+    }
+    val out = new Array[Long](sel.size())
+    val it = sel.iterator()
+    var idx = 0
+    while (it.hasNext) { out(idx) = it.next(); idx += 1 }
+    new GenericArrayData(out)
+  }
+
   def simHash32(text: UTF8String): Long = {
     val md = mdLocal.get()
     val toks = tokenize(text.toString)

@@ -124,6 +124,23 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$K.wordShingles($c, $n)")
   }
 
+  /** Winnowing fingerprint selection in one pass — k-gram md5-window
+    * hashes, w-wide rightmost-min windows, distinct selected hashes
+    * (see Kernels.winnowFingerprints for the key algebra). */
+  case class WinnowFingerprints(child: Expression, k: Int, w: Int, posBits: Int)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkString(prettyName, child)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "winnow_fingerprints"
+    override protected def withNewChildInternal(newChild: Expression): WinnowFingerprints =
+      copy(child = newChild)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.winnowFingerprints(input.asInstanceOf[UTF8String], k, w, posBits)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.winnowFingerprints($c, $k, $w, $posBits)")
+  }
+
   /** K MinHash signatures over a shingle array in one pass: per shingle
     * one md5, (a, b) = the digest's two leading big-endian uint32 halves,
     * sig_i = min over shingles of (a + i·b) mod p. */
@@ -508,6 +525,9 @@ object NativeExpressions {
 
   def minHashSigs(c: Column, k: Int, p: Long): Column =
     ColumnBridge.column(MinHashSigs(ColumnBridge.expression(c), k, p))
+
+  def winnowFingerprints(c: Column, k: Int, w: Int, posBits: Int): Column =
+    ColumnBridge.column(WinnowFingerprints(ColumnBridge.expression(c), k, w, posBits))
 
   def simHash32(c: Column): Column =
     ColumnBridge.column(SimHash32(ColumnBridge.expression(c)))

@@ -84,6 +84,11 @@ object Dedup {
   val ContainmentThresholdPpm = 800000L // dd_containment cutoff (C >= 0.8)
   val SubstringL = 12               // exact-run length (tokens) for dd_substring
   val MaxSpanDf = 100               // stop-span cap for the span inverted index
+  val WinnowK = 3                   // winnowing gram size (tokens)
+  val WinnowW = 4                   // winnowing window (guarantee = W+K-1 = 6)
+  val WinnowPosBits = 24            // position bits in the tie-break key
+  val WinnowOverlapPpm = 500000L    // dd_winnow pair cutoff (>= 50% overlap)
+  val MaxFpDf = 100                 // stop-fingerprint cap for dd_winnow
 
   private val toksSql =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
@@ -451,6 +456,61 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** Per-doc winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, the
+    * MOSS local fingerprinting scheme): hash every [[WinnowK]]-token
+    * gram, slide a [[WinnowW]]-wide window over the hash sequence, and
+    * keep each window's minimum — ties to the RIGHTMOST position, the
+    * paper's robust-winnowing rule, encoded arithmetically as
+    * key = h·2^[[WinnowPosBits]] + (2^[[WinnowPosBits]]−1 − pos) so one
+    * integer `min` does hash-then-rightmost on both engines (positions
+    * above 2^24 tokens would alias: cap or chunk such documents
+    * upstream). Selection is pure array arithmetic inside one projection
+    * — NO shuffle, no window operator: the per-window min is an
+    * O(m·W) transform over the key array, and at W = 4 that constant
+    * beats a per-doc sort exchange everywhere. Expected density is
+    * 2/(W+1) ≈ 40% of grams, and any shared run of ≥ W+K−1 = 6 tokens
+    * is GUARANTEED to share a fingerprint (the winnowing theorem) —
+    * the deterministic-recall counterpart to MinHash's probabilistic
+    * banding, at ~0.4× the index volume of the full shingle posting.
+    * The whole selection is ONE codegen'd native expression
+    * ([[graft.functions.Kernels.winnowFingerprints]]) — the equivalent
+    * higher-order-function Column form evaluates its md5-per-gram
+    * lambda interpreted and measured ~20× slower at sf0.1. */
+  private[graft] def winnowFps(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), NativeExpressions.winnowFingerprints(
+        col("text"), WinnowK, WinnowW, WinnowPosBits).as("fps"))
+      .filter(size(col("fps")) > 0)
+
+  /** dd_winnow: winnowed near-dup pairs — documents sharing ≥
+    * [[WinnowOverlapPpm]] of the smaller side's winnowing fingerprints
+    * ([[winnowFps]]), with the shared-fingerprint count. Positioned
+    * between dd_ngram_jaccard (exact shingle overlap — full posting
+    * volume) and dd_minhash_lsh (probabilistic recall — K longs per
+    * doc): winnowing keeps DETERMINISTIC recall for any ≥ 6-token match
+    * while indexing only ~40% of grams, which is the classic
+    * plagiarism/boilerplate-detection operating point. Same blocker
+    * shape as the other pair operators: fingerprint inverted index,
+    * [[graft.functions.CollectBounded]] stop-fingerprint cap at
+    * [[MaxFpDf]] (a fingerprint shared by more docs is boilerplate the
+    * exact/simhash cluster collapse owns), map-side pair explode via
+    * [[boundedPairs]] — never a posting self-join, fan-in bounded per
+    * key no matter how hot. */
+  def ddWinnow(spark: SparkSession, sfDir: String): DataFrame = {
+    val posting = winnowFps(spark, sfDir)
+      .select(explode(col("fps")).as("s"),
+        struct(col("doc_id"), size(col("fps")).cast("long").as("n")).as("post"))
+    boundedPairs(posting, MaxFpDf)
+      .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        first(col("p.a.n")).as("n_a"), first(col("p.b.n")).as("n_b"))
+      .withColumn("overlap_ppm",
+        expr("n_shared * 1000000L div least(n_a, n_b)"))
+      .filter(col("overlap_ppm") >= WinnowOverlapPpm)
+      .select(col("id_a"), col("id_b"), col("n_shared"), col("overlap_ppm"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   /** dd_containment: asymmetric doc-in-doc detection — pairs where the
     * smaller shingle set is ≥ [[ContainmentThresholdPpm]] contained in
     * the larger (C(A,B) = |A∩B|/|A|, Broder's containment). This is the
@@ -701,6 +761,7 @@ object Dedup {
     "dd_minhash_estimate" -> (ddMinhashEstimate _),
     "dd_incremental"   -> (ddIncremental _),
     "dd_substring"     -> (ddSubstring _),
+    "dd_winnow"        -> (ddWinnow _),
     "dd_simhash"       -> (ddSimhash _),
     "dd_simhash_clusters" -> (ddSimhashClusters _),
     "dd_components"    -> (ddComponents _),
@@ -810,6 +871,35 @@ object Dedup {
          |FROM ip JOIN sz a ON ip.id_a = a.doc_id JOIN sz b ON ip.id_b = b.doc_id
          |WHERE inter * 1000000 // (a.n + b.n - inter) >= $JaccardThresholdPpm
          |ORDER BY id_a, id_b""".stripMargin,
+    "dd_winnow" -> {
+      val scale = 1L << WinnowPosBits
+      val gramHash = graft.functions.TextFunctions.hexLongSql(
+        s"md5(array_to_string(toks[i+1:i+$WinnowK], ' '))", 8)
+      s"""WITH t AS (SELECT doc_id, $toksSql AS toks FROM documents),
+         |k AS (SELECT doc_id,
+         |    [$gramHash * $scale + (${scale - 1} - i)
+         |      FOR i IN range(0, len(toks) - $WinnowK + 1)] AS keys
+         |  FROM t WHERE len(toks) >= $WinnowK),
+         |f AS (SELECT doc_id, list_distinct([x // $scale FOR x IN
+         |    [list_min(keys[s+1:s+$WinnowW])
+         |      FOR s IN range(0, greatest(len(keys) - $WinnowW, 0) + 1)]]) AS fps
+         |  FROM k),
+         |posting AS (SELECT doc_id, CAST(len(fps) AS BIGINT) AS n,
+         |    unnest(fps) AS s FROM f),
+         |df AS (SELECT s, count(*) AS df FROM posting GROUP BY s),
+         |rare AS (SELECT p.doc_id, p.n, p.s
+         |  FROM posting p JOIN df USING (s) WHERE df <= $MaxFpDf),
+         |ip AS (SELECT x.doc_id AS id_a, y.doc_id AS id_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared,
+         |    any_value(x.n) AS n_a, any_value(y.n) AS n_b
+         |  FROM rare x JOIN rare y ON x.s = y.s AND x.doc_id < y.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, n_shared,
+         |  CAST(n_shared * 1000000 // least(n_a, n_b) AS BIGINT) AS overlap_ppm
+         |FROM ip
+         |WHERE n_shared * 1000000 // least(n_a, n_b) >= $WinnowOverlapPpm
+         |ORDER BY id_a, id_b""".stripMargin
+    },
     "dd_containment" ->
       s"""WITH $shingleCte,
          |posting AS (SELECT doc_id, unnest(sh) AS sg FROM s),
