@@ -27,6 +27,15 @@ object Similarity {
   val NTables = 2 // independent LSH tables for multiprobe band-ORing
   val TrainedK = 16 // k-means|| centroid count for ss_ivf_trained
   val Dim = 64
+  val PqM = 8       // PQ subspaces → PqM-byte codes per vector
+  val PqDs = Dim / PqM
+  val PqKs = 16     // PQ codes per subspace (4-bit codebooks)
+  // PQ seeds use a DENSER stride than the IVF centroids: the codebook
+  // needs its full PqKs entries even on a tiny corpus (50 vecs % 50
+  // would leave ONE code — every vector encodes identically and ADC
+  // degenerates), and 16 of the lowest ids ≡ 0 (mod 3) is as
+  // deterministic as the % 50 rule.
+  val PqSeedMod = 3
   // Centroid TRAINING runs on a deterministic hash-sample of the corpus
   // (1/TrainSampleMod of the vectors): k-means quality depends on seeing
   // the data distribution, not every row, so iterating MaxIter full-corpus
@@ -178,6 +187,65 @@ object Similarity {
       .select(col("q_id"), col("rank"), col("vec_id"),
         round(col("cos") * 1000000, 0).cast("long").as("cos_ppm"))
       .orderBy(col("q_id"), col("rank"))
+  }
+
+  /** PQ codebook: the [[PqKs]] lowest-id seed vectors at stride
+    * [[PqSeedMod]], code = 0-based rank by vec_id, one subvector array
+    * column per subspace. Sampled codebooks are the zero-training PQ
+    * baseline; a production build refines them per-subspace with the
+    * p21 Lloyd's chain and persists via the centroid-artifact path —
+    * the scoring algebra below is unchanged either way. */
+  private def pqCodebook(spark: SparkSession, sfDir: String): DataFrame =
+    vecs(spark, sfDir).filter(col("vec_id") % PqSeedMod === 0)
+      .orderBy(col("vec_id")).limit(PqKs)
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("sv"))
+      .selectExpr((0 until PqM).map(m =>
+        s"""transform(sv, (s, i) -> struct(CAST(i AS BIGINT) AS c_id,
+           |  slice(s.v, ${m * PqDs + 1}, $PqDs) AS cv)) AS cb_$m""".stripMargin): _*)
+
+  /** ss_pq_topk: product-quantization ANN (Jégou et al. 2011) — each
+    * vector encodes to [[PqM]] codebook indices (one 4-bit code per
+    * [[PqDs]]-dim subspace: [[PqM]] bytes/vector, vs [[Dim]] bytes for
+    * sq8 and 4·[[Dim]] for float32), and queries score by ASYMMETRIC
+    * distance: the per-(subspace, code) L2² lookup table is built once
+    * per query (PqM·PqKs cells) and the per-vector score is [[PqM]]
+    * table lookups + adds — no float vector is touched during the scan.
+    * LUT cells are rounded to integer micros at build time, so the ADC
+    * sum is exact integer algebra: cross-engine parity needs no
+    * float-association argument beyond the per-cell L2² fold (which
+    * reuses the proven unrolled-left-assoc mirror), and the DuckDB
+    * oracle may GROUP-BY-sum the per-subspace cells in any order.
+    *
+    * Scale shape: encoding is one broadcast-codebook map pass over the
+    * corpus ([[graft.functions.NativeExpressions.ArgminL2]] per
+    * subspace, codegen'd) — at 100 TB the codes table is what you
+    * PERSIST (32× smaller than the float corpus) and this operator's
+    * scan reads codes only, as this plan does (the cand join's probe
+    * side is the codes projection, not the vectors). The LUT join
+    * broadcasts |Q| rows; ranking is the shared two-phase top-k on the
+    * integer micro score (ascending — ADC is a distance), ties to the
+    * smaller vec_id on both engines. */
+  def ssPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.argminL2
+    val cb = pqCodebook(spark, sfDir)
+    val codes = vecs(spark, sfDir).crossJoin(broadcast(cb))
+      .select(col("vec_id"), array((0 until PqM).map(m =>
+        argminL2(slice(col("v"), m * PqDs + 1, PqDs), col(s"cb_$m"))
+          .getField("c_id")): _*).as("codes"))
+    // LUT rows are |Q|×PqM×PqKs sub-distances — interpreted HOF is fine
+    // at that cardinality (the corpus-sized pass above is the native one)
+    val luts = queriesDf(spark, sfDir).crossJoin(broadcast(cb))
+      .select(col("q_id") +: (0 until PqM).map(m => expr(
+        s"""transform(cb_$m, s -> CAST(round(aggregate(
+           |  zip_with(slice(qv, ${m * PqDs + 1}, $PqDs), s.cv,
+           |    (a, b) -> (a - b) * (a - b)),
+           |  0D, (acc, x) -> acc + x) * 1000000, 0) AS BIGINT)) AS lut_$m""".stripMargin)): _*)
+    val adc = (0 until PqM).map(m =>
+      element_at(col(s"lut_$m"),
+        (element_at(col("codes"), m + 1) + 1).cast("int"))).reduce(_ + _)
+    val cand = codes.join(broadcast(luts), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), adc.as("adc_micro"))
+    topKBy(cand, TopK, -col("adc_micro"), col("adc_micro"))
   }
 
   /** ss_ivf_sq8: IVF coarse quantizer + int8 fine scoring — the classic
@@ -746,6 +814,7 @@ object Similarity {
     "dd_semantic"        -> (ddSemantic _),
     "ss_brute_topk"      -> (ssBruteTopk _),
     "ss_sq8_topk"        -> (ssSq8Topk _),
+    "ss_pq_topk"         -> (ssPqTopk _),
     "ss_ivf_sq8"         -> (ssIvfSq8 _),
     "ss_sq8_rerank"      -> (ssSq8Rerank _),
     "ss_ivf_topk"        -> (ssIvfTopk _),
@@ -824,6 +893,40 @@ object Similarity {
          |  FROM cand)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, dot_q
          |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ss_pq_topk" -> {
+      // Mirrors ssPqTopk branch-for-branch: one UNION ALL branch per PQ
+      // subspace, each with the argminL2 tie-break (ORDER BY dist, c_id)
+      // and the same unrolled left-assoc L2² the kernel computes; the
+      // per-branch cells are rounded to BIGINT micros BEFORE the sum, so
+      // the cross-branch GROUP BY sum is exact integer algebra.
+      def sub(a: String, b: String, m: Int): String =
+        (1 to PqDs).map { j =>
+          val i = m * PqDs + j
+          s"($a[$i]-$b[$i])*($a[$i]-$b[$i])"
+        }.mkString(" + ")
+      val branches = (0 until PqM).map { m =>
+        s"""SELECT q.q_id, x.vec_id,
+           |    CAST(round((${sub("q.qv", "cb.v", m)}) * 1000000, 0) AS BIGINT) AS d
+           |  FROM (SELECT vec_id, c_id FROM (
+           |      SELECT e.vec_id, cb.c_id,
+           |        row_number() OVER (PARTITION BY e.vec_id
+           |          ORDER BY ${sub("e.v", "cb.v", m)}, cb.c_id) AS rn
+           |      FROM e CROSS JOIN cb) WHERE rn = 1) x
+           |  JOIN cb USING (c_id) CROSS JOIN q""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $eCte, $qCte,
+         |cb AS MATERIALIZED (SELECT rn - 1 AS c_id, v FROM (
+         |  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+         |  FROM e WHERE vec_id % $PqSeedMod = 0) WHERE rn <= $PqKs),
+         |u AS ($branches),
+         |s AS (SELECT q_id, vec_id, CAST(sum(d) AS BIGINT) AS adc_micro
+         |  FROM u WHERE vec_id != q_id GROUP BY 1, 2),
+         |r AS (SELECT q_id, vec_id, adc_micro,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc_micro, vec_id) AS rank
+         |  FROM s)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_micro
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+    },
     "ss_ivf_sq8" ->
       s"""WITH $eCte, $qCte, $cCte,
          |$asgCte,

@@ -59,6 +59,20 @@ class IvfRecallSpec extends SparkSpec {
     assert(rerank >= 0.95, s"sq8+float-rerank recall@5 = $rerank")
   }
 
+  test("pq asymmetric-distance recall@5 holds its pinned floor") {
+    // PQ scans the full corpus (like sq8) but through SAMPLED 4-bit
+    // codebooks — on the near-uniform synthetic sphere the 16 codes
+    // capture almost no subspace structure, so the measured 0.18 is the
+    // worst-case quantization floor (trained codebooks on clustered real
+    // data recall far more). Deterministic at sf0.001 (fixed seed
+    // codebook, integer-micro ADC); still strictly better than the
+    // 2/256-bucket LSH probe, which the second assert pins.
+    val r = recallOf(Similarity.ssPqTopk(spark, sfDir))
+    assert(r >= 0.15, s"pq recall@5 = $r")
+    val lsh = recallOf(Similarity.ssMultiprobeLsh(spark, sfDir))
+    assert(r >= lsh, s"pq full-scan recall $r below probed LSH $lsh")
+  }
+
   test("multi-table LSH recall@5 beats or matches the single-table probe") {
     val single = recallOf(Similarity.ssLshTopk(spark, sfDir))
     val multi = recallOf(Similarity.ssMultiprobeLsh(spark, sfDir))
