@@ -157,13 +157,20 @@ object Kernels {
     * oracles use), per-window rightmost-min selection via the
     * h·2^posBits + (2^posBits−1−pos) key, distinct selected hashes.
     * One JVM pass per row — the interpreted higher-order-function form
-    * of the same algebra ran ~20× slower (md5 + string conv per gram,
-    * per lambda element). Positions ≥ 2^posBits would alias; chunk such
-    * documents upstream. */
+    * of the same algebra measured 249.6 s vs 2.86 s native at sf0.1
+    * (87×; md5 + string conv per gram, per lambda element). Positions
+    * ≥ 2^posBits would alias the rightmost-min key into a DIFFERENT
+    * hash's band — phantom fingerprints both engines would mirror, so
+    * the oracle gate could never catch it — hence the loud guard:
+    * chunk >2^posBits-gram documents upstream. */
   def winnowFingerprints(text: UTF8String, k: Int, w: Int, posBits: Int): ArrayData = {
     val toks = tokenize(text.toString)
     val m = toks.length - k + 1
     if (m <= 0) return new GenericArrayData(Array.empty[Long])
+    require(m <= (1L << posBits),
+      s"winnow_fingerprints: $m grams exceeds the 2^$posBits position " +
+        "capacity — key packing would alias silently; chunk the document " +
+        "upstream or raise posBits")
     val md = mdLocal.get()
     val scale = 1L << posBits
     val keys = new Array[Long](m)

@@ -475,7 +475,8 @@ object Dedup {
     * The whole selection is ONE codegen'd native expression
     * ([[graft.functions.Kernels.winnowFingerprints]]) — the equivalent
     * higher-order-function Column form evaluates its md5-per-gram
-    * lambda interpreted and measured ~20× slower at sf0.1. */
+    * lambda interpreted and measured 249.6 s vs 2.86 s (87×) at
+    * sf0.1. */
   private[graft] def winnowFps(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), NativeExpressions.winnowFingerprints(

@@ -18,6 +18,10 @@ class IvfRecallSpec extends SparkSpec {
 
   private lazy val exact = hits(Similarity.ssBruteTopk(spark, sfDir))
 
+  // shared by the PQ-floor and multi-table tests — one LSH job, not two
+  private lazy val multiprobeRecall: Double =
+    recallOf(Similarity.ssMultiprobeLsh(spark, sfDir))
+
   private def recallOf(df: DataFrame): Double =
     (hits(df) & exact).size.toDouble / exact.size
 
@@ -69,13 +73,13 @@ class IvfRecallSpec extends SparkSpec {
     // 2/256-bucket LSH probe, which the second assert pins.
     val r = recallOf(Similarity.ssPqTopk(spark, sfDir))
     assert(r >= 0.15, s"pq recall@5 = $r")
-    val lsh = recallOf(Similarity.ssMultiprobeLsh(spark, sfDir))
-    assert(r >= lsh, s"pq full-scan recall $r below probed LSH $lsh")
+    assert(r >= multiprobeRecall,
+      s"pq full-scan recall $r below probed LSH $multiprobeRecall")
   }
 
   test("multi-table LSH recall@5 beats or matches the single-table probe") {
     val single = recallOf(Similarity.ssLshTopk(spark, sfDir))
-    val multi = recallOf(Similarity.ssMultiprobeLsh(spark, sfDir))
+    val multi = multiprobeRecall
     assert(multi >= single - 0.1,
       s"multiprobe recall $multi far below single-table $single")
     assert(multi > 0.0, s"multiprobe recall@5 = $multi")

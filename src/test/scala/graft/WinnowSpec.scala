@@ -55,9 +55,9 @@ class WinnowSpec extends SparkSpec {
   }
 
   test("selection density tracks 2/(W+1) on the real corpus") {
-    val fpCount = Dedup.winnowFps(spark, "/root/testdata/sf0.001")
+    val fpCount = Dedup.winnowFps(spark, sfDir)
       .agg(sum(size(col("fps"))).cast("long")).as[Long].head()
-    val grams = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val grams = spark.read.parquet(s"$sfDir/documents.parquet")
       .select((size(graft.functions.TextFunctions.tokens(col("text")))
         - lit(Dedup.WinnowK - 1)).as("m"))
       .filter(col("m") >= 1)
@@ -71,9 +71,9 @@ class WinnowSpec extends SparkSpec {
     // dd_substring pairs share a verbatim 12-token run >= the 6-token
     // guarantee length, so each must also be a winnow candidate (raw
     // fingerprint intersection, pre-cap)
-    val fps = Dedup.winnowFps(spark, "/root/testdata/sf0.001")
+    val fps = Dedup.winnowFps(spark, sfDir)
       .as[(Long, Seq[Long])].collect().map { case (id, v) => id -> v.toSet }.toMap
-    val pairs = Dedup.ddSubstring(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.ddSubstring(spark, sfDir)
       .select(col("id_a"), col("id_b")).as[(Long, Long)].collect()
     assert(pairs.nonEmpty, "fixture corpus should contain substring pairs")
     val missed = pairs.filter { case (a, b) => (fps(a) & fps(b)).isEmpty }
