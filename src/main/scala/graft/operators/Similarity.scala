@@ -225,26 +225,70 @@ object Similarity {
     * broadcasts |Q| rows; ranking is the shared two-phase top-k on the
     * integer micro score (ascending — ADC is a distance), ties to the
     * smaller vec_id on both engines. */
-  def ssPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The [[PqM]]-wide code array for the current row's `v` against the
+    * joined codebook columns `cb_m` — one codegen'd argminL2 per
+    * subspace. */
+  private def pqCodesCol: Column = {
     import graft.functions.NativeExpressions.argminL2
-    val cb = pqCodebook(spark, sfDir)
-    val codes = vecs(spark, sfDir).crossJoin(broadcast(cb))
-      .select(col("vec_id"), array((0 until PqM).map(m =>
-        argminL2(slice(col("v"), m * PqDs + 1, PqDs), col(s"cb_$m"))
-          .getField("c_id")): _*).as("codes"))
-    // LUT rows are |Q|×PqM×PqKs sub-distances — interpreted HOF is fine
-    // at that cardinality (the corpus-sized pass above is the native one)
-    val luts = queriesDf(spark, sfDir).crossJoin(broadcast(cb))
+    array((0 until PqM).map(m =>
+      argminL2(slice(col("v"), m * PqDs + 1, PqDs), col(s"cb_$m"))
+        .getField("c_id")): _*)
+  }
+
+  /** Per-query ADC lookup tables, one integer-micro array per subspace.
+    * LUT rows are |Q|×PqM×PqKs sub-distances — interpreted HOF is fine
+    * at that cardinality (the corpus-sized encode is the native pass). */
+  private def pqLuts(spark: SparkSession, sfDir: String, cb: DataFrame): DataFrame =
+    queriesDf(spark, sfDir).crossJoin(broadcast(cb))
       .select(col("q_id") +: (0 until PqM).map(m => expr(
         s"""transform(cb_$m, s -> CAST(round(aggregate(
            |  zip_with(slice(qv, ${m * PqDs + 1}, $PqDs), s.cv,
            |    (a, b) -> (a - b) * (a - b)),
            |  0D, (acc, x) -> acc + x) * 1000000, 0) AS BIGINT)) AS lut_$m""".stripMargin)): _*)
-    val adc = (0 until PqM).map(m =>
+
+  /** Sum of the [[PqM]] LUT lookups for the row's `codes` — long adds
+    * over already-rounded cells, so order-independent and exact. */
+  private def pqAdcCol: Column =
+    (0 until PqM).map(m =>
       element_at(col(s"lut_$m"),
         (element_at(col("codes"), m + 1) + 1).cast("int"))).reduce(_ + _)
-    val cand = codes.join(broadcast(luts), col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"), adc.as("adc_micro"))
+
+  def ssPqTopk(spark: SparkSession, sfDir: String): DataFrame = {
+    val cb = pqCodebook(spark, sfDir)
+    val codes = vecs(spark, sfDir).crossJoin(broadcast(cb))
+      .select(col("vec_id"), pqCodesCol.as("codes"))
+    val cand = codes.join(broadcast(pqLuts(spark, sfDir, cb)), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), pqAdcCol.as("adc_micro"))
+    topKBy(cand, TopK, -col("adc_micro"), col("adc_micro"))
+  }
+
+  /** ss_ivf_pq: IVF coarse quantizer × PQ fine scoring — FAISS's IVF,PQ,
+    * the configuration production ANN actually ships at corpus scale:
+    * the probe prunes the scan to NProbe buckets AND the scanned bytes
+    * per survivor are the [[PqM]] code bytes, composing the two
+    * economies (ss_ivf_sq8 composes probe × 1-byte/dim; this is probe ×
+    * 1-byte/SUBSPACE). One corpus pass encodes cluster + codes together
+    * (two argminL2 families over the same broadcast row), so the
+    * persisted index table is (vec_id, cluster, codes) — 9 bytes of
+    * payload per vector at 100 TB; this plan's candidate join carries
+    * exactly that projection. Scoring/ranking algebra is ssPqTopk's
+    * integer-micro ADC, restricted to probed buckets. */
+  def ssIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.argminL2
+    val cb = pqCodebook(spark, sfDir)
+    val centArr = centroidsDf(spark, sfDir)
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    val coded = vecs(spark, sfDir)
+      .crossJoin(broadcast(centArr)).crossJoin(broadcast(cb))
+      .select(col("vec_id"),
+        argminL2(col("v"), col("cents")).getField("c_id").as("cluster"),
+        pqCodesCol.as("codes"))
+    val cand = coded
+      .join(broadcast(probeClusters(spark, sfDir, centArr)
+        .select(col("q_id"), col("cluster"))), Seq("cluster"))
+      .join(broadcast(pqLuts(spark, sfDir, cb)), Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), pqAdcCol.as("adc_micro"))
     topKBy(cand, TopK, -col("adc_micro"), col("adc_micro"))
   }
 
@@ -815,6 +859,7 @@ object Similarity {
     "ss_brute_topk"      -> (ssBruteTopk _),
     "ss_sq8_topk"        -> (ssSq8Topk _),
     "ss_pq_topk"         -> (ssPqTopk _),
+    "ss_ivf_pq"          -> (ssIvfPq _),
     "ss_ivf_sq8"         -> (ssIvfSq8 _),
     "ss_sq8_rerank"      -> (ssSq8Rerank _),
     "ss_ivf_topk"        -> (ssIvfTopk _),
@@ -845,6 +890,46 @@ object Similarity {
        |      row_number() OVER (PARTITION BY e.vec_id
        |        ORDER BY ${l2SqSql("e.v", "c.cv")}, c.c_id) AS rn
        |    FROM e CROSS JOIN c) WHERE rn = 1)""".stripMargin
+
+  /** Unrolled left-assoc L2² over PQ subspace `m` — the same textual
+    * shape as [[graft.functions.VectorFunctions.l2SqSql]], offset into
+    * the subspace, mirroring the argminL2 kernel over the sliced
+    * subvector. */
+  private def pqSubSql(a: String, b: String, m: Int): String =
+    (1 to PqDs).map { j =>
+      val i = m * PqDs + j
+      s"($a[$i]-$b[$i])*($a[$i]-$b[$i])"
+    }.mkString(" + ")
+
+  /** PQ codebook mirror: 0-based rank by vec_id over the [[PqSeedMod]]
+    * stride, capped at [[PqKs]]. MATERIALIZED — each encode branch
+    * references it three times and DuckDB re-evaluates plain CTEs per
+    * reference. */
+  private val pqCbCte =
+    s"""cb AS MATERIALIZED (SELECT rn - 1 AS c_id, v FROM (
+       |  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+       |  FROM e WHERE vec_id % $PqSeedMod = 0) WHERE rn <= $PqKs)""".stripMargin
+
+  /** Mirrors the PQ encode + LUT lookup branch-for-branch: one UNION ALL
+    * branch per subspace, each with the argminL2 tie-break (ORDER BY
+    * dist, c_id) and the kernel's unrolled left-assoc L2²; cells are
+    * rounded to BIGINT micros BEFORE the cross-branch sum, so the GROUP
+    * BY sum in [[pqAdcCte]] is exact integer algebra. */
+  private val pqBranchesSql: String =
+    (0 until PqM).map { m =>
+      s"""SELECT q.q_id, x.vec_id,
+         |    CAST(round((${pqSubSql("q.qv", "cb.v", m)}) * 1000000, 0) AS BIGINT) AS d
+         |  FROM (SELECT vec_id, c_id FROM (
+         |      SELECT e.vec_id, cb.c_id,
+         |        row_number() OVER (PARTITION BY e.vec_id
+         |          ORDER BY ${pqSubSql("e.v", "cb.v", m)}, cb.c_id) AS rn
+         |      FROM e CROSS JOIN cb) WHERE rn = 1) x
+         |  JOIN cb USING (c_id) CROSS JOIN q""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  private val pqAdcCte =
+    s"""s AS (SELECT q_id, vec_id, CAST(sum(d) AS BIGINT) AS adc_micro
+       |  FROM u WHERE vec_id != q_id GROUP BY 1, 2)""".stripMargin
 
   val oracle: Map[String, String] = Map(
     "dd_semantic" ->
@@ -893,40 +978,40 @@ object Similarity {
          |  FROM cand)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, dot_q
          |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
-    "ss_pq_topk" -> {
-      // Mirrors ssPqTopk branch-for-branch: one UNION ALL branch per PQ
-      // subspace, each with the argminL2 tie-break (ORDER BY dist, c_id)
-      // and the same unrolled left-assoc L2² the kernel computes; the
-      // per-branch cells are rounded to BIGINT micros BEFORE the sum, so
-      // the cross-branch GROUP BY sum is exact integer algebra.
-      def sub(a: String, b: String, m: Int): String =
-        (1 to PqDs).map { j =>
-          val i = m * PqDs + j
-          s"($a[$i]-$b[$i])*($a[$i]-$b[$i])"
-        }.mkString(" + ")
-      val branches = (0 until PqM).map { m =>
-        s"""SELECT q.q_id, x.vec_id,
-           |    CAST(round((${sub("q.qv", "cb.v", m)}) * 1000000, 0) AS BIGINT) AS d
-           |  FROM (SELECT vec_id, c_id FROM (
-           |      SELECT e.vec_id, cb.c_id,
-           |        row_number() OVER (PARTITION BY e.vec_id
-           |          ORDER BY ${sub("e.v", "cb.v", m)}, cb.c_id) AS rn
-           |      FROM e CROSS JOIN cb) WHERE rn = 1) x
-           |  JOIN cb USING (c_id) CROSS JOIN q""".stripMargin
-      }.mkString("\nUNION ALL\n")
+    "ss_pq_topk" ->
       s"""WITH $eCte, $qCte,
-         |cb AS MATERIALIZED (SELECT rn - 1 AS c_id, v FROM (
-         |  SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
-         |  FROM e WHERE vec_id % $PqSeedMod = 0) WHERE rn <= $PqKs),
-         |u AS ($branches),
-         |s AS (SELECT q_id, vec_id, CAST(sum(d) AS BIGINT) AS adc_micro
-         |  FROM u WHERE vec_id != q_id GROUP BY 1, 2),
+         |$pqCbCte,
+         |u AS ($pqBranchesSql),
+         |$pqAdcCte,
          |r AS (SELECT q_id, vec_id, adc_micro,
          |    row_number() OVER (PARTITION BY q_id ORDER BY adc_micro, vec_id) AS rank
          |  FROM s)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_micro
-         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
-    },
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ss_ivf_pq" ->
+      // The ADC algebra is ss_pq_topk's; the probe restriction composes
+      // as a post-filter (ADC for a (q, vec) pair is probe-independent,
+      // so filtering after the branch sum equals encoding only the
+      // probed buckets — what the Spark plan actually does).
+      s"""WITH $eCte, $qCte, $cCte,
+         |$asgCte,
+         |probes AS (
+         |  SELECT q_id, c_id AS cluster FROM (
+         |    SELECT q.q_id, c.c_id,
+         |      row_number() OVER (PARTITION BY q.q_id
+         |        ORDER BY ${l2SqSql("q.qv", "c.cv")}, c.c_id) AS rn
+         |    FROM q CROSS JOIN c) WHERE rn <= $NProbe),
+         |$pqCbCte,
+         |u AS ($pqBranchesSql),
+         |$pqAdcCte,
+         |f AS (SELECT s.q_id, s.vec_id, s.adc_micro
+         |  FROM s JOIN asg a USING (vec_id)
+         |  JOIN probes p ON p.q_id = s.q_id AND p.cluster = a.cluster),
+         |r AS (SELECT q_id, vec_id, adc_micro,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY adc_micro, vec_id) AS rank
+         |  FROM f)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id, adc_micro
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
     "ss_ivf_sq8" ->
       s"""WITH $eCte, $qCte, $cCte,
          |$asgCte,

@@ -77,6 +77,23 @@ class IvfRecallSpec extends SparkSpec {
       s"pq full-scan recall $r below probed LSH $multiprobeRecall")
   }
 
+  test("ivf_pq restricts pq's ranking without changing a single ADC score") {
+    // The composition invariant: IVF,PQ is the SAME integer-micro ADC
+    // algebra as full PQ, restricted to probed buckets — so every
+    // (q_id, vec_id) the two results share must carry an identical
+    // adc_micro, and the IVF result can only lose recall, not reorder.
+    def scores(df: org.apache.spark.sql.DataFrame): Map[(Long, Long), Long] =
+      df.select("q_id", "vec_id", "adc_micro").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val pq = scores(Similarity.ssPqTopk(spark, sfDir))
+    val ivfPq = scores(Similarity.ssIvfPq(spark, sfDir))
+    assert(ivfPq.nonEmpty, "ivf_pq returned no rows")
+    val common = pq.keySet & ivfPq.keySet
+    assert(common.nonEmpty, "no overlap between pq and ivf_pq top-k")
+    val drift = common.filter(k => pq(k) != ivfPq(k))
+    assert(drift.isEmpty, s"ADC drift on shared pairs: ${drift.take(3)}")
+  }
+
   test("multi-table LSH recall@5 beats or matches the single-table probe") {
     val single = recallOf(Similarity.ssLshTopk(spark, sfDir))
     val multi = multiprobeRecall
