@@ -273,16 +273,24 @@ object Similarity {
     * payload per vector at 100 TB; this plan's candidate join carries
     * exactly that projection. Scoring/ranking algebra is ssPqTopk's
     * integer-micro ADC, restricted to probed buckets. */
-  def ssIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The persisted-index row set: one corpus pass encoding coarse
+    * cluster + PQ codes together. `centArr`/`cb` are the one-row
+    * broadcast frames. */
+  private def ivfPqCoded(spark: SparkSession, sfDir: String,
+      centArr: DataFrame, cb: DataFrame): DataFrame = {
     import graft.functions.NativeExpressions.argminL2
-    val cb = pqCodebook(spark, sfDir)
-    val centArr = centroidsDf(spark, sfDir)
-      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
-    val coded = vecs(spark, sfDir)
+    vecs(spark, sfDir)
       .crossJoin(broadcast(centArr)).crossJoin(broadcast(cb))
       .select(col("vec_id"),
         argminL2(col("v"), col("cents")).getField("c_id").as("cluster"),
         pqCodesCol.as("codes"))
+  }
+
+  /** Probe + ADC-score a (vec_id, cluster, codes) index table — the
+    * query-time half shared by the in-session operator and the
+    * artifact path. */
+  private def ivfPqScore(spark: SparkSession, sfDir: String,
+      coded: DataFrame, centArr: DataFrame, cb: DataFrame): DataFrame = {
     val cand = coded
       .join(broadcast(probeClusters(spark, sfDir, centArr)
         .select(col("q_id"), col("cluster"))), Seq("cluster"))
@@ -290,6 +298,41 @@ object Similarity {
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), pqAdcCol.as("adc_micro"))
     topKBy(cand, TopK, -col("adc_micro"), col("adc_micro"))
+  }
+
+  def ssIvfPq(spark: SparkSession, sfDir: String): DataFrame = {
+    val cb = pqCodebook(spark, sfDir)
+    val centArr = centroidsDf(spark, sfDir)
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    ivfPqScore(spark, sfDir, ivfPqCoded(spark, sfDir, centArr, cb), centArr, cb)
+  }
+
+  /** Index BUILD: persist the IVF,PQ index — the (vec_id, cluster,
+    * codes) table plus its two tiny query-time sidecars (the PQ
+    * codebook row and the coarse centroids). The heavy encode pass
+    * runs ONCE per corpus version; at 100 TB every later query batch
+    * re-reads only the ~9-byte/vector codes table and never touches a
+    * float corpus vector. */
+  def writePqArtifact(spark: SparkSession, sfDir: String, path: String): Unit = {
+    val cb = pqCodebook(spark, sfDir)
+    val centArr = centroidsDf(spark, sfDir)
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    ivfPqCoded(spark, sfDir, centArr, cb)
+      .write.mode("overwrite").parquet(s"$path/codes")
+    cb.coalesce(1).write.mode("overwrite").parquet(s"$path/codebook")
+    centroidsDf(spark, sfDir).coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Index USE: ssIvfPq's probe + ADC scan reading the persisted index —
+    * no encode, no float-vector corpus read (the embeddings table is
+    * touched only for the |Q| query rows). Output identical to the
+    * gated in-session operator (pinned by PipelineSpec). */
+  def ssPqFromArtifact(spark: SparkSession, sfDir: String, path: String): DataFrame = {
+    val cb = spark.read.parquet(s"$path/codebook")
+    val centArr = spark.read.parquet(s"$path/centroids")
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    ivfPqScore(spark, sfDir, spark.read.parquet(s"$path/codes"), centArr, cb)
   }
 
   /** ss_ivf_sq8: IVF coarse quantizer + int8 fine scoring — the classic

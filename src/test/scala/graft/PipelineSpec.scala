@@ -81,6 +81,21 @@ class PipelineSpec extends SparkSpec {
     assert(!art.columns.contains("text"))
   }
 
+  test("pq artifact round-trips: probe+ADC from parquet == in-session ivf_pq") {
+    val path = Files.createTempDirectory("graft_pq").toString + "/pq"
+    graft.operators.Similarity.writePqArtifact(spark, sfDir, path)
+    val fromArtifact = graft.operators.Similarity.ssPqFromArtifact(spark, sfDir, path)
+    val inSession = graft.operators.Similarity.ssIvfPq(spark, sfDir)
+    assert(fromArtifact.except(inSession).isEmpty && inSession.except(fromArtifact).isEmpty,
+      "artifact-path IVF,PQ results diverge from the in-session operator")
+    // the index row is (vec_id, cluster, codes) — one per vector, no
+    // float payload; the sidecars are broadcast-tiny
+    val codes = spark.read.parquet(s"$path/codes")
+    assert(codes.count() == spark.read.parquet(s"$sfDir/embeddings.parquet").count())
+    assert(codes.columns.sorted.toSeq == Seq("cluster", "codes", "vec_id"))
+    assert(spark.read.parquet(s"$path/codebook").count() == 1)
+  }
+
   test("curation preset runs end-to-end and the verdict artifact gates the corpus") {
     val out = Files.createTempDirectory("graft_pipeline_cur").toString
     val manifest = Pipeline.run(spark, sfDir, out, "t5", Pipeline.curationStages).collect()
