@@ -122,11 +122,17 @@ object Similarity {
     * float-cosine, sq8, and trained variants must tie-break probes
     * identically or their oracles desynchronize). */
   private def probeClusters(spark: SparkSession, sfDir: String, centArr: DataFrame): DataFrame =
-    queriesDf(spark, sfDir).crossJoin(broadcast(centArr))
+    probeClustersOf(queriesDf(spark, sfDir), centArr)
+
+  /** Probe expansion over an arbitrary (q_id, qv, …) query frame —
+    * batch or STREAMING (the crossJoin side is one broadcast row, so
+    * the stream plan stays map-only). Extra input columns ride along. */
+  private[graft] def probeClustersOf(queries: DataFrame, centArr: DataFrame): DataFrame =
+    queries.crossJoin(broadcast(centArr))
       .withColumn("probe", explode(slice(array_sort(transform(col("cents"),
         c => struct(l2SqDist(col("qv"), c.getField("cv")).as("d"), c.getField("c_id").as("c_id")))),
         1, NProbe)))
-      .select(col("q_id"), col("qv"), col("probe.c_id").as("cluster"))
+      .drop("cents").withColumn("cluster", col("probe.c_id")).drop("probe")
 
   /** ss_brute_topk: exact cosine top-k per query over the full corpus. */
   def ssBruteTopk(spark: SparkSession, sfDir: String): DataFrame = {
@@ -239,16 +245,24 @@ object Similarity {
     * LUT rows are |Q|×PqM×PqKs sub-distances — interpreted HOF is fine
     * at that cardinality (the corpus-sized encode is the native pass). */
   private def pqLuts(spark: SparkSession, sfDir: String, cb: DataFrame): DataFrame =
-    queriesDf(spark, sfDir).crossJoin(broadcast(cb))
-      .select(col("q_id") +: (0 until PqM).map(m => expr(
+    pqLutsOf(queriesDf(spark, sfDir), cb)
+
+  /** LUT construction over an arbitrary (qv, …) query frame — batch or
+    * STREAMING (one broadcast codebook row). Replaces `qv` with the
+    * [[PqM]] integer-micro lut_m arrays; other columns ride along. */
+  private[graft] def pqLutsOf(queries: DataFrame, cb: DataFrame): DataFrame = {
+    val keep = queries.columns.filterNot(_ == "qv").map(col).toSeq
+    queries.crossJoin(broadcast(cb))
+      .select(keep ++ (0 until PqM).map(m => expr(
         s"""transform(cb_$m, s -> CAST(round(aggregate(
            |  zip_with(slice(qv, ${m * PqDs + 1}, $PqDs), s.cv,
            |    (a, b) -> (a - b) * (a - b)),
            |  0D, (acc, x) -> acc + x) * 1000000, 0) AS BIGINT)) AS lut_$m""".stripMargin)): _*)
+  }
 
   /** Sum of the [[PqM]] LUT lookups for the row's `codes` — long adds
     * over already-rounded cells, so order-independent and exact. */
-  private def pqAdcCol: Column =
+  private[graft] def pqAdcCol: Column =
     (0 until PqM).map(m =>
       element_at(col(s"lut_$m"),
         (element_at(col("codes"), m + 1) + 1).cast("int"))).reduce(_ + _)

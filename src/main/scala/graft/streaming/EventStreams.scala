@@ -59,6 +59,14 @@ case class BucketState(docs: List[(Long, Long)], lastTs: Long)
 /** One streaming near-dup hit: id_a < id_b, verified Hamming distance. */
 case class NearDupPair(id_a: Long, id_b: Long, hamming: Long, ts: Timestamp)
 
+/** One arriving ANN query (the streaming projection of the query set —
+  * qv in the corpus's double space). */
+case class AnnQuery(q_id: Long, ts: Timestamp, qv: Seq[Double])
+
+/** One ANN result row — identical shape/algebra to the batch ss_ivf_pq
+  * output. */
+case class AnnHit(q_id: Long, rank: Long, vec_id: Long, adc_micro: Long)
+
 /** Structured Streaming variants of the event operators (SURVEY §2
   * streaming rows; batch equivalents are q_events_window / q_sessionize).
   *
@@ -358,6 +366,55 @@ object EventStreams {
     * entries, so verdicts can diverge from batch dd_incremental there —
     * bounded state is the streaming contract; run the batch operator
     * (or raise the cap) when exhaustive recall matters. */
+  /** Streaming ANN serving — arriving query vectors against the
+    * PERSISTED IVF,PQ index ([[graft.operators.Similarity.writePqArtifact]]):
+    * each micro-batch probes its queries' NProbe clusters (one broadcast
+    * centroid row), builds the integer-micro ADC LUTs (one broadcast
+    * codebook row), stream-static-joins the probed (vec_id, cluster,
+    * codes) index rows on cluster, and emits each query's exact top-k.
+    *
+    * Scale shape: the whole query side is map-only over the stream (two
+    * single-row broadcasts, no stream state beyond the one-shot group
+    * fold); the static side is the ~9-byte/vector codes table, never the
+    * float corpus — the same economics as the batch operator, per
+    * micro-batch. A query's candidates all materialize inside its own
+    * micro-batch (stream-static joins are batch-local), so the top-k
+    * group fold needs NO cross-batch state and NoTimeout; a re-queried
+    * q_id simply re-emits its (identical) top-k in the later batch.
+    * Algebra parity with batch ss_ivf_pq / ssPqFromArtifact is pinned by
+    * StreamingSpec's batch-equivalence test. */
+  def annTopk(queries: Dataset[AnnQuery], indexPath: String): Dataset[AnnHit] = {
+    val spark = queries.sparkSession
+    import spark.implicits._
+    import graft.operators.Similarity
+    val cb = spark.read.parquet(s"$indexPath/codebook")
+    val centArr = spark.read.parquet(s"$indexPath/centroids")
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    val codes = spark.read.parquet(s"$indexPath/codes")
+    val qside = Similarity.pqLutsOf(
+      Similarity.probeClustersOf(queries.toDF.drop("ts"), centArr), cb)
+    qside.join(codes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), Similarity.pqAdcCol.as("adc_micro"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(emitAnnTopk)
+  }
+
+  private[streaming] def emitAnnTopk(
+      qId: Long,
+      cands: Iterator[(Long, Long, Long)],
+      state: GroupState[Boolean]): Iterator[AnnHit] = {
+    // One-shot: all of a query's candidates arrive in this invocation
+    // (batch-local stream-static join) — rank with the batch tie-break
+    // (adc asc, vec_id asc), keep TopK, no state retained.
+    cands.toSeq
+      .sortBy { case (_, vecId, adc) => (adc, vecId) }
+      .take(graft.operators.Similarity.TopK)
+      .zipWithIndex.iterator
+      .map { case ((_, vecId, adc), i) => AnnHit(qId, i + 1L, vecId, adc) }
+  }
+
   def incrementalVerdictFragments(docs: Dataset[IncDocEvent]): Dataset[VerdictFragment] = {
     import docs.sparkSession.implicits._
     import graft.functions.NativeExpressions.{fingerprint, minHashSigs, wordShingles}

@@ -359,6 +359,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN over the persisted PQ index matches batch ss_ivf_pq") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.{AnnHit, AnnQuery}
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_pq").toString + "/pq"
+    graft.operators.Similarity.writePqArtifact(spark, sfDir, path)
+    val batch = graft.operators.Similarity.ssIvfPq(spark, sfDir)
+      .select("q_id", "rank", "vec_id", "adc_micro")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the corpus query set, streamed as arriving AnnQuery events
+    val queries = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"),
+        lit(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")).as("ts"),
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("qv"))
+      .as[AnnQuery].collect()
+    val in = MemoryStream[AnnQuery]
+    val q = EventStreams.annTopk(in.toDS(), path)
+      .writeStream.format("memory").queryName("ann_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(queries.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("ann_eq")
+        .as[AnnHit].collect()
+        .map(h => (h.q_id, h.rank, h.vec_id, h.adc_micro)).toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} ANN rows vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming incremental verdicts match batch dd_incremental on the real table") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions._
