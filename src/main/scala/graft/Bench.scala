@@ -6,8 +6,11 @@ import org.apache.spark.sql.SparkSession
   * Each timed run writes to the noop sink so the full verified plan —
   * including the final ORDER BY — executes (a bare .count() lets Catalyst
   * drop the sort). A warmup pass (flagship q1) amortizes JVM/codegen
-  * startup out of the first measured query. Failures are loud: a broken
-  * query prints to stderr and exits non-zero instead of logging -1s.
+  * startup out of the first measured query. Failures are loud but
+  * survivable: a broken query is recorded per-name in the JSON `errors`
+  * map, the rest of the suite still runs and reports, and the process
+  * exits non-zero at the END — one bad query must not erase the round's
+  * only durable per-query record (it did in r7).
   */
 object Bench {
   def main(args: Array[String]): Unit = {
@@ -72,26 +75,28 @@ object Bench {
     // `queries_best` carries the per-query min across passes.
     val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(1).max(1)
 
-    def onePass(pass: Int): Seq[(String, Double)] = selected.map { name =>
+    def onePass(pass: Int): Seq[(String, Either[String, Double])] = selected.map { name =>
       val t0 = System.nanoTime()
-      try runOnce(name)
-      catch {
-        case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: $e")
-          spark.stop()
-          sys.exit(1)
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val out =
+        try { runOnce(name); Right((System.nanoTime() - t0) / 1e9) }
+        catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name FAILED: $e")
+            Left(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next().take(200))
+        }
       // Per-query progress on stderr so a capped log still shows how far
       // the run got even if the final JSON line is lost.
-      System.err.println(f"[bench] [$pass] $name%-24s $sec%.2f s")
-      name -> sec
+      out.foreach(sec => System.err.println(f"[bench] [$pass] $name%-24s $sec%.2f s"))
+      name -> out
     }
 
     val passes = (1 to runs).map(onePass)
-    val results = passes.head
-    val best = selected.map(n =>
-      n -> passes.map(_.toMap.apply(n)).min)
+    val results = passes.head.collect { case (n, Right(s)) => n -> s }
+    val errors = passes.head.collect { case (n, Left(m)) => n -> m }
+    val best = selected.flatMap { n =>
+      val ok = passes.flatMap(_.toMap.apply(n).toOption)
+      if (ok.isEmpty) None else Some(n -> ok.min)
+    }
     // ms precision in the record: full-double seconds tripled the line
     // length, and the driver's capped capture lost the front 15 rows of
     // the r6 map. Sub-ms digits are noise at these run times anyway.
@@ -103,11 +108,19 @@ object Bench {
     val bestExtra =
       if (runs == 1) ""
       else s""","runs":$runs,"best_total":${fmt(best.map(_._2).sum)},"queries_best":${obj(best)}"""
+    def jstr(v: String): String =
+      "\"" + v.flatMap {
+        case '"' => "\\\""; case '\\' => "\\\\"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"; case c => c.toString
+      } + "\""
+    val errExtra =
+      if (errors.isEmpty) ""
+      else s""","errors":${errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")}"""
     // Per-query map FIRST (the driver grades it; the scalars tail the
     // line) and ms-rounded values keep the whole line well inside the
     // driver's capture window — the r6 record lost 15/85 rows to the cap.
     val json =
-      s"""{"queries":${obj(results)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"$bestExtra}"""
+      s"""{"queries":${obj(results)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"$bestExtra$errExtra}"""
     // The driver tail-caps captured stdout, which truncated the r5 record
     // mid-JSON. The metrics object is therefore ALSO written to a dedicated
     // file (self-contained artifact). stdout's one-line contract comes
@@ -124,5 +137,6 @@ object Bench {
         System.err.println(s"[bench] metrics file $outFile not written: $e")
     }
     spark.stop()
+    if (errors.nonEmpty) sys.exit(1)
   }
 }

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Readers for the driver-generated star schema (TESTDATA.md).
   *
@@ -24,18 +24,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame       = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame     = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame   = read(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which the vectorized reader
-    * rejects; read it as long nanos and truncate to micros (the same
-    * truncation DuckDB applies casting TIMESTAMP_NS → TIMESTAMP). */
+  /** events.ts has shipped in three parquet encodings across testdata
+    * generations; normalize all of them to TimestampType so every
+    * consumer sees one dtype:
+    *   - TIMESTAMP(NANOS): vectorized reader rejects it → read as long
+    *     nanos (legacy conf) and truncate to micros, matching DuckDB's
+    *     TIMESTAMP_NS → TIMESTAMP cast.
+    *   - timestamp[us] with isAdjustedToUTC=false → TIMESTAMP_NTZ →
+    *     cast to TimestampType (exact under the UTC session TZ, the
+    *     same instant DuckDB computes reading it natively).
+    *   - timestamp[us] UTC-adjusted → already TimestampType, passthrough.
+    */
   def events(s: SparkSession, d: String): DataFrame = {
     // Session builders (Verify/Bench/tests) set this at build time; the
     // guard only covers ad-hoc sessions and avoids re-mutating shared conf.
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = read(s, d, "events")
-    if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast("timestamp"))
+      case _                => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = read(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = read(s, d, "embeddings")

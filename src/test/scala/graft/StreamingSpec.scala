@@ -182,8 +182,7 @@ class StreamingSpec extends SparkSpec {
       .select(col("user_id"), col("n_events"), col("session_value"))
       .as[(Long, Long, Long)].collect().toSeq.sorted
 
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("value"))
       .as[SessionEvent].collect()
 
@@ -217,8 +216,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import graft.streaming.{LeaderboardEntry, ScoredEvent}
 
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
 
     // Batch truth: top-3 users by summed value per (hour window, type),
@@ -269,8 +267,7 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     import graft.streaming.ScoredEvent
 
-    val events = spark.read.parquet(s"$sfDir/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val events = graft.Tables.events(spark, sfDir)
       .select(col("user_id"), col("ts"), col("event_type"), col("value"))
 
     // Batch truth: the same sketch over the same hour windows — KMV is
