@@ -23,6 +23,58 @@ case class MediaFeatures(
     n_frames: Long,
     checksum: String)
 
+/** The decode seam: one instance per PARTITION (the factory runs inside
+  * `mapPartitions`), so an implementation can hold expensive per-batch
+  * state — a JNI codec context, an ONNX session, a reused digest — the
+  * way a real image/audio decoder must. Implementations must be
+  * deterministic per payload for the dedup/oracle contracts to hold. */
+trait MediaDecoder {
+  def decode(a: MediaAsset): MediaFeatures
+}
+
+object MediaDecoder {
+  /** Serializable per-partition constructor shipped to executors. */
+  type Factory = () => MediaDecoder
+
+  /** Default: the oracle-able arithmetic stub (no codec libs in this
+    * container) — dimensions derived from byte count, real MD5. */
+  val stub: Factory = () => new MediaDecoder {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    def decode(a: MediaAsset): MediaFeatures = Manifest.decodeStub(a, md)
+  }
+
+  /** A trivial REAL decoder: actually reads every payload byte and emits
+    * content-derived features (distinct byte values as "width", modal
+    * byte as "height", 1 KiB chunks as "frames"). No codec value, but it
+    * proves the seam carries a decoder that consumes payload CONTENT —
+    * swapping in a JNI image decoder changes only this class. */
+  val byteHistogram: Factory = () => new MediaDecoder {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    private val hist = new Array[Long](256)
+    def decode(a: MediaAsset): MediaFeatures = {
+      java.util.Arrays.fill(hist, 0L)
+      var i = 0
+      while (i < a.payload.length) { hist(a.payload(i) & 0xff) += 1; i += 1 }
+      var distinct = 0L; var modal = 0; var best = -1L
+      var b = 0
+      while (b < 256) {
+        if (hist(b) > 0) distinct += 1
+        if (hist(b) > best) { best = hist(b); modal = b }
+        b += 1
+      }
+      md.reset()
+      MediaFeatures(
+        media_id = a.media_id,
+        media_type = a.media_type,
+        n_bytes = a.payload.length.toLong,
+        width = distinct,
+        height = modal.toLong,
+        n_frames = (a.payload.length.toLong + 1023L) / 1024L,
+        checksum = md.digest(a.payload).map("%02x".format(_)).mkString)
+    }
+  }
+}
+
 /** mm_manifest: multimodal binary-column plumbing.
   *
   * Real media decode needs codec libraries this container doesn't ship, so
@@ -70,15 +122,17 @@ object Manifest {
       checksum = checksum)
   }
 
-  /** Batched decode over the manifest (shared by manifest + frames). */
-  private def decoded(spark: SparkSession, sfDir: String): DataFrame = {
+  /** Batched decode over the manifest (shared by manifest + frames):
+    * the decoder factory runs once per partition inside `mapPartitions`,
+    * so per-batch codec state amortizes over the whole batch. */
+  private def decoded(spark: SparkSession, sfDir: String,
+      decoder: MediaDecoder.Factory = MediaDecoder.stub): DataFrame = {
     import spark.implicits._
     manifest(spark, sfDir)
       .as[MediaAsset]
       .mapPartitions { it =>
-        // per-partition decoder state, allocated once per batch
-        val md = java.security.MessageDigest.getInstance("MD5")
-        it.map(decodeStub(_, md))
+        val d = decoder()
+        it.map(d.decode)
       }
       .toDF()
   }
@@ -86,6 +140,12 @@ object Manifest {
   /** The feature-extraction pass: batched decode over the manifest. */
   def mmManifest(spark: SparkSession, sfDir: String): DataFrame =
     decoded(spark, sfDir).orderBy(col("media_id"))
+
+  /** [[mmManifest]] with a caller-chosen decoder — the seam a real
+    * pipeline uses to swap the stub for an actual codec. */
+  def mmManifestWith(spark: SparkSession, sfDir: String,
+      decoder: MediaDecoder.Factory): DataFrame =
+    decoded(spark, sfDir, decoder).orderBy(col("media_id"))
 
   /** mm_frames: frame sampling for video assets — one row per sampled
     * frame (every 24th index ≈ 1/s at 24 fps) with a deterministic stub

@@ -492,25 +492,54 @@ object Similarity {
     * MLlib's vector UDF through the corpus instead of a codegen'd
     * one-pass kernel). */
   def p21Kmeans(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import spark.implicits._
     val v = vecs(spark, sfDir)
-    val model = withTrainSample(v, 10L) { s =>
-      new KMeans().setK(10).setSeed(42L).setMaxIter(20)
-        .fit(s.select(array_to_vector(col("v")).as("features")))
-    }
-    val centArr = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
-      .toDF("c_id", "cv")
-      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
-    v.crossJoin(broadcast(centArr))
+    v.crossJoin(broadcast(kmeansCentArr(spark, sfDir)))
       .withColumn("best",
         graft.functions.NativeExpressions.argminL2(col("v"), col("cents")))
       .groupBy(col("best.c_id").as("cluster"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("cluster"))
   }
+
+  /** The MLlib k-means centroids as the one-row broadcastable (c_id, cv)
+    * array [[p21Kmeans]] assigns against — split out so
+    * KmeansQualitySpec can score the SAME clustering it gates. */
+  private[graft] def kmeansCentArr(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val model = withTrainSample(vecs(spark, sfDir), 10L) { s =>
+      new KMeans().setK(10).setSeed(42L).setMaxIter(20)
+        .fit(s.select(array_to_vector(col("v")).as("features")))
+    }
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+      .toDF("c_id", "cv")
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+  }
+
+  /** Corpus inertia (Σ min-squared-L2 to a centroid) of a clustering given
+    * its one-row (c_id, cv) centroid array — the scalar KmeansQualitySpec
+    * bands p21_kmeans's MLlib training against the hash-gated Lloyd's
+    * chain with. `scale` divides each squared distance (the Lloyd's family
+    * works in micro-fixed-point, ×10⁶ per coordinate → ×10¹² squared). */
+  private[graft] def inertiaOf(v: DataFrame, centArr: DataFrame,
+      scale: Double = 1.0): Double =
+    v.crossJoin(broadcast(centArr))
+      .select((graft.functions.NativeExpressions
+        .argminL2(col("v"), col("cents")).getField("d") / scale).as("d"))
+      .agg(sum(col("d"))).head.getDouble(0)
+
+  /** [[inertiaOf]] for the MLlib p21_kmeans clustering (real-unit corpus). */
+  private[graft] def kmeansInertia(spark: SparkSession, sfDir: String): Double =
+    inertiaOf(vecs(spark, sfDir), kmeansCentArr(spark, sfDir))
+
+  /** [[inertiaOf]] for the hash-gated Lloyd's clustering, rescaled from
+    * micro-fixed-point to real units so it's comparable to
+    * [[kmeansInertia]]. */
+  private[graft] def lloydsInertia(spark: SparkSession, sfDir: String): Double =
+    inertiaOf(lloydsVm(spark, sfDir).select(col("vec_id"), col("v")),
+      lloydsCentArr(spark, sfDir), scale = 1e12)
 
   /** Principal-component count for [[p21Pca]] (the reference's
     * n_components=2 visualization default). */
