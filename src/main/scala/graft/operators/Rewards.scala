@@ -566,9 +566,50 @@ object Rewards {
     """CAST(CASE WHEN n_sents = 0 THEN 500000 WHEN n_sents < 3 THEN 600000
       |  ELSE 750000 + CASE WHEN arc != 0 AND arc != 3 THEN 250000 ELSE 0 END END AS BIGINT)""".stripMargin
 
+  /** rw_prompt_parse: parse the formatted generation prompt BACK into
+    * the constraint fields the reward loop reads
+    * (training/grpo/prompt_parsing.py:122-160 parse_writing_style_block
+    * + :20-23 extract_prompt_content's topic line — regex extraction
+    * over the markdown prompt), plus the completion-side URL count
+    * (prompt_parsing.py:163-165 detect_urls) the fabrication reward
+    * consumes. Runs over this engine's own p18 prompt column so the
+    * round-trip (assemble → parse) is closed and oracle-checkable.
+    *
+    * Scale shape: map-only, shuffle-free, all codegen'd regexp_extract —
+    * a pure scan at 100 TB. */
+  def rwPromptParse(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), Style.genPromptCol.as("prompt"), t)
+      .select(
+        col("doc_id"),
+        regexp_extract(col("prompt"), "^Write a (.+?) social media post", 1)
+          .as("structure_req"),
+        regexp_extract(col("prompt"), "about \"([^\"]*)\"", 1).as("topic"),
+        regexp_extract(col("prompt"), "in a (.+) tone\\.", 1).as("tone_req"),
+        regexp_extract(col("prompt"), "\\*\\*Length\\*\\*: ([^\\n]+)", 1)
+          .as("length_req"),
+        regexp_extract(col("prompt"), "\\*\\*Emoji Usage\\*\\*: ([^\\n]+)", 1)
+          .as("emoji_req"),
+        urlCount(t).cast("long").as("n_urls"))
+      .orderBy(col("doc_id"))
+
+  private val promptParseSql =
+    s"""WITH p AS (
+       |  SELECT doc_id, ${Style.genPromptSql} AS prompt, text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  regexp_extract(prompt, '^Write a (.+?) social media post', 1) AS structure_req,
+       |  regexp_extract(prompt, 'about "([^"]*)"', 1) AS topic,
+       |  regexp_extract(prompt, 'in a (.+) tone\\.', 1) AS tone_req,
+       |  regexp_extract(prompt, '\\*\\*Length\\*\\*: ([^\\n]+)', 1) AS length_req,
+       |  regexp_extract(prompt, '\\*\\*Emoji Usage\\*\\*: ([^\\n]+)', 1) AS emoji_req,
+       |  CAST(len(regexp_extract_all(text, 'https?://\\S+')) AS BIGINT) AS n_urls
+       |FROM p ORDER BY doc_id""".stripMargin
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rw_rewards" -> (rwRewards _),
-    "rw_report"  -> (rwReport _))
+    "rw_rewards"      -> (rwRewards _),
+    "rw_report"       -> (rwReport _),
+    "rw_prompt_parse" -> (rwPromptParse _))
 
   /** Shared oracle CTE: a/b feature extraction, r per-reward columns,
     * rr the full per-doc reward projection both queries read. */
@@ -619,5 +660,6 @@ object Rewards {
          |  min(v) AS min_ppm, max(v) AS max_ppm,
          |  CAST(round(quantile_cont(v, 0.5), 0) AS BIGINT) AS p50_ppm
          |FROM u GROUP BY reward ORDER BY reward""".stripMargin
-    })
+    },
+    "rw_prompt_parse" -> promptParseSql)
 }
