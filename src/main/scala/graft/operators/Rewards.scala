@@ -577,20 +577,23 @@ object Rewards {
     *
     * Scale shape: map-only, shuffle-free, all codegen'd regexp_extract —
     * a pure scan at 100 TB. */
+  /** The constraint-extraction projection over a prompt column — ONE
+    * definition shared by batch [[rwPromptParse]] and the streaming
+    * ingest gate (EventStreams.promptConstraintGate), so the two forms
+    * cannot drift. */
+  def promptConstraintCols(prompt: Column): Seq[Column] = Seq(
+    regexp_extract(prompt, "^Write a (.+?) social media post", 1)
+      .as("structure_req"),
+    regexp_extract(prompt, "about \"([^\"]*)\"", 1).as("topic"),
+    regexp_extract(prompt, "in a (.+) tone\\.", 1).as("tone_req"),
+    regexp_extract(prompt, "\\*\\*Length\\*\\*: ([^\\n]+)", 1).as("length_req"),
+    regexp_extract(prompt, "\\*\\*Emoji Usage\\*\\*: ([^\\n]+)", 1).as("emoji_req"))
+
   def rwPromptParse(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), Style.genPromptCol.as("prompt"), t)
-      .select(
-        col("doc_id"),
-        regexp_extract(col("prompt"), "^Write a (.+?) social media post", 1)
-          .as("structure_req"),
-        regexp_extract(col("prompt"), "about \"([^\"]*)\"", 1).as("topic"),
-        regexp_extract(col("prompt"), "in a (.+) tone\\.", 1).as("tone_req"),
-        regexp_extract(col("prompt"), "\\*\\*Length\\*\\*: ([^\\n]+)", 1)
-          .as("length_req"),
-        regexp_extract(col("prompt"), "\\*\\*Emoji Usage\\*\\*: ([^\\n]+)", 1)
-          .as("emoji_req"),
-        urlCount(t).cast("long").as("n_urls"))
+      .select(col("doc_id") +: promptConstraintCols(col("prompt"))
+        :+ urlCount(t).cast("long").as("n_urls"): _*)
       .orderBy(col("doc_id"))
 
   private val promptParseSql =

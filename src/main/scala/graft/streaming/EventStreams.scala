@@ -273,6 +273,16 @@ object EventStreams {
   def qualityGate(docs: DataFrame): DataFrame =
     graft.operators.Curation.gopherStats(docs)
 
+  /** Streaming constraint parse at INGEST — the stateless streaming form
+    * of batch rw_prompt_parse: each arriving prompt is regex-parsed into
+    * the constraint fields the reward loop reads, via the SAME shared
+    * projection ([[graft.operators.Rewards.promptConstraintCols]]), so
+    * batch and stream cannot drift. Stateless map — no watermark, no
+    * state store, no shuffle; input needs a `prompt` column. */
+  def promptConstraintGate(prompts: DataFrame): DataFrame =
+    prompts.select(col("*") +:
+      graft.operators.Rewards.promptConstraintCols(col("prompt")): _*)
+
   /** Streaming near-dup state bounds: per-bucket candidate cap (recency
     * window — a hot boilerplate bucket keeps only its newest [[BucketCap]]
     * docs, trading recall on stale entries for bounded state, the right

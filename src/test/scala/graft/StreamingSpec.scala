@@ -444,6 +444,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming promptConstraintGate matches batch rw_prompt_parse on the real prompts") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocEvent
+    val batch = graft.operators.Rewards.rwPromptParse(spark, sfDir)
+      .select("doc_id", "structure_req", "topic", "tone_req", "length_req", "emoji_req")
+      .as[(Long, String, String, String, String, String)].collect().toSeq.sorted
+    val prompts = graft.operators.Style.p18Prompts(spark, sfDir)
+      .collect().map(r => DocEvent(r.getLong(0), t("2026-01-01 10:00:00"), r.getString(1)))
+    val in = MemoryStream[DocEvent]
+    val q = EventStreams.promptConstraintGate(
+        in.toDS().toDF().withColumnRenamed("text", "prompt"))
+      .writeStream.format("memory").queryName("prompt_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(prompts.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("prompt_gate")
+        .select("doc_id", "structure_req", "topic", "tone_req", "length_req", "emoji_req")
+        .as[(Long, String, String, String, String, String)].collect().toSeq.sorted
+      assert(streamed.nonEmpty)
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("contaminationGate flags benchmark-overlapping docs statelessly") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions._
