@@ -165,15 +165,22 @@ object SparkEntry {
         |FROM carried WHERE is_event = 1
         |ORDER BY event_id""".stripMargin,
     "q_range_join" ->
+      // Mirrors the Spark plan's (k, ot) pre-aggregation: cents are
+      // fixed from the partials up, so the two-level sum is exact
+      // integer arithmetic on both engines (same hash in any order).
       """WITH e AS (
         |  SELECT event_id, user_id % 15 AS k,
         |    CAST(ts AS TIMESTAMP) - INTERVAL 25 YEAR AS t
-        |  FROM events)
+        |  FROM events),
+        |o AS (
+        |  SELECT o_custkey % 15 AS k, o_orderdate AS ot,
+        |    count(*) AS n, CAST(round(sum(o_totalprice)*100, 0) AS BIGINT) AS pc
+        |  FROM orders GROUP BY 1, 2)
         |SELECT e.event_id,
-        |  count(o.o_orderdate) AS n_orders,
-        |  CAST(round(coalesce(sum(o.o_totalprice), 0)*100, 0) AS BIGINT) AS price_cents
-        |FROM e LEFT JOIN orders o ON o.o_custkey % 15 = e.k
-        |  AND o.o_orderdate >= e.t - INTERVAL 7 DAY AND o.o_orderdate <= e.t
+        |  CAST(coalesce(sum(o.n), 0) AS BIGINT) AS n_orders,
+        |  CAST(coalesce(sum(o.pc), 0) AS BIGINT) AS price_cents
+        |FROM e LEFT JOIN o ON o.k = e.k
+        |  AND o.ot >= e.t - INTERVAL 7 DAY AND o.ot <= e.t
         |GROUP BY e.event_id
         |ORDER BY e.event_id""".stripMargin,
     "q_retention" ->

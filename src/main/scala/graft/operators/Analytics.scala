@@ -353,15 +353,22 @@ object Analytics {
     * shape Spark has no native operator for.
     *
     * A theta-join on the range predicate alone is O(events × orders) per
-    * key. Instead both sides bucket onto 7-day time chunks and equi-join
-    * on (k, chunk): an interval of width w probes at most
-    * ceil(w/chunk)+1 = 2 chunks (exploded map-side on the event side),
-    * the range predicate prunes inside the hash join, and a matching
-    * order lives in exactly one chunk so no dedup pass is needed.
-    * Parallelism scales with keys × time span, never |k| alone; chunk
-    * width is the knob balancing probe fan-out (width ≪ interval → many
-    * probes) against bucket occupancy (width ≫ interval → stale rows
-    * scanned). */
+    * key. Two defenses compose here:
+    *  - both sides bucket onto 7-day time chunks and equi-join on
+    *    (k, chunk): an interval of width w probes at most
+    *    ceil(w/chunk)+1 = 2 chunks (exploded map-side on the event
+    *    side), the range predicate prunes inside the hash join, and a
+    *    matching order lives in exactly one chunk so no dedup pass is
+    *    needed; chunk width is the knob balancing probe fan-out against
+    *    bucket occupancy.
+    *  - the order side PRE-AGGREGATES on (k, ot) before the join — the
+    *    range predicate only reads (k, ot), so orders sharing both
+    *    collapse to (n, cents) partial aggregates (map-side combinable).
+    *    Join candidates then scale with events × DISTINCT (k, ot) per
+    *    bucket, not raw order density: at 20× verbatim replica density
+    *    the probe side stays base-sized (164 s → linear; BASELINE.md
+    *    r8). Sums are fixed-point cents from the partials up, so the
+    *    two-level aggregation is exact integer arithmetic in any order. */
   def rangeJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val weekSec = 7L * 86400L
     def chunkOf(c: org.apache.spark.sql.Column) =
@@ -379,6 +386,8 @@ object Analytics {
         (col("o_custkey") % 15).as("k"),
         col("o_orderdate").as("ot"),
         col("o_totalprice"))
+      .groupBy(col("k"), col("ot"))
+      .agg(count(lit(1)).as("n"), cents(sum(col("o_totalprice"))).as("pc"))
       .withColumn("w", chunkOf(col("ot")))
       .as("o")
     ev.join(ord,
@@ -388,8 +397,8 @@ object Analytics {
         "left")
       .groupBy(col("event_id"))
       .agg(
-        count(col("ot")).as("n_orders"),
-        cents(coalesce(sum(col("o_totalprice")), lit(0.0))).as("price_cents"))
+        coalesce(sum(col("n")), lit(0L)).as("n_orders"),
+        coalesce(sum(col("pc")), lit(0L)).as("price_cents"))
       .orderBy(col("event_id"))
   }
 
