@@ -172,46 +172,111 @@ object Dedup {
     * Jaccard pairs. Shuffles: band-key join + pair distinct + two id
     * joins; band-bucket fan-in ∝ dup-cluster size.
     *
-    * The verify joins rescan the corpus for candidates that are a tiny
-    * fraction of it, and the shingle arrays — the expensive part — would
-    * be computed for EVERY row only to be dropped at the join probe. A
-    * keyless Bloom filter over the candidate ids (bounded sketch ⇒ always
-    * broadcastable, where an exact id set might not be) is applied to the
-    * raw documents scan BEFORE the shingle projection, so non-candidates
-    * never pay tokenization. The candidate table is eagerly checkpointed:
-    * the bloom branch and the verify join would otherwise each re-run the
-    * band self-join lineage. Gated on scan size ([[BloomMinScanBytesKey]])
-    * — below the threshold the plain rescans win. */
+    * Identical texts collapse BEFORE banding (same defense as
+    * dd_simhash): candidacy is a function of the signature and verified
+    * Jaccard a function of the shingle multiset — both functions of the
+    * raw text — so each DISTINCT text is shingled, signed, banded, and
+    * verified once, and member pairs expand afterwards from the verified
+    * representative pairs (within-group pairs share one group-level
+    * Jaccard; cross-group pairs inherit their rep pair's). Output is
+    * identical to the per-doc form; band fan-in and verify work scale
+    * with distinct content, not replica density, and tokenization of a
+    * text with R exact copies is paid once instead of R times.
+    *
+    * The verify joins rescan the reps for candidates that are a tiny
+    * fraction of them, and the shingle arrays — the expensive part —
+    * would be computed for EVERY rep only to be dropped at the join
+    * probe. A keyless Bloom filter over the candidate ids (bounded
+    * sketch ⇒ always broadcastable, where an exact id set might not be)
+    * is applied to the rep scan BEFORE the shingle projection, so
+    * non-candidates never pay tokenization. The candidate table is
+    * eagerly checkpointed: the bloom branch and the verify join would
+    * otherwise each re-run the band self-join lineage. Gated on scan
+    * size ([[BloomMinScanBytesKey]]) — below the threshold the plain
+    * rescans win. */
   def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
-    val sh = shingleDf(spark, sfDir)
-    // all K signatures in one native pass (one md5 per shingle)
-    val sigDf = sh.select(col("doc_id"), col("sh"),
-      NativeExpressions.minHashSigs(col("sh"), K, P).as("sigs"))
-    val candsPlain = minhashCandidates(sigDf)
+    // raw-text identity groups (md5 of the text itself — NOT the
+    // normalized dd_exact fingerprint: normalization-equal texts can
+    // have different shingle sets and must not merge here)
+    val groups = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), md5(col("text")).as("h"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))
+      .select(col("rep_id"), col("ids"))
+      .localCheckpoint(true)
+    // rep-id set BROADCASTS into the rescan (a shuffle join here would
+    // move every text's bytes); its cardinality is distinct-content
+    // count — at the scale where that can't broadcast, the persisted
+    // signature artifact (dd_incremental's build/use split) owns the
+    // problem instead of this in-session form
+    val repScan = Tables.documents(spark, sfDir)
+      .join(broadcast(groups.select(col("rep_id").as("doc_id"))), "doc_id")
+    val shPlain = repScan.select(col("doc_id"),
+      NativeExpressions.wordShingles(col("text"), 3).as("sh"))
     val bloomOn = docScanBytes(spark, sfDir) >= spark.conf
       .getOption(BloomMinScanBytesKey).map(_.toLong)
       .getOrElse(BloomMinScanBytesDefault)
-    val (cands, verifySrc) =
-      if (!bloomOn) (candsPlain, sh)
-      else {
-        val cp = candsPlain.localCheckpoint(true)
+    // below the bloom threshold the rep shingle table is small enough to
+    // checkpoint once and serve signatures, verify, AND the within-group
+    // Jaccard — zero tokenize rescans; above it, stay lazy and prune the
+    // rescans instead (shingling everything twice beats holding it all)
+    val shCpOpt = if (bloomOn) None else Some(shPlain.localCheckpoint(true))
+    // all K signatures in one native pass (one md5 per shingle)
+    val sigDf = shCpOpt.getOrElse(shPlain).select(col("doc_id"), col("sh"),
+      NativeExpressions.minHashSigs(col("sh"), K, P).as("sigs"))
+    val candsPlain = minhashCandidates(sigDf)
+    val (cands, verifySrc) = shCpOpt match {
+      case Some(cp) => (candsPlain, cp)
+      case None =>
+        val cpC = candsPlain.localCheckpoint(true)
         val bloom = Aggregates.bloomFilterBytes(
-          cp.select(explode(array(col("id_a"), col("id_b"))).as("id")),
+          cpC.select(explode(array(col("id_a"), col("id_b"))).as("id")),
           "id", BloomItems, BloomBits)
-        (cp, Tables.documents(spark, sfDir)
+        (cpC, repScan
           .filter(Aggregates.mightContain(bloom, col("doc_id")))
           .select(col("doc_id"),
             NativeExpressions.wordShingles(col("text"), 3).as("sh")))
-      }
+    }
     val sa = verifySrc.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val sb = verifySrc.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
-    cands.join(sa, "id_a").join(sb, "id_b")
+    val repPairs = cands.join(sa, "id_a").join(sb, "id_b")
       .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("j_ppm",
         expr(s"inter * 1000000L div (size(sh_a) + size(sh_b) - inter)"))
       .filter(col("j_ppm") >= JaccardThresholdPpm)
       .select(col("id_a"), col("id_b"), col("j_ppm"))
-      .orderBy(col("id_a"), col("id_b"))
+    // cross-group member pairs inherit their rep pair's Jaccard (all
+    // members share their rep's shingle multiset); expansion is two
+    // broadcast joins + two explodes, output-bound (verified pairs are
+    // the tiny relation; ids arrays ride on them)
+    val members = groups
+    val cross = repPairs
+      .join(broadcast(members.select(col("rep_id").as("id_a"), col("ids").as("ids_a"))), "id_a")
+      .join(broadcast(members.select(col("rep_id").as("id_b"), col("ids").as("ids_b"))), "id_b")
+      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("j_ppm"))
+      .select(col("da"), explode(col("ids_b")).as("db"), col("j_ppm"))
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("j_ppm"))
+    // within-group pairs: identical texts always share every band, so
+    // they are candidates by construction; their Jaccard is the
+    // group-level d·10⁶ div (2n − d) (distinct-intersect over raw
+    // sizes, same formula as the verify step on two equal multisets —
+    // null for shingle-less texts, exactly like the per-doc form)
+    val multi = members.filter(size(col("ids")) >= 2)
+    val withinSh = shCpOpt.getOrElse(
+      repScan.join(broadcast(multi.select(col("rep_id").as("doc_id"))), "doc_id")
+        .select(col("doc_id"),
+          NativeExpressions.wordShingles(col("text"), 3).as("sh")))
+    val within = multi
+      .join(withinSh.select(col("doc_id").as("rep_id"), col("sh").as("wsh")), "rep_id")
+      .withColumn("inter", size(array_distinct(col("wsh"))).cast("long"))
+      .withColumn("j_ppm", expr("inter * 1000000L div (2 * size(wsh) - inter)"))
+      .filter(col("j_ppm") >= JaccardThresholdPpm)
+      .select(explode(pairsOf(col("ids"))).as("p"), col("j_ppm"))
+      .select(col("p").getField("a").as("id_a"),
+        col("p").getField("b").as("id_b"), col("j_ppm"))
+    within.unionByName(cross).orderBy(col("id_a"), col("id_b"))
   }
 
   /** dd_ngram_jaccard: exact shingle-Jaccard pairs via the inverted index
