@@ -45,6 +45,10 @@ def sq8_nan_probe(con):
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     con = duckdb.connect()
+    # At its default (80% of RAM) DuckDB malloc-OOMs on the dense
+    # near-dup pair joins at sf0.1 (cur_verdict / dd_components /
+    # dd_decisions); a capped limit spills and completes.
+    con.execute("SET memory_limit='60GB'")
     sq8_nan_probe(con)
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
