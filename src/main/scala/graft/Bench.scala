@@ -92,7 +92,13 @@ object Bench {
 
     val passes = (1 to runs).map(onePass)
     val results = passes.head.collect { case (n, Right(s)) => n -> s }
-    val errors = passes.head.collect { case (n, Left(m)) => n -> m }
+    // A failure in ANY pass (not just pass 1) must land in the errors map
+    // and fail the run — otherwise a late-pass throw is stderr-only, the
+    // process exits 0, and queries_best silently reflects only surviving
+    // passes. Dedup by name, first message wins, selection order kept.
+    val errsByName = passes.flatten.collect { case (n, Left(m)) => n -> m }
+      .groupBy(_._1).map { case (n, ms) => n -> ms.head._2 }
+    val errors = selected.flatMap(n => errsByName.get(n).map(n -> _))
     val best = selected.flatMap { n =>
       val ok = passes.flatMap(_.toMap.apply(n).toOption)
       if (ok.isEmpty) None else Some(n -> ok.min)

@@ -36,10 +36,15 @@ object Tables {
     *   - timestamp[us] UTC-adjusted → already TimestampType, passthrough.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    // Session builders (Verify/Bench/tests) set this at build time; the
+    // Session builders (Verify/Bench/tests) set these at build time; the
     // guard only covers ad-hoc sessions and avoids re-mutating shared conf.
     if (!s.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"))
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ → TimestampType cast below is instant-exact ONLY under a
+    // UTC session zone; a non-UTC ad-hoc session would silently shift
+    // every ts relative to the DuckDB oracle.
+    if (s.conf.get("spark.sql.session.timeZone") != "UTC")
+      s.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = read(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))

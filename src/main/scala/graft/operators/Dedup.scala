@@ -247,14 +247,19 @@ object Dedup {
       .filter(col("j_ppm") >= JaccardThresholdPpm)
       .select(col("id_a"), col("id_b"), col("j_ppm"))
     // cross-group member pairs inherit their rep pair's Jaccard (all
-    // members share their rep's shingle multiset); expansion is two
-    // broadcast joins + two explodes, output-bound (verified pairs are
-    // the tiny relation; ids arrays ride on them)
+    // members share their rep's shingle multiset). Broadcast the TINY
+    // side only — the verified rep pairs — never the members table: its
+    // ids arrays sum to every doc_id in the corpus, which on a
+    // replica-heavy crawl exceeds broadcast limits even when the rep-id
+    // set alone would fit. The a-side explodes before the b-side join,
+    // so that join is a plain shuffle join both of whose inputs are
+    // bounded by the final output size (pairs × group members).
     val members = groups
-    val cross = repPairs
-      .join(broadcast(members.select(col("rep_id").as("id_a"), col("ids").as("ids_a"))), "id_a")
-      .join(broadcast(members.select(col("rep_id").as("id_b"), col("ids").as("ids_b"))), "id_b")
-      .select(explode(col("ids_a")).as("da"), col("ids_b"), col("j_ppm"))
+    val crossA = members.select(col("rep_id").as("id_a"), col("ids").as("ids_a"))
+      .join(broadcast(repPairs), "id_a")
+      .select(col("id_b"), explode(col("ids_a")).as("da"), col("j_ppm"))
+    val cross = members.select(col("rep_id").as("id_b"), col("ids").as("ids_b"))
+      .join(crossA, "id_b")
       .select(col("da"), explode(col("ids_b")).as("db"), col("j_ppm"))
       .select(least(col("da"), col("db")).as("id_a"),
         greatest(col("da"), col("db")).as("id_b"), col("j_ppm"))

@@ -566,17 +566,6 @@ object Rewards {
     """CAST(CASE WHEN n_sents = 0 THEN 500000 WHEN n_sents < 3 THEN 600000
       |  ELSE 750000 + CASE WHEN arc != 0 AND arc != 3 THEN 250000 ELSE 0 END END AS BIGINT)""".stripMargin
 
-  /** rw_prompt_parse: parse the formatted generation prompt BACK into
-    * the constraint fields the reward loop reads
-    * (training/grpo/prompt_parsing.py:122-160 parse_writing_style_block
-    * + :20-23 extract_prompt_content's topic line — regex extraction
-    * over the markdown prompt), plus the completion-side URL count
-    * (prompt_parsing.py:163-165 detect_urls) the fabrication reward
-    * consumes. Runs over this engine's own p18 prompt column so the
-    * round-trip (assemble → parse) is closed and oracle-checkable.
-    *
-    * Scale shape: map-only, shuffle-free, all codegen'd regexp_extract —
-    * a pure scan at 100 TB. */
   /** The constraint-extraction projection over a prompt column — ONE
     * definition shared by batch [[rwPromptParse]] and the streaming
     * ingest gate (EventStreams.promptConstraintGate), so the two forms
@@ -589,6 +578,17 @@ object Rewards {
     regexp_extract(prompt, "\\*\\*Length\\*\\*: ([^\\n]+)", 1).as("length_req"),
     regexp_extract(prompt, "\\*\\*Emoji Usage\\*\\*: ([^\\n]+)", 1).as("emoji_req"))
 
+  /** rw_prompt_parse: parse the formatted generation prompt BACK into
+    * the constraint fields the reward loop reads
+    * (training/grpo/prompt_parsing.py:122-160 parse_writing_style_block
+    * + :20-23 extract_prompt_content's topic line — regex extraction
+    * over the markdown prompt), plus the completion-side URL count
+    * (prompt_parsing.py:163-165 detect_urls) the fabrication reward
+    * consumes. Runs over this engine's own p18 prompt column so the
+    * round-trip (assemble → parse) is closed and oracle-checkable.
+    *
+    * Scale shape: map-only, shuffle-free, all codegen'd regexp_extract —
+    * a pure scan at 100 TB. */
   def rwPromptParse(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), Style.genPromptCol.as("prompt"), t)

@@ -6,7 +6,7 @@ Loads each <verifyOutDir>/<name> parquet (Spark result), runs the
 matching SQL from oracle_sql.json in DuckDB against the sfDir tables,
 and compares after sorting columns by name and rows by all columns.
 """
-import json, sys, math
+import json, os, sys, math
 import duckdb
 
 def canon(rows, cols):
@@ -47,8 +47,14 @@ def main():
     con = duckdb.connect()
     # At its default (80% of RAM) DuckDB malloc-OOMs on the dense
     # near-dup pair joins at sf0.1 (cur_verdict / dd_components /
-    # dd_decisions); a capped limit spills and completes.
-    con.execute("SET memory_limit='60GB'")
+    # dd_decisions); a capped limit spills and completes. A fixed 60GB
+    # is machine-specific, so scale to detected RAM (never above the
+    # default 80% line) and allow an env override.
+    cap = os.environ.get("GRAFT_DUCKDB_MEM")
+    if not cap:
+        ram_gb = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE") / 2**30
+        cap = f"{min(60, int(ram_gb * 0.6))}GB"
+    con.execute(f"SET memory_limit='{cap}'")
     sq8_nan_probe(con)
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
