@@ -561,22 +561,114 @@ object Similarity {
     (comps, model.explainedVariance.toArray.toSeq)
   }
 
-  /** p21_pca: 2-component PCA projection of the embedding corpus — the
-    * reference's reduce_dimensions PCA path
+  /** Deterministic top-2 PCA fit, hash-gateable against DuckDB.
+    *
+    * The float hazards that kept p21_pca rows-only — eigenvector sign and
+    * accumulation-order bits — are removed by construction:
+    *
+    *  1. The scaled covariance is EXACT integer algebra: elements are
+    *     micro-fixed-point (round(x·10⁶) as long), so the corpus sums
+    *     Σqᵢ and Σqᵢqⱼ are order-independent BIGINTs on both engines,
+    *     and C = P − S·Sᵀ/n is a deterministic IEEE expression over them.
+    *  2. The eigen-solve is 12 rounds of max-abs-normalized matrix
+    *     squaring: A ← (A·A)/max|A·A| converges to the rank-1 projector
+    *     v₁v₁ᵀ at rate (λ₂/λ₁)^2^t — gap^4096 ≈ 10⁻³⁰ at this corpus's
+    *     ~0.98 eigengap, so both engines land within ~10⁻¹³ of the SAME
+    *     fixed point regardless of their internal float summation order
+    *     (the iteration is self-correcting; the inputs are bit-equal).
+    *  3. Sign convention: the largest-|component| coordinate (ties →
+    *     lowest index) is made positive; PC2 via explicit deflation
+    *     C − λ₁v₁v₁ᵀ and a second squaring chain.
+    *
+    * Returns (loadings w1/w2, centering offsets μ·wₖ). Scale shape: ONE
+    * distributed pass (per-row 64+4096 fixed-point products, posexplode +
+    * map-side-combined sum — shuffle is partitions×4160 skinny rows), then
+    * O(64³·12) driver flops on the collected 64×64 matrix. */
+  private[graft] def pcaDetFit(spark: SparkSession, sfDir: String)
+      : (Seq[Array[Double]], Seq[Double]) = {
+    val fx = vecs(spark, sfDir).select(
+      transform(col("v"), x => round(x * lit(1e6)).cast("long")).as("q"))
+    val agg = fx.select(posexplode(concat(col("q"),
+        flatten(transform(col("q"), xi => transform(col("q"), xj => xi * xj))))
+      ).as(Seq("k", "x")))
+      .groupBy("k").agg(sum("x").as("s"), count(lit(1)).as("c"))
+      .collect()
+    val n = agg.find(_.getInt(0) == 0).get.getLong(2).toDouble
+    val s = new Array[Double](Dim)
+    val p = new Array[Double](Dim * Dim)
+    agg.foreach { r =>
+      val k = r.getInt(0); val v = r.getLong(1).toDouble
+      if (k < Dim) s(k) = v else p(k - Dim) = v
+    }
+    val c = Array.tabulate(Dim * Dim)(k => p(k) - s(k / Dim) * s(k % Dim) / n)
+    val w1 = pcaTopEig(c)
+    val cw = Array.tabulate(Dim) { i =>
+      var acc = 0.0; var j = 0
+      while (j < Dim) { acc += c(i * Dim + j) * w1(j); j += 1 }; acc
+    }
+    var lam = 0.0
+    for (i <- 0 until Dim) lam += w1(i) * cw(i)
+    val c2 = Array.tabulate(Dim * Dim)(k => c(k) - lam * w1(k / Dim) * w1(k % Dim))
+    val w2 = pcaTopEig(c2)
+    val mu = Array.tabulate(Dim)(i => s(i) / 1e6 / n)
+    def off(w: Array[Double]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < Dim) { acc += mu(i) * w(i); i += 1 }; acc
+    }
+    (Seq(w1, w2), Seq(off(w1), off(w2)))
+  }
+
+  /** Squaring chain rounds shared by [[pcaDetFit]] and the SQL mirror. */
+  private val PcaSquarings = 12
+
+  /** Dominant eigenvector of symmetric row-major `c` by [[PcaSquarings]]
+    * max-abs-normalized squarings, extracted from the max-diagonal row of
+    * the limiting projector, unit-normalized, sign-fixed. */
+  private def pcaTopEig(c: Array[Double]): Array[Double] = {
+    def maxAbsNorm(m: Array[Double]): Array[Double] = {
+      var mx = 0.0; var i = 0
+      while (i < m.length) { val a = math.abs(m(i)); if (a > mx) mx = a; i += 1 }
+      m.map(_ / mx)
+    }
+    var a = maxAbsNorm(c)
+    for (_ <- 1 to PcaSquarings)
+      a = maxAbsNorm(Array.tabulate(Dim * Dim) { k =>
+        val i = k / Dim; val j = k % Dim
+        var acc = 0.0; var l = 0
+        while (l < Dim) { acc += a(i * Dim + l) * a(l * Dim + j); l += 1 }
+        acc
+      })
+    var r = 0; var best = a(0)
+    for (i <- 1 until Dim) {
+      val d = a(i * Dim + i); if (d > best) { best = d; r = i }
+    }
+    val row = Array.tabulate(Dim)(j => a(r * Dim + j))
+    var n2 = 0.0
+    for (j <- 0 until Dim) n2 += row(j) * row(j)
+    val nrm = math.sqrt(n2)
+    val u = row.map(_ / nrm)
+    var am = 0; var bu = math.abs(u(0))
+    for (i <- 1 until Dim) {
+      val ab = math.abs(u(i)); if (ab > bu) { bu = ab; am = i }
+    }
+    if (u(am) < 0) u.map(x => -x) else u
+  }
+
+  /** p21_pca: centered 2-component PCA projection of the embedding corpus
+    * — the reference's reduce_dimensions PCA path
     * (21-embedding-and-clustering.py:275-283, random_state=42; its t-SNE/
-    * UMAP branches are visualization-only and out of scope). Rows-only
-    * gate: the eigenvector signs and low-order bits depend on float
-    * accumulation order in the distributed covariance pass, so there is
-    * no cross-engine hash; PcaVarianceSpec pins the explained-variance
-    * contract instead (like IvfRecallSpec for the trained IVF). Scale
-    * shape: the fit is one map-side-combined Gramian pass; the projection
-    * broadcasts the 64×2 loadings as literals and runs as a codegen'd
-    * per-row dot — the corpus never shuffles. */
+    * UMAP branches are visualization-only and out of scope). HASH-GATED:
+    * the fit is [[pcaDetFit]]'s deterministic squaring solve, which the
+    * DuckDB oracle recomputes end-to-end from the same parquet (see
+    * [[pcaOracleSql]]); PcaVarianceSpec additionally checks the
+    * deterministic loadings against MLlib's independent SVD fit. Scale
+    * shape: one skinny-shuffle fit pass, then the 64×2 loadings ride into
+    * a codegen'd per-row dot — the corpus never shuffles. */
   def p21Pca(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.VectorFunctions.dot
-    val (comps, _) = pcaFit(spark, sfDir)
-    val pcCols = comps.zipWithIndex.map { case (w, j) =>
-      round(dot(col("v"), array(w.map(lit): _*)) * 1000, 0)
+    val (comps, offs) = pcaDetFit(spark, sfDir)
+    val pcCols = comps.zip(offs).zipWithIndex.map { case ((w, off), j) =>
+      round((dot(col("v"), array(w.toSeq.map(lit): _*)) - lit(off)) * 1000, 0)
         .cast("long").as(s"pc${j + 1}_mil")
     }
     vecs(spark, sfDir)
@@ -963,7 +1055,8 @@ object Similarity {
 
   // ---- DuckDB oracle (p21_kmeans / ss_ivf_trained are rows-only — MLlib
   // training is iterative, no SQL equivalent; IvfRecallSpec gates
-  // ss_ivf_trained's recall against the exact brute-force ranking) ----
+  // ss_ivf_trained's recall against the exact brute-force ranking;
+  // p21_pca IS hash-gated via the deterministic squaring fit below) ----
 
   private val eCte = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
   private val qCte = "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10)"
@@ -1017,7 +1110,80 @@ object Similarity {
     s"""s AS (SELECT q_id, vec_id, CAST(sum(d) AS BIGINT) AS adc_micro
        |  FROM u WHERE vec_id != q_id GROUP BY 1, 2)""".stripMargin
 
+  /** `rounds` max-abs-normalized matrix squarings `src.m` → `out.m`
+    * (4096-element row-major lists), mirroring [[pcaTopEig]]'s loop. The
+    * max is hoisted one projection level up so list_aggregate runs once
+    * per squaring, not once per element. */
+  private def pcaSquareChainSql(src: String, out: String, rounds: Int): String =
+    (1 to rounds).map { t =>
+      val prev = if (t == 1) src else s"${out}_${t - 1}"
+      val name = if (t == rounds) out else s"${out}_$t"
+      s"""$name AS (SELECT list_transform(w, x -> x / mx) AS m FROM (
+         |  SELECT w, list_aggregate(list_transform(w, y -> abs(y)), 'max') AS mx FROM (
+         |    SELECT list_transform(range(1, 4097), k ->
+         |      list_sum(list_transform(range(1, 65), l ->
+         |        m[((k-1)//64)*64 + l] * m[(l-1)*64 + (k-1)%64 + 1]))) AS w
+         |    FROM $prev)))""".stripMargin
+    }.mkString(",\n")
+
+  /** Eigenvector extraction from the limiting projector `mat.m`, mirror of
+    * [[pcaTopEig]]'s tail: max-diagonal row (ties → lowest index), unit
+    * norm, largest-|component| sign convention. Emits CTEs `<w>_r`,
+    * `<w>_u`, `<w>_a`, and `<w>` (one row, list column `w`). */
+  private def pcaExtractSql(mat: String, w: String): String =
+    s"""${w}_r AS (SELECT i AS r FROM $mat CROSS JOIN ix ORDER BY m[(i-1)*64 + i] DESC, i LIMIT 1),
+       |${w}_u AS (SELECT list_transform(row, x -> x / nrm) AS u FROM (
+       |  SELECT row, sqrt(list_sum(list_transform(row, x -> x*x))) AS nrm FROM (
+       |    SELECT list_transform(range(1, 65), j -> m[(r-1)*64 + j]) AS row
+       |    FROM $mat, ${w}_r))),
+       |${w}_a AS (SELECT i AS am FROM ${w}_u CROSS JOIN ix ORDER BY abs(u[i]) DESC, i LIMIT 1),
+       |$w AS (SELECT CASE WHEN u[am] < 0 THEN list_transform(u, x -> -x) ELSE u END AS w
+       |  FROM ${w}_u, ${w}_a)""".stripMargin
+
+  /** Full [[pcaDetFit]] + projection mirror: exact-integer fixed-point
+    * covariance, two squaring chains with deflation between, centered
+    * mil-rounded projection. Every float expression either operates on
+    * bit-equal integer-derived inputs or sits inside the self-correcting
+    * squaring iteration whose fixed point both engines share to ~1e-13 —
+    * 6 orders of magnitude inside the mil rounding slack. */
+  private def pcaOracleSql: String = {
+    def proj(w: String) = (1 to Dim).map(i => s"e.v[$i]*$w.w[$i]").mkString(" + ")
+    val offSum = (1 to Dim).map(i => s"(s[$i]/1000000/n) * w[$i]").mkString(" + ")
+    s"""WITH $eCte,
+       |ix AS (SELECT unnest(range(1, 65)) AS i),
+       |fx AS (SELECT list_transform(v, x -> CAST(round(x*1000000, 0) AS BIGINT)) AS q FROM e),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM fx),
+       |sv AS (SELECT list(sd ORDER BY i) AS s FROM (
+       |  SELECT i, CAST(sum(q[i]) AS DOUBLE) AS sd FROM fx CROSS JOIN ix GROUP BY i)),
+       |pv AS (SELECT list(pd ORDER BY k) AS p FROM (
+       |  SELECT (a.i-1)*64 + b.i AS k, CAST(sum(q[a.i]*q[b.i]) AS DOUBLE) AS pd
+       |  FROM fx CROSS JOIN ix a CROSS JOIN ix b GROUP BY 1)),
+       |cm AS (SELECT list_transform(range(1, 4097), k ->
+       |  p[k] - s[(k-1)//64 + 1]*s[(k-1)%64 + 1]/n) AS c FROM pv, sv, nn),
+       |a0 AS (SELECT list_transform(c, x -> x / mx) AS m FROM (
+       |  SELECT c, list_aggregate(list_transform(c, y -> abs(y)), 'max') AS mx FROM cm)),
+       |${pcaSquareChainSql("a0", "af", PcaSquarings)},
+       |${pcaExtractSql("af", "w1")},
+       |lm AS (SELECT list_sum(list_transform(range(1, 65), i -> w[i] *
+       |  list_sum(list_transform(range(1, 65), j -> c[(i-1)*64 + j]*w[j])))) AS lam
+       |  FROM w1, cm),
+       |b0 AS (SELECT list_transform(d, x -> x / mx) AS m FROM (
+       |  SELECT d, list_aggregate(list_transform(d, y -> abs(y)), 'max') AS mx FROM (
+       |    SELECT list_transform(range(1, 4097), k ->
+       |      c[k] - lam * w[(k-1)//64 + 1] * w[(k-1)%64 + 1]) AS d FROM cm, lm, w1))),
+       |${pcaSquareChainSql("b0", "bf", PcaSquarings)},
+       |${pcaExtractSql("bf", "w2")},
+       |o1 AS (SELECT ($offSum) AS o FROM sv, nn, w1),
+       |o2 AS (SELECT ($offSum) AS o FROM sv, nn, w2)
+       |SELECT e.vec_id,
+       |  CAST(round((${proj("w1")} - o1.o) * 1000, 0) AS BIGINT) AS pc1_mil,
+       |  CAST(round((${proj("w2")} - o2.o) * 1000, 0) AS BIGINT) AS pc2_mil
+       |FROM e, w1, w2, o1, o2
+       |ORDER BY vec_id""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "p21_pca" -> pcaOracleSql,
     "dd_semantic" ->
       // MATERIALIZED chain/join CTEs: the within-cluster self-join
       // references the assignment twice, and DuckDB re-EVALUATES plain

@@ -4,17 +4,43 @@ import org.apache.spark.sql.functions._
 
 import graft.operators.Similarity
 
-/** p21_pca has no SQL oracle (eigenvector signs and low-order bits depend
-  * on float accumulation order), so this pins its CONTRACT instead:
-  * explained-variance ratios are ordered, positive, and bounded, and the
-  * PCA basis beats the axis-aligned baseline it exists to beat —
-  * projecting onto PC1 must capture at least as much variance as the best
-  * single raw coordinate (PCA's defining optimality). A violation means
-  * the loadings aren't eigenvectors of the covariance anymore.
+/** p21_pca is hash-gated through the deterministic squaring fit
+  * (Similarity.pcaDetFit); this spec pins the MATH behind that gate with
+  * checks the DuckDB mirror can't provide: explained-variance ratios are
+  * ordered, positive, and bounded, the PCA basis beats the axis-aligned
+  * baseline it exists to beat (PCA's defining optimality), and — the
+  * differential — the deterministic loadings agree with MLlib's
+  * independent SVD-based fit up to sign, so the squaring solve is finding
+  * real eigenvectors, not just a stable fixed point.
   */
 class PcaVarianceSpec extends SparkSpec {
 
   private lazy val (comps, ev) = Similarity.pcaFit(spark, sfDir)
+  private lazy val (detComps, detOffs) = Similarity.pcaDetFit(spark, sfDir)
+
+  test("deterministic loadings match MLlib's SVD fit up to sign") {
+    def cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / math.sqrt(a.map(x => x * x).sum * b.map(x => x * x).sum)
+    }
+    comps.zip(detComps).zipWithIndex.foreach { case ((ml, det), j) =>
+      val c = math.abs(cos(ml, det.toSeq))
+      assert(c > 0.999999, s"PC${j + 1}: |cos(mllib, det)| = $c")
+    }
+    assert(detOffs.forall(o => !o.isNaN && !o.isInfinite), s"bad offsets $detOffs")
+  }
+
+  test("deterministic loadings are unit-norm, orthogonal, sign-canonical") {
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    detComps.foreach { w =>
+      assert(math.abs(dot(w, w) - 1.0) < 1e-9, "non-unit deterministic loading")
+      val am = w.indices.maxBy(i => math.abs(w(i)))
+      assert(w(am) > 0, "sign convention violated: largest component negative")
+    }
+    assert(math.abs(dot(detComps(0), detComps(1))) < 1e-9,
+      "non-orthogonal deterministic loadings")
+  }
 
   test("explained-variance ratios are ordered, positive, bounded") {
     assert(ev.length == Similarity.PcaK)
