@@ -453,20 +453,12 @@ object Similarity {
     * scans for centroids a sample estimates as well; the full corpus is
     * then assigned by the map-only broadcast argmin. Training is
     * iterative ⇒ rows-only gate (same as p21_kmeans); IvfRecallSpec pins
-    * recall vs ss_brute_topk instead. */
+    * recall vs ss_brute_topk AND bands the trained cells' inertia against
+    * the hash-gated Lloyd's chain ([[ivfTrainedInertia]]) — two
+    * independent quantitative pins. */
   def ssIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import spark.implicits._
     val v = vecs(spark, sfDir)
-    val model = withTrainSample(v, TrainedK) { s =>
-      new KMeans().setK(TrainedK).setSeed(42L).setMaxIter(20)
-        .fit(s.select(col("vec_id"), array_to_vector(col("v")).as("features")))
-    }
-    val centDf = model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
-      .toDF("c_id", "cv")
-    val centArr = centDf.agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    val centArr = ivfTrainedCentArr(spark, sfDir)
     val asg = v.crossJoin(broadcast(centArr))
       .withColumn("best",
         graft.functions.NativeExpressions.argminL2(col("v"), col("cents")))
@@ -476,6 +468,29 @@ object Similarity {
       .select(col("q_id"), col("vec_id"), cosineSim(col("qv"), col("v")).as("cos"))
     topKPerQuery(cand, TopK)
   }
+
+  /** The trained IVF cell centroids as the one-row broadcastable (c_id,
+    * cv) array [[ssIvfTrained]] assigns against — split out so
+    * IvfRecallSpec can band the SAME training's inertia against the
+    * hash-gated Lloyd's chain (the second independent pin next to its
+    * recall floor). */
+  private[graft] def ivfTrainedCentArr(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    import spark.implicits._
+    val model = withTrainSample(vecs(spark, sfDir), TrainedK) { s =>
+      new KMeans().setK(TrainedK).setSeed(42L).setMaxIter(20)
+        .fit(s.select(col("vec_id"), array_to_vector(col("v")).as("features")))
+    }
+    model.clusterCenters.zipWithIndex.toSeq
+      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
+      .toDF("c_id", "cv")
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+  }
+
+  /** [[inertiaOf]] for the trained-IVF cell clustering (real-unit corpus). */
+  private[graft] def ivfTrainedInertia(spark: SparkSession, sfDir: String): Double =
+    inertiaOf(vecs(spark, sfDir), ivfTrainedCentArr(spark, sfDir))
 
   /** p21_cluster_assign: per-vector nearest seed centroid + distance. */
   def p21ClusterAssign(spark: SparkSession, sfDir: String): DataFrame =

@@ -37,6 +37,23 @@ class IvfRecallSpec extends SparkSpec {
     assert(r >= 0.3, s"trained-IVF recall@5 = $r")
   }
 
+  test("trained-IVF inertia lands in a band around the hash-gated Lloyd's inertia") {
+    // The KmeansQualitySpec treatment for the OTHER rows-only entry: the
+    // trained cells (k=16, 20 iters, 1/4 hash-sample) must partition the
+    // full corpus about as tightly as the hash-verified full-corpus k=10
+    // 3-iteration Lloyd's chain. Sample training costs a little on the
+    // near-uniform sphere (measured ratio 1.038 at sf0.001 — the sample's
+    // centroids are slightly off the full corpus's mass) while the six
+    // extra cells buy a little back; the band pins that equilibrium.
+    val ivf = Similarity.ivfTrainedInertia(spark, sfDir)
+    val lloyds = Similarity.lloydsInertia(spark, sfDir)
+    assert(ivf > 0 && lloyds > 0, s"non-positive inertia: ivf=$ivf lloyds=$lloyds")
+    assert(ivf <= lloyds * 1.10,
+      s"trained-IVF inertia $ivf far above k=10 Lloyd's $lloyds — training regressed")
+    assert(ivf >= lloyds * 0.5,
+      s"trained-IVF inertia $ivf below half of Lloyd's $lloyds — scale/corpus drift")
+  }
+
   test("trained centroids recall at least matches the seed-sample IVF") {
     val seeded = recallOf(Similarity.ssIvfTopk(spark, sfDir))
     val trained = recallOf(Similarity.ssIvfTrained(spark, sfDir))
