@@ -5,8 +5,9 @@ import graft.multimodal.{Manifest, MediaDecoder}
 /** The multimodal decode seam: mm_manifest's default decoder is the
   * oracle-able arithmetic stub, but the plumbing must carry a REAL
   * decoder — one that consumes payload content — without any change
-  * outside the decoder class. byteHistogram is that decoder here
-  * (actual per-byte scan; a JNI image codec slots into the same seam).
+  * outside the decoder class. Two real decoders prove it: byteHistogram
+  * (actual per-byte scan) and imageIo (the JDK's PNG/JPEG codec decoding
+  * true pixel dimensions, with stub fallback for undecodable payloads).
   */
 class MediaDecoderSpec extends SparkSpec {
 
@@ -36,6 +37,37 @@ class MediaDecoderSpec extends SparkSpec {
       .select("media_id", "checksum").collect()
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(stub == real)
+  }
+
+  private def pngBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (x <- 0 until w; y <- 0 until h)
+      img.setRGB(x, y, (x * 31 + y * 17) & 0xffffff)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  test("real PNGs decode to their true pixel dimensions through the seam") {
+    import spark.implicits._
+    val dims = Seq((640, 480), (1, 1), (300, 200))
+    val assets = dims.zipWithIndex.map { case ((w, h), i) =>
+      graft.multimodal.MediaAsset(i.toLong, "image", "test", pngBytes(w, h))
+    } :+ graft.multimodal.MediaAsset(99L, "image", "test",
+      "not an image at all".getBytes("UTF-8"))
+    val got = Manifest
+      .decodeAssets(spark, spark.createDataset(assets), MediaDecoder.imageIo)
+      .collect().map(r =>
+        r.getAs[Long]("media_id") ->
+          ((r.getAs[Long]("width"), r.getAs[Long]("height")))).toMap
+    dims.zipWithIndex.foreach { case ((w, h), i) =>
+      assert(got(i.toLong) == ((w.toLong, h.toLong)),
+        s"asset $i decoded ${got(i.toLong)}, want ($w, $h)")
+    }
+    // the undecodable payload salvages through the stub instead of failing
+    val n = "not an image at all".getBytes("UTF-8").length.toLong
+    assert(got(99L) == ((64L + n % 1857L, 64L + (n * 7L) % 1017L)))
   }
 
   test("the byte-histogram decoder is exact on a known payload") {
