@@ -84,6 +84,21 @@ object DocPipeline {
       .drop("top_cut", "bot_cut")
   }
 
+  /** The p02 labeling projection over REAL post text — the form the
+    * JSONL-sourced pipeline uses (2-label.py process_posts: empty text
+    * skipped, emoji frequency analysis + length bucket; same
+    * TextFunctions kernels as the synthetic-table p02 below). Feeds the
+    * reference-output parity harness (tools/ref_parity.py). */
+  def labelPosts(posts: DataFrame): DataFrame =
+    posts.filter(col("post_text").isNotNull && length(col("post_text")) > 0)
+      .select(
+        col("post_text"),
+        emojiCount(col("post_text")).cast("long").as("emoji_count"),
+        length(col("post_text")).cast("long").as("text_length"),
+        round(emojiFrequency(col("post_text")) * 1000000, 0).cast("long").as("freq_ppm"),
+        emojiUsage(col("post_text")).as("emoji_usage"),
+        lengthBucket(col("post_text")).as("max_length"))
+
   /** p02: emoji count / frequency / usage bins + length buckets.
     * Reference: 2-label.py:20-88 (default bins, post_length_analysis).
     */
