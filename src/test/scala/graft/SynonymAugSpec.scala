@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Balance, Synonyms}
+
+/** The deterministic synonym augmenter behind p05_upsample
+  * (5-balance.py:206-212 re-expressed per SURVEY §5). */
+class SynonymAugSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def augment(text: String, slot: Long): String =
+    Seq((text, slot)).toDF("text", "aug_slot")
+      .select(expr(Synonyms.sparkAug("text", "aug_slot")).as("t"))
+      .as[String].head()
+
+  test("replacement is gated per (token, slot) and spacing is preserved") {
+    val src = "Big day today, friends"
+    val variants = (0L to 5L).map(augment(src, _))
+    // at least two distinct variants across slots, and every variant is a
+    // token-for-token substitution (same token count, same delimiters)
+    assert(variants.distinct.size >= 2)
+    variants.foreach { v =>
+      assert(v.split(" ", -1).length == src.split(" ", -1).length)
+    }
+    // a token carrying punctuation never matches the table
+    assert(variants.forall(_.contains("today,")))
+  }
+
+  test("same (text, slot) always produces the same variant") {
+    val a = augment("a big new idea for the team", 3L)
+    val b = augment("a big new idea for the team", 3L)
+    assert(a == b)
+  }
+
+  test("only table words change; replacements come from the table") {
+    val src = "big small happy zorp"
+    val syn = Synonyms.pairs.toMap
+    (0L to 7L).foreach { s =>
+      val out = augment(src, s).split(" ")
+      val in = src.split(" ")
+      out.zip(in).foreach { case (o, i) =>
+        assert(o == i || syn(i) == o, s"slot $s: $i -> $o")
+      }
+      assert(out.last == "zorp")
+    }
+  }
+
+  test("p05_upsample rows carry a transformed aug_text per slot") {
+    val df = Balance.p05Upsample(spark, sfDir).cache()
+    try {
+      assert(df.columns.contains("aug_text"))
+      val n = df.count()
+      assert(n > 0)
+      // every aug_text has the same space-token count as a same-doc sibling
+      // (token-for-token substitution), and at least one row actually
+      // differs from its source text
+      val src = Tables.documents(spark, sfDir).select(col("doc_id"),
+        col("text"))
+      val joined = df.join(src, "doc_id")
+        .select(size(split(col("aug_text"), " ", -1)).as("na"),
+          size(split(col("text"), " ", -1)).as("nt"),
+          (col("aug_text") =!= col("text")).cast("long").as("changed"))
+        .agg(sum(when(col("na") =!= col("nt"), 1L).otherwise(0L)).as("bad"),
+          sum(col("changed")).as("changed"))
+        .head()
+      assert(joined.getLong(0) == 0)
+      assert(joined.getLong(1) > 0)
+    } finally df.unpersist()
+  }
+}
