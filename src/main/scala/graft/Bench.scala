@@ -72,8 +72,11 @@ object Bench {
     // (separate JVM runs pay startup+codegen twice and still land in
     // different contention windows). The reported `queries`/`value`
     // stay the FIRST pass (the driver-comparable cold-ish number);
-    // `queries_best` carries the per-query min across passes.
-    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(1).max(1)
+    // `queries_best` carries the per-query min across passes. Default
+    // is 2 (r8 verdict): a contention window that inflates one pass-1
+    // row 8× (p07_clean_topics 23.3 s vs 2.8 s controlled, r8) then
+    // still leaves a trustworthy best-of-2 row in the same record.
+    val runs = sys.env.get("SPARK_GRAFT_RUNS").map(_.toInt).getOrElse(2).max(1)
 
     def onePass(pass: Int): Seq[(String, Either[String, Double])] = selected.map { name =>
       val t0 = System.nanoTime()

@@ -740,4 +740,44 @@ object Kernels {
     }
     b
   }
+
+  /** Deterministic synonym augmentation — the native form of
+    * Synonyms.sparkAug's `array_join(transform(split(text, ' '), x ->
+    * CASE WHEN md5-gate THEN table-lookup ELSE x END), ' ')`:
+    * token `x` is replaced by `map(lower(x))` iff the high nibble of
+    * md5(lower(x) + "#" + slot)'s first byte is ≤ 7 (= first hex char
+    * ≤ '7') and the lowered token is in the table. Splitting on the
+    * single byte 0x20 and re-joining with it reconstructs the exact
+    * split(' ')/array_join(' ') round-trip (interior AND trailing empty
+    * segments preserved — Spark's split uses limit -1); 0x20 never
+    * occurs inside a multi-byte UTF-8 sequence, so the byte walk is
+    * UTF-8 safe. Lowercasing is UTF8String.toLowerCase — bit-identical
+    * to what Spark's Lower evaluates inside the HOF. */
+  def synonymAug(
+      text: UTF8String, slot: Long, map: java.util.HashMap[String, String]): UTF8String = {
+    val bytes = text.getBytes
+    val slotBytes =
+      java.lang.Long.toString(slot).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val md = mdLocal.get()
+    val out = new java.io.ByteArrayOutputStream(bytes.length + 16)
+    var start = 0
+    var i = 0
+    while (i <= bytes.length) {
+      if (i == bytes.length || bytes(i) == ' ') {
+        if (start > 0) out.write(' ')
+        val lowered = UTF8String.fromBytes(bytes, start, i - start).toLowerCase
+        md.reset()
+        md.update(lowered.getBytes)
+        md.update('#'.toByte)
+        md.update(slotBytes)
+        val gated = ((md.digest()(0) >> 4) & 0xf) <= 7
+        val rep = if (gated) map.get(lowered.toString) else null
+        if (rep != null) out.write(rep.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        else out.write(bytes, start, i - start)
+        start = i + 1
+      }
+      i += 1
+    }
+    UTF8String.fromBytes(out.toByteArray)
+  }
 }

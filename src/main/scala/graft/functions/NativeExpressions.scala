@@ -44,6 +44,9 @@ object NativeExpressions {
   private[functions] def checkString(name: String, e: Expression): TypeCheckResult =
     expectType(name, "only", e.dataType, e.dataType == StringType, "STRING")
 
+  private[functions] def expectLong(name: String, e: Expression): TypeCheckResult =
+    expectType(name, "right", e.dataType, e.dataType == LongType, "BIGINT")
+
   private[functions] def checkStringArray(name: String, e: Expression): TypeCheckResult =
     expectType(name, "only", e.dataType,
       e.dataType.isInstanceOf[ArrayType] &&
@@ -503,6 +506,41 @@ object NativeExpressions {
     }
   }
 
+  /** Deterministic synonym augmentation — the native form of
+    * [[graft.operators.Synonyms]].sparkAug's split → per-token
+    * md5-gate + 60-branch CaseWhen lookup → array_join HOF chain,
+    * collapsed to one [[Kernels.synonymAug]] byte walk. The HOF form
+    * interpreted the whole lambda per token (md5 + a linear CaseWhen
+    * scan), which put p05_upsample's cold pass at 72 s vs ~3 s warm;
+    * the kernel stays inside whole-stage codegen and hashes against a
+    * HashMap instead. The table rides in as a reference object, so the
+    * generated source is table-size-independent. */
+  case class SynonymAug(left: Expression, right: Expression, pairs: Seq[(String, String)])
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = NativeExpressions.checkString(prettyName, left)
+      if (l.isFailure) return l
+      NativeExpressions.expectLong(prettyName, right)
+    }
+    override def dataType: DataType = StringType
+    override def prettyName: String = "synonym_aug"
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SynonymAug =
+      copy(left = newLeft, right = newRight)
+    @transient private lazy val map: java.util.HashMap[String, String] = {
+      val m = new java.util.HashMap[String, String]()
+      pairs.foreach { case (a, b) => m.put(a, b) }
+      m
+    }
+    override def nullSafeEval(text: Any, slot: Any): Any =
+      Kernels.synonymAug(
+        text.asInstanceOf[UTF8String], slot.asInstanceOf[Long], map)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("synonyms", map, "java.util.HashMap")
+      defineCodeGen(ctx, ev, (t, s) => s"$K.synonymAug($t, $s, $ref)")
+    }
+  }
+
   // ---- Column wrappers ----
 
   def wordTokens(c: Column): Column =
@@ -546,6 +584,10 @@ object NativeExpressions {
 
   def signLshBucket(c: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(SignLshBucket(ColumnBridge.expression(c), planes))
+
+  def synonymAug(text: Column, slot: Column, pairs: Seq[(String, String)]): Column =
+    ColumnBridge.column(SynonymAug(
+      ColumnBridge.expression(text), ColumnBridge.expression(slot), pairs))
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))

@@ -77,7 +77,13 @@ object Synonyms {
     s"CASE WHEN substr(md5(concat(lower($tok), '#', CAST($slotCol AS STRING))), 1, 1) <= '7' " +
       s"THEN ${synCase(tok)} ELSE $tok END"
 
-  /** Spark SQL form (higher-order `transform`, codegen-friendly). */
+  /** Spark SQL form — the readable reference formulation. NOT the
+    * production path: higher-order `transform` interprets the lambda
+    * (md5 + a linear 60-branch CaseWhen) per token, which cost
+    * p05_upsample a 72 s cold pass at sf0.1. The operator runs
+    * [[graft.functions.NativeExpressions.SynonymAug]] (one codegen'd
+    * byte-walk kernel, bit-identical — SynonymAugSpec differentials the
+    * two); this form remains as the spec's bridge to [[duckAug]]. */
   def sparkAug(textCol: String, slotCol: String): String =
     s"array_join(transform(split($textCol, ' '), x -> ${tokenCase("x", slotCol)}), ' ')"
 
@@ -151,7 +157,8 @@ object Balance {
       .select(col("doc_id"), col("structure"), col("emoji_usage"),
         col("max_length"), col("aug_slot"),
         concat(lit("aug#"), col("aug_slot")).as("aug_tag"),
-        expr(Synonyms.sparkAug("text", "aug_slot")).as("aug_text"))
+        graft.functions.NativeExpressions
+          .synonymAug(col("text"), col("aug_slot"), Synonyms.pairs).as("aug_text"))
       .orderBy(col("structure"), col("emoji_usage"), col("max_length"),
         col("aug_slot"), col("doc_id"))
   }

@@ -46,6 +46,25 @@ class SynonymAugSpec extends SparkSpec {
     }
   }
 
+  test("native kernel is bit-identical to the HOF form on the real corpus") {
+    // p05_upsample runs [[NativeExpressions.synonymAug]]; the DuckDB
+    // oracle runs Synonyms.duckAug, whose Spark twin is sparkAug. This
+    // differential (real documents × 3 slots, empty/multi-space edge rows
+    // appended) is the bridge that keeps kernel and oracle in lockstep.
+    val edge = Seq("", " ", "big  small ", " leading big").toDF("text")
+    val docs = Tables.documents(spark, sfDir).select(col("text"))
+      .limit(500).union(edge)
+    val diff = docs
+      .crossJoin(Seq(0L, 3L, 11L).toDF("aug_slot"))
+      .select(
+        graft.functions.NativeExpressions
+          .synonymAug(col("text"), col("aug_slot"), Synonyms.pairs).as("k"),
+        expr(Synonyms.sparkAug("text", "aug_slot")).as("h"))
+      .filter(col("k") =!= col("h"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("p05_upsample rows carry a transformed aug_text per slot") {
     val df = Balance.p05Upsample(spark, sfDir).cache()
     try {
