@@ -65,6 +65,30 @@ class SynonymAugSpec extends SparkSpec {
     assert(diff == 0L)
   }
 
+  test("kernel matches the HOF form on adversarial generated texts") {
+    // Seeded generator (not scalacheck's runtime — one Spark job over all
+    // samples beats a job per sample): random mixes of table words,
+    // non-table words, unicode, punctuation-attached tokens, and runs of
+    // 0-3 spaces including leading/trailing — the byte-walk's edge space.
+    val rnd = new scala.util.Random(42)
+    val atoms = Vector("big", "BIG", "Small", "zorp", "día", "嗨", "day,",
+      "#tag", "", "best", "x", "über", "…", "good.", "HAPPY")
+    val texts = Seq.tabulate(400) { _ =>
+      (0 to rnd.nextInt(12)).map { _ =>
+        (" " * rnd.nextInt(3)) + atoms(rnd.nextInt(atoms.size))
+      }.mkString("") + (" " * rnd.nextInt(2))
+    }
+    val diff = texts.toDF("text")
+      .crossJoin(Seq(0L, 7L, 123456789L).toDF("aug_slot"))
+      .select(
+        graft.functions.NativeExpressions
+          .synonymAug(col("text"), col("aug_slot"), Synonyms.pairs).as("k"),
+        expr(Synonyms.sparkAug("text", "aug_slot")).as("h"))
+      .filter(col("k") =!= col("h"))
+      .count()
+    assert(diff == 0L)
+  }
+
   test("p05_upsample rows carry a transformed aug_text per slot") {
     val df = Balance.p05Upsample(spark, sfDir).cache()
     try {
