@@ -189,6 +189,97 @@ case class KmvDistinct(
   override def prettyName: String = "kmv_distinct"
 }
 
+/** One-pass integer Gram accumulator for the deterministic PCA fit: over
+  * quantized vectors q (ARRAY<BIGINT>, micro-fixed-point), accumulates
+  * the flat buffer [n, s₀..s_{D−1}, p₀₀..p_{DD−1}] with sᵢ = Σqᵢ and
+  * pᵢⱼ = Σqᵢqⱼ — the exact BIGINT sums the covariance is built from.
+  *
+  * This replaces pcaDetFit's original posexplode shape, which expanded
+  * every row to D+D² = 4160 (k, x) rows through two nested interpreted
+  * `transform` lambdas before a groupBy(k) — 166M exploded rows at 20×
+  * density (35 s). Here the D² products are computed in a tight JVM loop
+  * and folded into ONE (1+D+D²)-long buffer per aggregation state:
+  * map-side partials carry a single 33 KB buffer per partition, the
+  * shuffle moves partitions×1 rows, and nothing is exploded. Addition of
+  * longs is associative/commutative, so the sums are bit-equal to the
+  * exploded form's BIGINT sums regardless of partitioning — the DuckDB
+  * oracle mirror is untouched. */
+case class GramSum(
+    child: Expression,
+    dim: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] with UnaryLike[Expression] {
+
+  def this(child: Expression, dim: Int) = this(child, dim, 0, 0)
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = false
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (dim < 1) TypeCheckResult.TypeCheckFailure(
+      s"gram_sum requires dim >= 1, got $dim")
+    else child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"gram_sum requires ARRAY<BIGINT>, got ${other.catalogString}")
+    }
+
+  override def createAggregationBuffer(): Array[Long] =
+    new Array[Long](1 + dim + dim * dim)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val q = v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+      require(q.numElements() == dim,
+        s"gram_sum: vector dimension ${q.numElements()} != $dim")
+      buf(0) += 1
+      var i = 0
+      while (i < dim) {
+        val qi = q.getLong(i)
+        buf(1 + i) += qi
+        val rowOff = 1 + dim + i * dim
+        var j = 0
+        while (j < dim) { buf(rowOff + j) += qi * q.getLong(j); j += 1 }
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: Array[Long], other: Array[Long]): Array[Long] = {
+    var i = 0
+    while (i < buf.length) { buf(i) += other(i); i += 1 }
+    buf
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(obj: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(8 * obj.length)
+    var i = 0
+    while (i < obj.length) { bb.putLong(obj(i)); i += 1 }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val out = new Array[Long](bytes.length / 8)
+    var i = 0
+    while (i < out.length) { out(i) = bb.getLong(); i += 1 }
+    out
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): GramSum =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): GramSum =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): GramSum =
+    copy(child = newChild)
+  override def prettyName: String = "gram_sum"
+}
+
 object Aggregates {
 
   /** collect_list capped at `maxSize` elements of per-key state; NULL for
@@ -196,6 +287,12 @@ object Aggregates {
   def collectBounded(c: Column, maxSize: Int): Column =
     ColumnBridge.column(
       CollectBounded(ColumnBridge.expression(c), maxSize).toAggregateExpression())
+
+  /** Flat [n, s(dim), p(dim×dim)] integer Gram sums over a quantized
+    * ARRAY<BIGINT> vector column. See [[GramSum]]. */
+  def gramSum(c: Column, dim: Int): Column =
+    ColumnBridge.column(
+      GramSum(ColumnBridge.expression(c), dim).toAggregateExpression())
 
   /** KMV distinct-count estimate over a BIGINT hash column uniform on
     * [0, 2³²); exact below k, (k−1)·2³²/h₍ₖ₎ at or above. See

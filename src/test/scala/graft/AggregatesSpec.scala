@@ -96,4 +96,37 @@ class AggregatesSpec extends SparkSpec {
     val res = org.scalacheck.Test.check(cfg, prop)
     assert(res.passed, res.status.toString)
   }
+
+  test("gramSum equals the posexplode formulation and is partition-independent") {
+    import spark.implicits._
+    import graft.functions.Aggregates.gramSum
+    val dim = 5
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(300)(Seq.fill(dim)(rnd.nextInt(2001).toLong - 1000))
+    def run(parts: Int): Seq[Long] =
+      rows.toDF("q").repartition(parts)
+        .select(gramSum(col("q"), dim).as("g"))
+        .head().getSeq[Long](0)
+    // reference: the posexplode/groupBy shape gramSum replaced in pcaDetFit
+    val exploded = rows.toDF("q")
+      .select(posexplode(concat(col("q"),
+        flatten(transform(col("q"), xi => transform(col("q"), xj => xi * xj))))
+      ).as(Seq("k", "x")))
+      .groupBy("k").agg(sum("x").as("s"))
+      .orderBy("k").as[(Int, Long)].collect()
+    val expect = rows.size.toLong +: exploded.map(_._2).toSeq
+    assert(run(1) == expect)
+    // merge path: many partitions → many partial buffers, same sums
+    assert(run(13) == expect)
+  }
+
+  test("gramSum rejects wrong dimensions loudly") {
+    import spark.implicits._
+    import graft.functions.Aggregates.gramSum
+    val ex = intercept[Exception] {
+      Seq(Seq(1L, 2L, 3L)).toDF("q")
+        .select(gramSum(col("q"), 5)).collect()
+    }
+    assert(ex.getMessage != null)
+  }
 }
