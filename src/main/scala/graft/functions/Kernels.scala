@@ -741,6 +741,46 @@ object Kernels {
     b
   }
 
+  /** The `n` nearest centroid ids by (L2², c_id) — the native form of
+    * `slice(array_sort(transform(cents, c -> struct(l2_sq(v, c.cv), c.c_id))), 1, n)`
+    * projected to ids: one O(|cents|·dim) pass with an insertion-select
+    * over n slots instead of an interpreted per-element lambda plus a
+    * full |cents| sort. Ordering is bit-identical to array_sort on
+    * struct(double, bigint): ascending d with NaN sorting AFTER every
+    * finite value and equal to itself (so NaN ties, like d ties, fall to
+    * ascending c_id) — the probe tie-break every IVF oracle mirrors. */
+  def topNCentroidIds(
+      v: ArrayData, cents: ArrayData, n: Int,
+      vFloat: Boolean, cvFloat: Boolean): ArrayData = {
+    val k = math.min(n, cents.numElements())
+    val ds = new Array[Double](k)
+    val ids = new Array[Long](k)
+    var filled = 0
+    // lt: (isNaN, d, id) lexicographic with NaN == NaN (struct sort order)
+    def lt(d1: Double, id1: Long, d2: Double, id2: Long): Boolean = {
+      val n1 = d1.isNaN; val n2 = d2.isNaN
+      if (n1 != n2) n2
+      else if (!n1 && d1 != d2) d1 < d2
+      else id1 < id2
+    }
+    var i = 0
+    while (i < cents.numElements()) {
+      val c = cents.getStruct(i, 2)
+      val id = c.getLong(0)
+      val d = l2Sq(v, c.getArray(1), vFloat, cvFloat)
+      if (filled < k || lt(d, id, ds(filled - 1), ids(filled - 1))) {
+        var j = math.min(filled, k - 1)
+        while (j > 0 && lt(d, id, ds(j - 1), ids(j - 1))) {
+          ds(j) = ds(j - 1); ids(j) = ids(j - 1); j -= 1
+        }
+        ds(j) = d; ids(j) = id
+        if (filled < k) filled += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(ids.take(filled).map(Long.box(_)).toArray[Any])
+  }
+
   /** Deterministic synonym augmentation — the native form of
     * Synonyms.sparkAug's `array_join(transform(split(text, ' '), x ->
     * CASE WHEN md5-gate THEN table-lookup ELSE x END), ' ')`:

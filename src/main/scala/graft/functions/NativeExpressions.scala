@@ -506,6 +506,49 @@ object NativeExpressions {
     }
   }
 
+  /** The n nearest centroid ids by (L2², c_id) — the native form of the
+    * probe-expansion `slice(array_sort(transform(cents, …)), 1, n)` chain
+    * projected to c_ids. See [[Kernels.topNCentroidIds]]; ordering
+    * (including the NaN-after-finite, ties-to-ascending-id rule) is
+    * bit-identical to array_sort on struct(double, bigint), pinned by
+    * NativeExpressionsSpec's differential. */
+  case class TopNCentroidIds(left: Expression, right: Expression, n: Int)
+      extends BinaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult = {
+      if (n < 1) return TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires n >= 1, got $n")
+      val leftOk = NativeExpressions.checkVecVec(prettyName, left, left)
+      if (leftOk.isFailure) return leftOk
+      right.dataType match {
+        case ArrayType(StructType(Array(f0, f1)), _)
+          if f0.dataType == LongType &&
+            (f1.dataType match {
+              case ArrayType(FloatType | DoubleType, _) => true
+              case _ => false
+            }) =>
+          TypeCheckResult.TypeCheckSuccess
+        case other => TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires ARRAY<STRUCT<BIGINT, ARRAY<FLOAT|DOUBLE>>> " +
+            s"for its right argument, got ${other.catalogString}")
+      }
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def prettyName: String = "top_n_centroid_ids"
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): TopNCentroidIds =
+      copy(left = newLeft, right = newRight)
+    private def cvFloat: Boolean =
+      right.dataType.asInstanceOf[ArrayType].elementType
+        .asInstanceOf[StructType].fields(1).dataType
+        .asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.topNCentroidIds(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+        n, isFloatArr(left), cvFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) =>
+        s"$K.topNCentroidIds($a, $b, $n, ${isFloatArr(left)}, $cvFloat)")
+  }
+
   /** Deterministic synonym augmentation — the native form of
     * [[graft.operators.Synonyms]].sparkAug's split → per-token
     * md5-gate + 60-branch CaseWhen lookup → array_join HOF chain,
@@ -584,6 +627,10 @@ object NativeExpressions {
 
   def signLshBucket(c: Column, planes: Seq[Seq[Double]]): Column =
     ColumnBridge.column(SignLshBucket(ColumnBridge.expression(c), planes))
+
+  def topNCentroidIds(v: Column, cents: Column, n: Int): Column =
+    ColumnBridge.column(TopNCentroidIds(
+      ColumnBridge.expression(v), ColumnBridge.expression(cents), n))
 
   def synonymAug(text: Column, slot: Column, pairs: Seq[(String, String)]): Column =
     ColumnBridge.column(SynonymAug(

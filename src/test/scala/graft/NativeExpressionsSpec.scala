@@ -244,4 +244,34 @@ class NativeExpressionsSpec extends SparkSpec {
       .count()
     assert(diff == 0)
   }
+
+  test("topNCentroidIds == sorted-slice HOF chain, including tie and NaN order") {
+    import graft.functions.NativeExpressions.{l2SqDist, topNCentroidIds}
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").as("v"))
+    // real centroid array (every 50th vector) + crafted centroids forcing
+    // an exact distance tie (duplicate vector, higher id) and a NaN
+    // distance (NaN component) — the orders array_sort defines
+    val crafted = e.limit(1).select(
+      array(
+        struct(lit(900L).as("c_id"), col("v").as("cv")),
+        struct(lit(901L).as("c_id"), col("v").as("cv")), // tie with 900
+        struct(lit(902L).as("c_id"),
+          transform(col("v"), _ => lit(Float.NaN)).as("cv")) // NaN distance
+      ).as("cents"))
+    val centArr = e.filter(col("vec_id") % 50 === 0)
+      .agg(collect_list(struct(col("vec_id").as("c_id"), col("v").as("cv"))).as("cents"))
+    for ((arr, n) <- Seq((centArr, 2), (centArr, 5), (crafted, 3))) {
+      val q = e.limit(40).crossJoin(broadcast(arr))
+      val hof = q.select(col("vec_id"),
+        transform(slice(array_sort(transform(col("cents"),
+          c => struct(l2SqDist(col("v"), c.getField("cv")).as("d"),
+            c.getField("c_id").as("c_id")))), 1, n),
+          p => p.getField("c_id")).as("ids"))
+      val native = q.select(col("vec_id"),
+        topNCentroidIds(col("v"), col("cents"), n).as("ids"))
+      val diff = native.exceptAll(hof).count() + hof.exceptAll(native).count()
+      assert(diff == 0, s"n=$n mismatch")
+    }
+  }
 }
