@@ -434,6 +434,68 @@ object Similarity {
     topKPerQuery(cand, TopK)
   }
 
+  /** PageRank iteration count for [[ssCentrality]] — fixed (not
+    * to-convergence) so the result is a pure function of the edge set
+    * and the oracle can unroll the same three join-aggregate rounds. */
+  val PrIters = 3
+
+  /** The [[ssCentrality]] rank recursion over an arbitrary (src, dst)
+    * edge frame — factored out so CentralitySpec can feed a hand-checked
+    * toy graph. Integer-exact by construction: ranks live in ppm longs,
+    * a node's outflow is `rank div out-degree` (per-edge long), damping
+    * is `·85 div 100` with teleport 150000 ppm — every sum is a sum of
+    * longs, so accumulation order cannot move a bit on either engine.
+    * Dangling mass is dropped, not redistributed (a defined — and
+    * documented — variant; both sides implement the same one). */
+  private[graft] def pageRank(nodes: DataFrame, edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val flow = edges.join(deg, "src").localCheckpoint(true)
+    var ranks = nodes.select(col("vec_id"), lit(1000000L).as("r"))
+    for (_ <- 1 to PrIters) {
+      val contrib = flow
+        .join(ranks.withColumnRenamed("vec_id", "src"), Seq("src"))
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("s"))
+      ranks = nodes
+        .join(contrib.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          expr("150000L + coalesce(s, 0L) * 85 div 100").as("r"))
+    }
+    ranks
+  }
+
+  /** ss_centrality: PageRank over the [[ssKnnGraph]] edge set — the
+    * corpus-level "representativeness" score embedding-side curation
+    * ranks documents by (a high-centrality vector sits in a dense,
+    * well-connected semantic region; the graph's sinks are outliers).
+    *
+    * Scale shape: the edge table (corpus × [[TopK]] rows) is checkpointed
+    * once and every iteration is one shuffle join on `src` (the rank
+    * table co-partitions with the edges after round 1 — Spark reuses the
+    * hash partitioning) plus one map-side-combinable sum on `dst`; that
+    * is the canonical distributed PageRank step, linear per round at any
+    * corpus size. The rank/degree tables are node-sized (≪ edges), and
+    * with [[PrIters]] fixed the whole op is [[PrIters]]+2 linear passes.
+    * The final global ordering is one node-sized sort — same cost class
+    * as every other ranked output here. Hash-gated: integer rank algebra
+    * end-to-end (see [[pageRank]]). */
+  def ssCentrality(spark: SparkSession, sfDir: String): DataFrame = {
+    val edges = ssKnnGraph(spark, sfDir)
+      .select(col("q_id").as("src"), col("vec_id").as("dst"))
+      .localCheckpoint(true)
+    val nodes = vecs(spark, sfDir).select(col("vec_id")).localCheckpoint(true)
+    val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("d"))
+    nodes
+      .join(indeg.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
+      .join(pageRank(nodes, edges), Seq("vec_id"))
+      .select(col("vec_id"), coalesce(col("d"), lit(0L)).as("in_deg"),
+        col("r").as("pr_ppm"))
+      .withColumn("rank", row_number()
+        .over(Window.orderBy(col("pr_ppm").desc, col("vec_id"))).cast("long"))
+      .select(col("rank"), col("vec_id"), col("in_deg"), col("pr_ppm"))
+      .orderBy(col("rank"))
+  }
+
   /** ss_lsh_topk: random-hyperplane sign-LSH ANN. Corpus vectors hash to
     * one 8-bit sign bucket (map-only native pass); each query multiprobes
     * its own bucket plus the [[NPlanes]] single-bit flips (recall knob),
@@ -1097,6 +1159,7 @@ object Similarity {
     "ss_sq8_rerank"      -> (ssSq8Rerank _),
     "ss_ivf_topk"        -> (ssIvfTopk _),
     "ss_knn_graph"       -> (ssKnnGraph _),
+    "ss_centrality"      -> (ssCentrality _),
     "ss_ivf_trained"     -> (ssIvfTrained _),
     "ss_lsh_topk"        -> (ssLshTopk _),
     "ss_multiprobe_lsh"  -> (ssMultiprobeLsh _),
@@ -1376,6 +1439,52 @@ object Similarity {
          |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
          |  CAST(round(cos*1000000, 0) AS BIGINT) AS cos_ppm
          |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin,
+    "ss_centrality" -> {
+      // The ss_knn_graph mirror as the edge set, then PrIters unrolled
+      // integer-PageRank rounds (r // deg contributions, ·85 // 100
+      // damping + 150000 teleport — the exact long algebra of pageRank).
+      // `edges` MUST be MATERIALIZED: the rank chain references it
+      // 2·PrIters+2 times and DuckDB inlines CTEs — without the pin the
+      // unrolled 64-dim knn subtree is re-planned per reference
+      // (observed: the process's mmap count blows past vm.max_map_count
+      // and the query dies with a spurious 16 KB bad_alloc).
+      val prChain = (1 to PrIters).map { it =>
+        s"""ct$it AS (SELECT ed.dst, CAST(sum(p.r // d.deg) AS BIGINT) AS s
+           |  FROM edges ed JOIN deg d USING (src)
+           |  JOIN pr${it - 1} p ON p.vec_id = ed.src GROUP BY 1),
+           |pr$it AS (SELECT n.vec_id,
+           |  CAST(150000 + (COALESCE(c.s, 0) * 85) // 100 AS BIGINT) AS r
+           |  FROM n LEFT JOIN ct$it c ON c.dst = n.vec_id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $eCte, $cCte,
+         |$asgCte,
+         |probes AS (
+         |  SELECT q_id, qv, c_id AS cluster FROM (
+         |    SELECT e.vec_id AS q_id, e.v AS qv, c.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2SqSql("e.v", "c.cv")}, c.c_id) AS rn
+         |    FROM e CROSS JOIN c) WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id, ${cosineSql("p.qv", "a.v")} AS cos
+         |  FROM probes p JOIN asg a USING (cluster) WHERE a.vec_id != p.q_id),
+         |rk AS (SELECT q_id, vec_id,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rn
+         |  FROM cand),
+         |edges AS MATERIALIZED (
+         |  SELECT q_id AS src, vec_id AS dst FROM rk WHERE rn <= $TopK),
+         |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY 1),
+         |n AS (SELECT vec_id FROM e),
+         |pr0 AS (SELECT vec_id, CAST(1000000 AS BIGINT) AS r FROM n),
+         |$prChain,
+         |ind AS (SELECT dst, CAST(count(*) AS BIGINT) AS in_deg FROM edges GROUP BY 1),
+         |fin AS (SELECT n.vec_id, COALESCE(i.in_deg, 0) AS in_deg, p.r AS pr_ppm,
+         |    row_number() OVER (ORDER BY p.r DESC, n.vec_id) AS rank
+         |  FROM n LEFT JOIN ind i ON i.dst = n.vec_id
+         |  JOIN pr$PrIters p USING (vec_id))
+         |SELECT CAST(rank AS BIGINT) AS rank, vec_id,
+         |  CAST(in_deg AS BIGINT) AS in_deg, pr_ppm
+         |FROM fin ORDER BY rank""".stripMargin
+    },
     "ss_ivf_topk" ->
       s"""WITH $eCte, $qCte, $cCte,
          |$asgCte,

@@ -399,6 +399,100 @@ object TextOps {
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
       .orderBy(col("doc_id"))
 
+  /** Count-min-sketch geometry for [[txHeavyHitters]]: depth (independent
+    * hash rows) × width (buckets per row) = the sketch's whole state —
+    * [[CmsDepth]]·[[CmsWidth]] longs, regardless of corpus size. */
+  val CmsDepth = 4
+  val CmsWidth = 1024L
+  val HhThreshold = 500L
+
+  /** Per-token count-min estimates next to the exact counts — shared by
+    * tx_heavy_hitters and HeavyHitterSpec's property tests. The counters
+    * are derived from the exact tf table (counter[i][b] = Σ tf over
+    * tokens with hᵢ(tok)=b — identical to streaming `+1` per occurrence,
+    * because addition commutes), so one corpus pass feeds both the
+    * sketch and its ground truth. */
+  private[graft] def hhCms(docs: DataFrame): DataFrame = {
+    val tf = docs.select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val hashed = tf.select(col("tok"), col("tf"),
+      posexplode(array((0 until CmsDepth).map { i =>
+        pmod(hexLong(md5(concat(lit(s"cms$i#"), col("tok"))), 8), lit(CmsWidth))
+      }: _*)).as(Seq("row_i", "bucket")))
+    val counters = hashed.groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("tf")).as("cnt"))
+    hashed.join(broadcast(counters), Seq("row_i", "bucket"))
+      .groupBy(col("tok"))
+      .agg(min(col("cnt")).as("est"), max(col("tf")).as("exact_tf"))
+  }
+
+  /** tx_heavy_hitters: frequent-token detection via a count-min sketch
+    * (Cormode–Muthukrishnan), reported next to the exact counts so the
+    * one-sided error (est ≥ exact, always) is visible per row.
+    *
+    * Scale shape: the sketch state is [[CmsDepth]]×[[CmsWidth]] longs
+    * TOTAL — a map-side-combinable aggregate whose shuffle is ≤4096 rows
+    * at any corpus size; that is the sketch's whole point, and at 100 TB
+    * it is the only part that must see every token occurrence. The exact
+    * tf table (needed here anyway as the estimate's ground truth, and
+    * checkpointed so the corpus tokenize-explode pass runs once) is
+    * vocabulary-sized, not corpus-sized; querying the sketch is a
+    * broadcast join of the tiny counter table onto the candidate
+    * tokens. Estimates are pure integer algebra — hash-exact vs the
+    * DuckDB mirror with no rounding. */
+  def txHeavyHitters(spark: SparkSession, sfDir: String): DataFrame =
+    hhCms(docsOrdered(spark, sfDir))
+      .filter(col("est") >= HhThreshold)
+      .select(col("tok"), col("est"), col("exact_tf"),
+        (col("est") - col("exact_tf")).as("overcount"))
+      .orderBy(col("est").desc, col("tok"))
+
+  /** PII (tag, regex) pairs in APPLICATION order — one source of truth
+    * for the Spark columns and the DuckDB mirror, like
+    * [[graft.operators.Balance]]'s synonym table. URLs redact first so
+    * an address embedded in a link is counted (and masked) as the link;
+    * IPs before phones so dotted quads never re-match as digit runs.
+    * Patterns stay inside the syntax Java regex and RE2 share (no
+    * lookaround, no backreferences), so both engines see the same
+    * language. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("url", "https?://[^\\s]+"),
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
+    ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"),
+    ("phone", "\\+?\\d[\\d\\- ]{6,}\\d"))
+
+  /** The tx_pii projection over any (doc_id, text) frame — factored out
+    * so PiiSpec can drive constructed documents (the synthetic corpus
+    * contains no PII-shaped strings; the gate proves the chain, the spec
+    * proves the signal). Each pattern counts on the PREVIOUSLY redacted
+    * text, so counts and masks are consistent with the declared
+    * application order. */
+  private[graft] def piiProject(docs: DataFrame): DataFrame = {
+    val (red, counts) = PiiPatterns.foldLeft((col("text"), Seq.empty[Column])) {
+      case ((t, acc), (tag, re)) =>
+        (regexp_replace(t, re, s"<${tag.toUpperCase}>"),
+          acc :+ regexp_count(t, lit(re)).cast("long").as(s"n_$tag"))
+    }
+    docs.select(col("doc_id") +: counts :+
+      length(red).cast("long").as("red_chars") :+ md5(red).as("red_fp"): _*)
+      .withColumn("n_pii",
+        PiiPatterns.map { case (tag, _) => col(s"n_$tag") }.reduce(_ + _))
+      .select(col("doc_id") +:
+        PiiPatterns.map { case (tag, _) => col(s"n_$tag") } :+
+        col("n_pii") :+ col("red_chars") :+ col("red_fp"): _*)
+  }
+
+  /** tx_pii: PII detection + redaction — per-document counts of
+    * URL/email/IP/phone matches and the fully masked text (length +
+    * fingerprint). Map-only, shuffle-free, whole-stage-codegen regex —
+    * embarrassingly parallel at 100 TB like the other single-pass
+    * projections; this is the scrub stage every distributed training
+    * corpus runs before release. */
+  def txPii(spark: SparkSession, sfDir: String): DataFrame =
+    piiProject(docsOrdered(spark, sfDir).select(col("doc_id"), col("text")))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_tokens"       -> (txTokens _),
     "tx_langid"       -> (txLangid _),
@@ -411,7 +505,9 @@ object TextOps {
     "tx_readability"  -> (txReadability _),
     "tx_bm25"         -> (txBm25 _),
     "tx_tfidf"        -> (txTfidf _),
-    "tx_fingerprint"  -> (txFingerprint _))
+    "tx_fingerprint"  -> (txFingerprint _),
+    "tx_heavy_hitters" -> (txHeavyHitters _),
+    "tx_pii"          -> (txPii _))
 
   private[operators] val sqlTokens =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
@@ -583,5 +679,41 @@ object TextOps {
     "tx_fingerprint" ->
       """SELECT doc_id,
         |  md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', '', 'g'), '\s+', ' ', 'g')) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin)
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_heavy_hitters" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+         |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+         |hx AS (SELECT tok, tf, i,
+         |    md5('cms' || CAST(i AS VARCHAR) || '#' || tok) AS hx
+         |  FROM tf CROSS JOIN (SELECT unnest([${(0 until CmsDepth).mkString(", ")}]) AS i)),
+         |h AS (SELECT tok, tf, i,
+         |    ${graft.functions.TextFunctions.hexLongSql("hx", 8)} % $CmsWidth AS bucket
+         |  FROM hx),
+         |c AS (SELECT i, bucket, CAST(sum(tf) AS BIGINT) AS cnt FROM h GROUP BY 1, 2),
+         |e AS (SELECT h.tok, min(c.cnt) AS est, max(h.tf) AS exact_tf
+         |  FROM h JOIN c USING (i, bucket) GROUP BY 1)
+         |SELECT tok, est, exact_tf, CAST(est - exact_tf AS BIGINT) AS overcount
+         |FROM e WHERE est >= $HhThreshold ORDER BY est DESC, tok""".stripMargin,
+    "tx_pii" -> piiOracleSql)
+
+  /** DuckDB mirror of [[piiProject]], generated from the same
+    * [[PiiPatterns]] (patterns use only Java-regex ∩ RE2 syntax, so the
+    * single-quoted literal reads identically on both engines). */
+  private def piiOracleSql: String = {
+    val steps = PiiPatterns.zipWithIndex.map { case ((tag, re), i) =>
+      val carry = ("doc_id" +: PiiPatterns.take(i).map(p => s"n_${p._1}"))
+        .mkString(", ")
+      s"""p${i + 1} AS (SELECT $carry,
+         |  CAST(length(regexp_extract_all(t, '$re')) AS BIGINT) AS n_$tag,
+         |  regexp_replace(t, '$re', '<${tag.toUpperCase}>', 'g') AS t FROM p$i)""".stripMargin
+    }
+    val counts = PiiPatterns.map(p => s"n_${p._1}")
+    s"""WITH p0 AS (SELECT doc_id, text AS t FROM documents),
+       |${steps.mkString(",\n")}
+       |SELECT doc_id, ${counts.mkString(", ")},
+       |  CAST(${counts.mkString(" + ")} AS BIGINT) AS n_pii,
+       |  CAST(length(t) AS BIGINT) AS red_chars, md5(t) AS red_fp
+       |FROM p${PiiPatterns.length} ORDER BY doc_id""".stripMargin
+  }
 }

@@ -7,6 +7,18 @@ matching SQL from oracle_sql.json in DuckDB against the sfDir tables,
 and compares after sorting columns by name and rows by all columns.
 """
 import json, os, sys, math
+
+# The unrolled 64-dim vector SQL makes DuckDB's bundled jemalloc retain
+# tens of thousands of small virtual mappings across a ~100-query run;
+# the PROCESS map count brushes vm.max_map_count (65530), at which point
+# a 16 KB malloc fails with a spurious "bad allocation" OOM on whichever
+# query runs next (observed: peak 65528 maps → flaky per-run failures;
+# retain:false → peak 1156, zero failures). jemalloc only reads
+# MALLOC_CONF at library load, hence the re-exec BEFORE import duckdb.
+if os.environ.get("MALLOC_CONF") is None:
+    os.environ["MALLOC_CONF"] = "retain:false,dirty_decay_ms:0,muzzy_decay_ms:0"
+    os.execv(sys.executable, [sys.executable] + sys.argv)
+
 import duckdb
 
 def canon(rows, cols):
