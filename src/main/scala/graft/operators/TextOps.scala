@@ -462,26 +462,29 @@ object TextOps {
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"),
     ("phone", "\\+?\\d[\\d\\- ]{6,}\\d"))
 
-  /** The tx_pii projection over any (doc_id, text) frame — factored out
-    * so PiiSpec can drive constructed documents (the synthetic corpus
-    * contains no PII-shaped strings; the gate proves the chain, the spec
-    * proves the signal). Each pattern counts on the PREVIOUSLY redacted
-    * text, so counts and masks are consistent with the declared
-    * application order. */
-  private[graft] def piiProject(docs: DataFrame): DataFrame = {
-    val (red, counts) = PiiPatterns.foldLeft((col("text"), Seq.empty[Column])) {
-      case ((t, acc), (tag, re)) =>
-        (regexp_replace(t, re, s"<${tag.toUpperCase}>"),
-          acc :+ regexp_count(t, lit(re)).cast("long").as(s"n_$tag"))
+  /** The tx_pii column list over a text column — ONE projection shared
+    * verbatim by the batch operator and the streaming
+    * [[graft.streaming.EventStreams.piiGate]] (the
+    * promptConstraintCols seam), and drivable by PiiSpec on constructed
+    * documents (the synthetic corpus contains no PII-shaped strings; the
+    * gate proves the chain, the spec proves the signal). Each pattern
+    * counts on the PREVIOUSLY redacted text, so counts and masks are
+    * consistent with the declared application order. */
+  private[graft] def piiCols(t: Column): Seq[Column] = {
+    val (red, counts) = PiiPatterns.foldLeft((t, Seq.empty[(String, Column)])) {
+      case ((tc, acc), (tag, re)) =>
+        (regexp_replace(tc, re, s"<${tag.toUpperCase}>"),
+          acc :+ (tag -> regexp_count(tc, lit(re)).cast("long")))
     }
-    docs.select(col("doc_id") +: counts :+
-      length(red).cast("long").as("red_chars") :+ md5(red).as("red_fp"): _*)
-      .withColumn("n_pii",
-        PiiPatterns.map { case (tag, _) => col(s"n_$tag") }.reduce(_ + _))
-      .select(col("doc_id") +:
-        PiiPatterns.map { case (tag, _) => col(s"n_$tag") } :+
-        col("n_pii") :+ col("red_chars") :+ col("red_fp"): _*)
+    counts.map { case (tag, c) => c.as(s"n_$tag") } ++ Seq(
+      counts.map(_._2).reduce(_ + _).as("n_pii"),
+      length(red).cast("long").as("red_chars"),
+      md5(red).as("red_fp"))
   }
+
+  /** [[piiCols]] applied to a (doc_id, text) frame. */
+  private[graft] def piiProject(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id") +: piiCols(col("text")): _*)
 
   /** tx_pii: PII detection + redaction — per-document counts of
     * URL/email/IP/phone matches and the fully masked text (length +

@@ -283,6 +283,17 @@ object EventStreams {
     prompts.select(col("*") +:
       graft.operators.Rewards.promptConstraintCols(col("prompt")): _*)
 
+  /** Streaming PII scrub at INGEST — the stateless streaming form of
+    * batch tx_pii: each arriving document is counted and masked via the
+    * SAME shared projection ([[graft.operators.TextOps.piiCols]]), so
+    * batch and stream cannot drift. Stateless map — no watermark, no
+    * state store, no shuffle; input needs a `text` column. This is the
+    * scrub-at-the-door deployment shape: redact before anything is
+    * persisted, not as a later batch pass over already-stored raw text. */
+  def piiGate(docs: DataFrame): DataFrame =
+    docs.select(col("*") +:
+      graft.operators.TextOps.piiCols(col("text")): _*)
+
   /** Streaming near-dup state bounds: per-bucket candidate cap (recency
     * window — a hot boilerplate bucket keeps only its newest [[BucketCap]]
     * docs, trading recall on stale entries for bounded state, the right

@@ -469,6 +469,32 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming piiGate matches batch piiProject on PII-bearing docs") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocEvent
+    val texts = Seq(
+      (1L, "mail jane.doe@example.com or visit https://x.io/a"),
+      (2L, "call +1 555-867-5309 from 10.0.0.1"),
+      (3L, "nothing sensitive here at all"))
+    val batch = graft.operators.TextOps.piiProject(texts.toDF("doc_id", "text"))
+      .select("doc_id", "n_url", "n_email", "n_ip", "n_phone", "n_pii", "red_fp")
+      .as[(Long, Long, Long, Long, Long, Long, String)].collect().toSet
+    assert(batch.exists(_._6 > 0L)) // the fixture actually carries PII
+    val in = MemoryStream[DocEvent]
+    val q = EventStreams.piiGate(in.toDS().toDF())
+      .writeStream.format("memory").queryName("pii_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(texts.map { case (id, tx) => DocEvent(id, t("2026-01-01 10:00:00"), tx) })
+      q.processAllAvailable()
+      val streamed = spark.table("pii_gate")
+        .select("doc_id", "n_url", "n_email", "n_ip", "n_phone", "n_pii", "red_fp")
+        .as[(Long, Long, Long, Long, Long, Long, String)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("contaminationGate flags benchmark-overlapping docs statelessly") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions._
