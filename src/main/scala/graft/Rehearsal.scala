@@ -68,6 +68,9 @@ object Rehearsal {
       },
       timed("build_pq_index") {
         Similarity.writePqArtifact(spark, sfDir, s"$workDir/pq")
+      },
+      timed("build_knn_graph") {
+        Similarity.writeKnnArtifact(spark, sfDir, s"$workDir/knn")
       })
 
     // USE: every consumer reading artifacts only — no training, no
@@ -82,6 +85,9 @@ object Rehearsal {
       },
       timed("use_ann_topk") {
         noop(Similarity.ssPqFromArtifact(spark, sfDir, s"$workDir/pq"))
+      },
+      timed("use_centrality") {
+        noop(Similarity.ssCentralityFromArtifact(spark, sfDir, s"$workDir/knn"))
       })
 
     // The curation gate chain is already artifact-shaped (independent
@@ -109,6 +115,9 @@ object Rehearsal {
       },
       timed("insession_ann_topk") {
         noop(SparkEntry.queries("ss_ivf_pq")(spark, sfDir))
+      },
+      timed("insession_centrality") {
+        noop(SparkEntry.queries("ss_centrality")(spark, sfDir))
       })
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))

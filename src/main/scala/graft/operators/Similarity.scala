@@ -483,7 +483,13 @@ object Similarity {
     val edges = ssKnnGraph(spark, sfDir)
       .select(col("q_id").as("src"), col("vec_id").as("dst"))
       .localCheckpoint(true)
-    val nodes = vecs(spark, sfDir).select(col("vec_id")).localCheckpoint(true)
+    centralityOver(vecs(spark, sfDir).select(col("vec_id")).localCheckpoint(true),
+      edges)
+  }
+
+  /** The rank/degree/ordering tail of [[ssCentrality]] over an arbitrary
+    * (src, dst) edge frame — shared with [[ssCentralityFromArtifact]]. */
+  private def centralityOver(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("d"))
     nodes
       .join(indeg.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
@@ -495,6 +501,25 @@ object Similarity {
       .select(col("rank"), col("vec_id"), col("in_deg"), col("pr_ppm"))
       .orderBy(col("rank"))
   }
+
+  /** Graph BUILD: persist the [[ssKnnGraph]] edge set (src, dst, rank,
+    * cos_ppm). The probe + cosine pass — the expensive part — runs ONCE
+    * per corpus version; every graph consumer (centrality, SemDeDup-style
+    * pruning, diversity sampling) then reads a 4-column long table and
+    * never re-touches a float vector. */
+  def writeKnnArtifact(spark: SparkSession, sfDir: String, path: String): Unit =
+    ssKnnGraph(spark, sfDir)
+      .select(col("q_id").as("src"), col("vec_id").as("dst"),
+        col("rank"), col("cos_ppm"))
+      .write.mode("overwrite").parquet(s"$path/edges")
+
+  /** Graph USE: ss_centrality over the persisted edge artifact — the
+    * rank rounds only, no probe/score pass (output identical to the
+    * gated in-session operator; pinned by PipelineSpec). */
+  def ssCentralityFromArtifact(spark: SparkSession, sfDir: String,
+      path: String): DataFrame =
+    centralityOver(vecs(spark, sfDir).select(col("vec_id")),
+      spark.read.parquet(s"$path/edges").select(col("src"), col("dst")))
 
   /** ss_lsh_topk: random-hyperplane sign-LSH ANN. Corpus vectors hash to
     * one 8-bit sign bucket (map-only native pass); each query multiprobes

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -448,6 +449,52 @@ object TextOps {
         (col("est") - col("exact_tf")).as("overcount"))
       .orderBy(col("est").desc, col("tok"))
 
+  /** Coverage targets (percent of total token mass) for
+    * [[txVocabCoverage]] — the budgets a tokenizer build asks about. */
+  val VocabTargets = Seq(50L, 90L, 99L)
+
+  /** tx_vocab_coverage: tokenizer-budget planning — for each coverage
+    * target, the smallest frequency-ranked vocabulary whose cumulative
+    * token mass reaches it (the Zipf/coverage curve read at 50/90/99%).
+    *
+    * Scale shape: the corpus collapses to the vocabulary-sized tf table
+    * in one map-side-combinable pass; the rank/cumsum window then runs
+    * over VOCAB rows, not corpus rows (the same vocab-table seam as
+    * tx_unigram_lm/tx_tfidf — at 100 TB that is millions of rows, one
+    * modest sort, while the corpus itself is never globally ordered).
+    * Ties rank deterministically (tf desc, token asc) and the cumsum is
+    * a sum of longs — hash-exact against the mirror. */
+  def txVocabCoverage(spark: SparkSession, sfDir: String): DataFrame =
+    vocabCoverage(docsOrdered(spark, sfDir))
+
+  /** [[txVocabCoverage]] over any (doc_id, text) frame — shared with
+    * VocabCoverageSpec's hand-checked Zipf fixtures. */
+  private[graft] def vocabCoverage(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    val tf = docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    val w = Window.orderBy(col("tf").desc, col("tok"))
+    val ranked = tf
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("cum", sum(col("tf")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .localCheckpoint(true)
+    val total = ranked.agg(max(col("cum")).as("total"))
+    val targets = spark.range(VocabTargets.length)
+      .select(element_at(
+        array(VocabTargets.map(lit): _*), col("id").cast("int") + 1).as("target_pct"))
+    targets.crossJoin(broadcast(total))
+      .join(ranked, col("cum") * 100 >= col("target_pct") * col("total"))
+      .groupBy(col("target_pct"), col("total"))
+      .agg(min(struct(col("rank"), col("cum"))).as("first"))
+      .select(col("target_pct"),
+        col("first.rank").as("vocab_size"),
+        col("first.cum").as("covered"),
+        col("total"))
+      .orderBy(col("target_pct"))
+  }
+
   /** PII (tag, regex) pairs in APPLICATION order — one source of truth
     * for the Spark columns and the DuckDB mirror, like
     * [[graft.operators.Balance]]'s synonym table. URLs redact first so
@@ -510,7 +557,8 @@ object TextOps {
     "tx_tfidf"        -> (txTfidf _),
     "tx_fingerprint"  -> (txFingerprint _),
     "tx_heavy_hitters" -> (txHeavyHitters _),
-    "tx_pii"          -> (txPii _))
+    "tx_pii"          -> (txPii _),
+    "tx_vocab_coverage" -> (txVocabCoverage _))
 
   private[operators] val sqlTokens =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
@@ -698,7 +746,24 @@ object TextOps {
          |  FROM h JOIN c USING (i, bucket) GROUP BY 1)
          |SELECT tok, est, exact_tf, CAST(est - exact_tf AS BIGINT) AS overcount
          |FROM e WHERE est >= $HhThreshold ORDER BY est DESC, tok""".stripMargin,
-    "tx_pii" -> piiOracleSql)
+    "tx_pii" -> piiOracleSql,
+    "tx_vocab_coverage" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+         |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf
+         |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY 1),
+         |r AS (SELECT tok, tf,
+         |    CAST(row_number() OVER (ORDER BY tf DESC, tok) AS BIGINT) AS rank,
+         |    CAST(sum(tf) OVER (ORDER BY tf DESC, tok
+         |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+         |  FROM tf),
+         |tot AS (SELECT CAST(max(cum) AS BIGINT) AS total FROM r),
+         |tg AS (SELECT unnest([${VocabTargets.mkString(", ")}]) AS target_pct)
+         |SELECT CAST(target_pct AS BIGINT) AS target_pct,
+         |  CAST(min(rank) AS BIGINT) AS vocab_size,
+         |  CAST(min_by(cum, rank) AS BIGINT) AS covered, total
+         |FROM tg CROSS JOIN tot JOIN r ON cum * 100 >= target_pct * total
+         |GROUP BY target_pct, total
+         |ORDER BY target_pct""".stripMargin)
 
   /** DuckDB mirror of [[piiProject]], generated from the same
     * [[PiiPatterns]] (patterns use only Java-regex ∩ RE2 syntax, so the

@@ -81,6 +81,26 @@ class PipelineSpec extends SparkSpec {
     assert(!art.columns.contains("text"))
   }
 
+  test("knn artifact round-trips: centrality from parquet == in-session") {
+    val path = Files.createTempDirectory("graft_knn").toString + "/knn"
+    graft.operators.Similarity.writeKnnArtifact(spark, sfDir, path)
+    val fromArtifact =
+      graft.operators.Similarity.ssCentralityFromArtifact(spark, sfDir, path)
+    val inSession = graft.operators.Similarity.ssCentrality(spark, sfDir)
+    assert(fromArtifact.except(inSession).isEmpty && inSession.except(fromArtifact).isEmpty,
+      "artifact-path centrality diverges from the in-session operator")
+    // the edge artifact is 4 long columns, one row per (vector, neighbor)
+    // — no float payload, no text
+    val edges = spark.read.parquet(s"$path/edges")
+    assert(edges.columns.sorted.toSeq == Seq("cos_ppm", "dst", "rank", "src"))
+    import org.apache.spark.sql.functions.{count => cnt, lit, max => mx}
+    assert(edges.count() > 0)
+    // ≤ TopK out-edges per source (a source with a thin probed bucket
+    // may have fewer)
+    assert(edges.groupBy("src").agg(cnt(lit(1)).as("n"))
+      .agg(mx("n")).head.getLong(0) <= graft.operators.Similarity.TopK)
+  }
+
   test("pq artifact round-trips: probe+ADC from parquet == in-session ivf_pq") {
     val path = Files.createTempDirectory("graft_pq").toString + "/pq"
     graft.operators.Similarity.writePqArtifact(spark, sfDir, path)
