@@ -413,14 +413,21 @@ object TextOps {
     * tokens with hᵢ(tok)=b — identical to streaming `+1` per occurrence,
     * because addition commutes), so one corpus pass feeds both the
     * sketch and its ground truth. */
+  /** The [[CmsDepth]] bucket hashes of a token — ONE definition shared
+    * by [[hhCms]] and the streaming
+    * [[graft.streaming.EventStreams.cmsCounters]], so the batch-built
+    * and stream-built sketches are the same sketch. */
+  private[graft] def cmsHashes(tok: Column): Column =
+    array((0 until CmsDepth).map { i =>
+      pmod(hexLong(md5(concat(lit(s"cms$i#"), tok)), 8), lit(CmsWidth))
+    }: _*)
+
   private[graft] def hhCms(docs: DataFrame): DataFrame = {
     val tf = docs.select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(true)
     val hashed = tf.select(col("tok"), col("tf"),
-      posexplode(array((0 until CmsDepth).map { i =>
-        pmod(hexLong(md5(concat(lit(s"cms$i#"), col("tok"))), 8), lit(CmsWidth))
-      }: _*)).as(Seq("row_i", "bucket")))
+      posexplode(cmsHashes(col("tok"))).as(Seq("row_i", "bucket")))
     val counters = hashed.groupBy(col("row_i"), col("bucket"))
       .agg(sum(col("tf")).as("cnt"))
     hashed.join(broadcast(counters), Seq("row_i", "bucket"))

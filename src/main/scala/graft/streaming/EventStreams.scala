@@ -294,6 +294,24 @@ object EventStreams {
     docs.select(col("*") +:
       graft.operators.TextOps.piiCols(col("text")): _*)
 
+  /** Streaming count-min sketch over a document stream — the streaming
+    * form of tx_heavy_hitters' counter build, via the SAME bucket hashes
+    * ([[graft.operators.TextOps.cmsHashes]]), so the stream-built sketch
+    * IS the batch sketch (counter addition commutes across batches).
+    * This is the canonical bounded-state streaming aggregate: state is
+    * AT MOST CmsDepth×CmsWidth counter rows (4096 longs) no matter how
+    * many tokens flow past — an unbounded-vocabulary stream that a
+    * per-token count would OOM on. Update output mode; query the
+    * counters with min-over-rows exactly like the batch estimate. */
+  def cmsCounters(docs: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.tokens
+    docs.select(explode(tokens(col("text"))).as("tok"))
+      .select(posexplode(graft.operators.TextOps.cmsHashes(col("tok")))
+        .as(Seq("row_i", "bucket")))
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
   /** Streaming near-dup state bounds: per-bucket candidate cap (recency
     * window — a hot boilerplate bucket keeps only its newest [[BucketCap]]
     * docs, trading recall on stale entries for bounded state, the right

@@ -495,6 +495,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-built CMS counters equal the batch sketch (addition commutes)") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocEvent
+    val batch1 = Seq(DocEvent(1L, t("2026-01-01 10:00:00"), "hot hot cold warm"),
+      DocEvent(2L, t("2026-01-01 10:00:01"), "hot mild mild"))
+    val batch2 = Seq(DocEvent(3L, t("2026-01-01 10:00:02"), "hot cold cold breeze"))
+    val all = (batch1 ++ batch2).toDS().toDF()
+    val expected = EventStreams.cmsCounters(all) // same code path, batch-driven
+      .as[(Int, Long, Long)].collect().toSet
+    val in = MemoryStream[DocEvent]
+    val q = EventStreams.cmsCounters(in.toDS().toDF())
+      .writeStream.format("memory").queryName("cms_counters")
+      .outputMode(OutputMode.Complete).start()
+    try {
+      in.addData(batch1)
+      q.processAllAvailable()
+      in.addData(batch2) // counters must ACCUMULATE across triggers
+      q.processAllAvailable()
+      val streamed = spark.table("cms_counters")
+        .as[(Int, Long, Long)].collect().toSet
+      assert(streamed == expected)
+      // the sketch's whole point: bounded state regardless of vocabulary
+      assert(streamed.size <= graft.operators.TextOps.CmsDepth *
+        graft.operators.TextOps.CmsWidth)
+    } finally q.stop()
+  }
+
   test("contaminationGate flags benchmark-overlapping docs statelessly") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions._
