@@ -35,6 +35,12 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Scale knob passthrough: at stress densities the fixture's K = N/50
+    // centroid rule makes the IVF family's N·K assignment quadratic —
+    // see Similarity.MaxCentroidsKey. Unset = oracle-parity default.
+    sys.env.get("SPARK_GRAFT_MAX_CENTROIDS").foreach { k =>
+      spark.conf.set(graft.operators.Similarity.MaxCentroidsKey, k)
+    }
 
     def runOnce(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

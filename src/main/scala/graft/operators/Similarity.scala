@@ -93,11 +93,29 @@ object Similarity {
     vecs(spark, sfDir).filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("v").as("qv"))
 
-  /** Seed centroids: every 50th vector (deterministic; centroid count
-    * grows with SF but stays broadcastable — ~sqrt(N) at 100 TB). */
-  private def centroidsDf(spark: SparkSession, sfDir: String): DataFrame =
-    vecs(spark, sfDir).filter(col("vec_id") % 50 === 0)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+  /** Session knob: cap the seed-centroid count (the IVF nlist). UNSET —
+    * the default, and what every oracle-gated run uses — keeps the
+    * fixture rule below (every 50th vector, so K = N/50: deterministic
+    * and SQL-mirrorable, fine at test SFs). At scale K must be a CONFIG,
+    * not a corpus fraction: the corpus→centroid assignment and the
+    * corpus-as-queries probe ranking each cost N·K flops, so K ∝ N makes
+    * the IVF family quadratic — measured at the 100× stress corpus
+    * (K = 4000): ss_knn_graph 305.7 s, ss_ivf_pq 152.9 s, vs linear with
+    * the cap (BASELINE.md 100× table). Production IVF sets nlist ≈ √N
+    * (FAISS guidance); set this key to that budget and the same plans
+    * use the deterministic K-prefix of the seed set. */
+  val MaxCentroidsKey = "graft.similarity.maxCentroids"
+
+  /** Seed centroids: every 50th vector, optionally capped to the first
+    * [[MaxCentroidsKey]] seeds (deterministic prefix, broadcastable). */
+  private def centroidsDf(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = vecs(spark, sfDir).filter(col("vec_id") % 50 === 0)
+    val capped = spark.conf.getOption(MaxCentroidsKey) match {
+      case Some(k) => seeds.filter(col("vec_id") < lit(50L * k.toLong))
+      case None    => seeds
+    }
+    capped.select(col("vec_id").as("c_id"), col("v").as("cv"))
+  }
 
   /** Per-(query, partition) partial top-k, then exact global top-k over
     * the ≤ k·numPartitions survivors. Phase-1 shuffle keys are
