@@ -550,6 +550,100 @@ object TextOps {
     piiProject(docsOrdered(spark, sfDir).select(col("doc_id"), col("text")))
       .orderBy(col("doc_id"))
 
+  /** Chunk window (tokens) and stride for [[txChunk]]; stride < window
+    * gives the 8-token overlap retrieval chunkers use so no boundary
+    * context is lost between adjacent chunks. */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** tx_chunk: sliding-window token chunking — split every document
+    * into [[ChunkTokens]]-token windows starting every [[ChunkStride]]
+    * tokens (the retrieval/pretraining chunker: overlapping fixed-size
+    * pieces, final partial window kept). One start offset per
+    * `sequence(0, n_tokens-1, stride)` element, then a builtin `slice` +
+    * `array_join` per chunk — map-only explode, shuffle-free, all
+    * whole-stage codegen. At 100 TB this is a pure linear scan whose
+    * output fan-out is n_tokens/stride per doc; the only shuffle in the
+    * plan is the oracle-parity ORDER BY. */
+  def txChunk(spark: SparkSession, sfDir: String): DataFrame =
+    chunk(docsOrdered(spark, sfDir))
+
+  /** [[txChunk]] over any (doc_id, text) frame (fixture-testable form). */
+  private[graft] def chunk(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)),
+          lit(ChunkStride))).as("start_tok"))
+      .select(col("doc_id"),
+        expr(s"CAST(start_tok div $ChunkStride AS BIGINT)").as("chunk_idx"),
+        col("start_tok").cast("long").as("start_tok"),
+        size(slice(col("toks"), col("start_tok") + 1, lit(ChunkTokens)))
+          .cast("long").as("n_chunk_tokens"),
+        array_join(slice(col("toks"), col("start_tok") + 1, lit(ChunkTokens)), " ")
+          .as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  /** Disjoint block size (tokens) and document-frequency threshold for
+    * [[txBoilerplate]]. df ≥ 2 marks any block shared verbatim across
+    * documents — on this corpus that is exactly the replica-duplicated
+    * content, the same signal C4's line-dedup keys on. */
+  val BoilerBlock = 8
+  val BoilerMinDf = 2L
+
+  /** tx_boilerplate: corpus-level boilerplate scrub — the C4/CCNet
+    * "remove lines occurring in more than one document" stage
+    * re-expressed over disjoint [[BoilerBlock]]-token blocks (this
+    * corpus has no newlines, so the dedup unit is a fixed token block
+    * rather than a line; same algorithm, same df-threshold semantics).
+    * Pass 1 computes each distinct block's document frequency (per-doc
+    * distinct first, so a block repeated inside one doc counts once);
+    * pass 2 drops every occurrence of a block with df ≥ [[BoilerMinDf]]
+    * and reassembles the surviving blocks in order.
+    *
+    * Scale shape: the df aggregation is two hash shuffles with map-side
+    * combine (distinct on (doc_id, block), then count by block). The
+    * heavy set — blocks at/above the threshold — is Zipf-small
+    * (bounded by total_blocks/MinDf, in practice a few-per-mille of
+    * distinct content; C4 holds its frequent-line set in memory the
+    * same way), so it broadcasts and the scrub join is map-side with NO
+    * skew exposure: a block occurring in millions of documents never
+    * becomes a shuffle hot key because the occurrences stay put.
+    * Reassembly state is bounded per document (collect of kept blocks,
+    * sorted by block index in one array op). */
+  def txBoilerplate(spark: SparkSession, sfDir: String): DataFrame =
+    boilerplate(docsOrdered(spark, sfDir))
+
+  /** [[txBoilerplate]] over any (doc_id, text) frame (fixture-testable
+    * form). */
+  private[graft] def boilerplate(docs: DataFrame): DataFrame = {
+    val b = BoilerBlock
+    val blocks = docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(b)))
+          .as("s"))
+      .select(col("doc_id"),
+        expr(s"CAST(s div $b AS BIGINT)").as("bi"),
+        size(slice(col("toks"), col("s") + 1, lit(b))).cast("long").as("bn"),
+        array_join(slice(col("toks"), col("s") + 1, lit(b)), " ").as("bt"))
+    val heavy = blocks.select(col("doc_id"), col("bt")).distinct()
+      .groupBy(col("bt")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerMinDf)
+      .select(col("bt"), lit(1L).as("__h"))
+    blocks.join(broadcast(heavy), Seq("bt"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_blocks"),
+        coalesce(sum(when(col("__h").isNotNull, 1L)), lit(0L)).as("n_boiler"),
+        coalesce(sum(when(col("__h").isNull, col("bn"))), lit(0L)).as("n_kept_tokens"),
+        array_join(transform(
+          array_sort(collect_list(when(col("__h").isNull,
+            struct(col("bi"), col("bt"))))),
+          x => x.getField("bt")), " ").as("text_clean"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_tokens"       -> (txTokens _),
     "tx_langid"       -> (txLangid _),
@@ -565,12 +659,42 @@ object TextOps {
     "tx_fingerprint"  -> (txFingerprint _),
     "tx_heavy_hitters" -> (txHeavyHitters _),
     "tx_pii"          -> (txPii _),
-    "tx_vocab_coverage" -> (txVocabCoverage _))
+    "tx_vocab_coverage" -> (txVocabCoverage _),
+    "tx_chunk"        -> (txChunk _),
+    "tx_boilerplate"  -> (txBoilerplate _))
 
   private[operators] val sqlTokens =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 
   val oracle: Map[String, String] = Map(
+    "tx_chunk" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+         |c AS (SELECT doc_id, toks,
+         |  unnest(range(0, greatest(length(toks), 1), $ChunkStride)) AS s FROM t)
+         |SELECT doc_id,
+         |  CAST(s // $ChunkStride AS BIGINT) AS chunk_idx,
+         |  CAST(s AS BIGINT) AS start_tok,
+         |  CAST(greatest(least($ChunkTokens, length(toks) - s), 0) AS BIGINT)
+         |    AS n_chunk_tokens,
+         |  array_to_string(toks[s+1 : s+$ChunkTokens], ' ') AS chunk_text
+         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+    "tx_boilerplate" ->
+      s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
+         |b AS (SELECT doc_id, CAST(s // $BoilerBlock AS BIGINT) AS bi,
+         |    CAST(greatest(least($BoilerBlock, length(toks) - s), 0) AS BIGINT) AS bn,
+         |    array_to_string(toks[s+1 : s+$BoilerBlock], ' ') AS bt
+         |  FROM (SELECT doc_id, toks,
+         |    unnest(range(0, greatest(length(toks), 1), $BoilerBlock)) AS s FROM t)),
+         |h AS (SELECT bt FROM (SELECT DISTINCT doc_id, bt FROM b)
+         |  GROUP BY bt HAVING CAST(count(*) AS BIGINT) >= $BoilerMinDf)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+         |  CAST(count(h.bt) AS BIGINT) AS n_boiler,
+         |  CAST(coalesce(sum(CASE WHEN h.bt IS NULL THEN bn END), 0) AS BIGINT)
+         |    AS n_kept_tokens,
+         |  coalesce(string_agg(CASE WHEN h.bt IS NULL THEN b.bt END, ' '
+         |    ORDER BY bi), '') AS text_clean
+         |FROM b LEFT JOIN h USING (bt)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "tx_bm25" -> {
       val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
