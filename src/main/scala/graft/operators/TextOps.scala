@@ -617,21 +617,41 @@ object TextOps {
   /** [[txBoilerplate]] over any (doc_id, text) frame (fixture-testable
     * form). */
   private[graft] def boilerplate(docs: DataFrame): DataFrame = {
-    val b = BoilerBlock
-    val blocks = docs
-      .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), greatest(size(col("toks")) - 1, lit(0)), lit(b)))
-          .as("s"))
-      .select(col("doc_id"),
-        expr(s"CAST(s div $b AS BIGINT)").as("bi"),
-        size(slice(col("toks"), col("s") + 1, lit(b))).cast("long").as("bn"),
-        array_join(slice(col("toks"), col("s") + 1, lit(b)), " ").as("bt"))
-    val heavy = blocks.select(col("doc_id"), col("bt")).distinct()
+    val blocks = blockify(docs)
+    boilerScrub(blocks, boilerHeavy(blocks))
+  }
+
+  /** The disjoint [[BoilerBlock]]-token block texts of a token array —
+    * ONE definition shared by the batch scrub (exploded relational
+    * form) and the streaming
+    * [[graft.streaming.EventStreams.boilerplateGate]] (per-row array
+    * form), so the two block decompositions cannot drift. */
+  private[graft] def blockTexts(toks: Column): Column =
+    transform(
+      sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(BoilerBlock)),
+      s => array_join(slice(toks, s + 1, lit(BoilerBlock)), " "))
+
+  /** One row per (doc, block): index, token count, block text. Block
+    * token counts re-tokenize the block text — exact, because blocks
+    * are single-space joins of non-empty tokens. */
+  private def blockify(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        posexplode(blockTexts(tokens(col("text")))).as(Seq("bi", "bt")))
+      .select(col("doc_id"), col("bi").cast("long").as("bi"),
+        tokenCount(col("bt")).cast("long").as("bn"), col("bt"))
+
+  /** The heavy (df ≥ [[BoilerMinDf]]) block set of a blockified corpus —
+    * the trainable artifact of the scrub (C4's frequent-line set). */
+  private[graft] def boilerHeavy(blocks: DataFrame): DataFrame =
+    blocks.select(col("doc_id"), col("bt")).distinct()
       .groupBy(col("bt")).agg(count(lit(1)).as("df"))
       .filter(col("df") >= BoilerMinDf)
-      .select(col("bt"), lit(1L).as("__h"))
-    blocks.join(broadcast(heavy), Seq("bt"), "left")
+      .select(col("bt"))
+
+  /** Drop every occurrence of a heavy block; reassemble survivors in
+    * block order with per-doc counts. */
+  private def boilerScrub(blocks: DataFrame, heavy: DataFrame): DataFrame =
+    blocks.join(broadcast(heavy.withColumn("__h", lit(1L))), Seq("bt"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_blocks"),
@@ -642,7 +662,22 @@ object TextOps {
             struct(col("bi"), col("bt"))))),
           x => x.getField("bt")), " ").as("text_clean"))
       .orderBy(col("doc_id"))
-  }
+
+  /** Persist the corpus's heavy block set — the train half of the
+    * scrub's train/use split (same deployment shape as
+    * [[graft.operators.Dedup.writeSignatureArtifact]]): compute the
+    * frequent-block set ONCE over the stored corpus, then apply it to
+    * later batches or an ingest stream without re-aggregating 100 TB. */
+  def writeBoilerplateArtifact(spark: SparkSession, sfDir: String, path: String): Unit =
+    boilerHeavy(blockify(docsOrdered(spark, sfDir)))
+      .write.mode("overwrite").parquet(path)
+
+  /** The use half: scrub the corpus against a persisted heavy set.
+    * Hash-identical to [[txBoilerplate]] when the artifact was built on
+    * the same corpus (differential-pinned by BoilerArtifactSpec). */
+  def boilerplateFromArtifact(spark: SparkSession, sfDir: String, path: String): DataFrame =
+    boilerScrub(blockify(docsOrdered(spark, sfDir)),
+      spark.read.parquet(path))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_tokens"       -> (txTokens _),

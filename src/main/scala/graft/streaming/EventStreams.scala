@@ -294,6 +294,38 @@ object EventStreams {
     docs.select(col("*") +:
       graft.operators.TextOps.piiCols(col("text")): _*)
 
+  /** Streaming boilerplate scrub at INGEST — the streaming form of
+    * batch tx_boilerplate's use half: each arriving document is
+    * decomposed into the SAME disjoint token blocks
+    * ([[graft.operators.TextOps.blockTexts]] — one shared definition)
+    * and every block in the pre-trained heavy set is dropped. `heavy`
+    * is the static frame from
+    * [[graft.operators.TextOps.writeBoilerplateArtifact]] (the
+    * frequent-block set, C4's frequent-line set), collapsed to one
+    * collected row and broadcast — the contaminationGate shape.
+    * Stateless map: no watermark, no state store, no shuffle; the
+    * train/use split means the stream never re-aggregates corpus df.
+    * The per-block membership test is an array scan (Spark has no
+    * set-lookup builtin), fine at the few-thousand-entry heavy sets the
+    * threshold yields; a corpus whose heavy set outgrows one broadcast
+    * row should scrub via the batch relational join instead
+    * (boilerplateFromArtifact over micro-batches). */
+  def boilerplateGate(docs: DataFrame, heavy: DataFrame): DataFrame = {
+    import graft.functions.TextFunctions.{tokenCount, tokens}
+    val hArr = heavy.agg(collect_list(col("bt")).as("__hv"))
+    docs.crossJoin(broadcast(hArr))
+      .withColumn("__blocks",
+        graft.operators.TextOps.blockTexts(tokens(col("text"))))
+      .withColumn("__kept",
+        filter(col("__blocks"), b => !array_contains(col("__hv"), b)))
+      .withColumn("n_blocks", size(col("__blocks")).cast("long"))
+      .withColumn("n_boiler",
+        (size(col("__blocks")) - size(col("__kept"))).cast("long"))
+      .withColumn("text_clean", array_join(col("__kept"), " "))
+      .withColumn("n_kept_tokens", tokenCount(col("text_clean")).cast("long"))
+      .drop("__hv", "__blocks", "__kept")
+  }
+
   /** Streaming count-min sketch over a document stream — the streaming
     * form of tx_heavy_hitters' counter build, via the SAME bucket hashes
     * ([[graft.operators.TextOps.cmsHashes]]), so the stream-built sketch
