@@ -617,7 +617,13 @@ object TextOps {
   /** [[txBoilerplate]] over any (doc_id, text) frame (fixture-testable
     * form). */
   private[graft] def boilerplate(docs: DataFrame): DataFrame = {
-    val blocks = blockify(docs)
+    // Materialized once: the heavy-set aggregation and the scrub join
+    // both read the blockified corpus (two lazy branches would re-scan
+    // and re-tokenize the documents table — the Dedup cands pattern).
+    // At artifact-split deployment scale the train half runs separately
+    // (writeBoilerplateArtifact), so this single-session checkpoint
+    // never holds more than one corpus's blocks.
+    val blocks = blockify(docs).localCheckpoint(true)
     boilerScrub(blocks, boilerHeavy(blocks))
   }
 
