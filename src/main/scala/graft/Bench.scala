@@ -29,9 +29,11 @@ object Bench {
       // Safe to raise here: every object aggregate in this suite has
       // BOUNDED per-key state (CollectBounded caps at maxSize+1; the
       // collect_lists run on df-capped or per-order groups), so map-side
-      // hash-map memory is keys × a small constant. Size to executor
-      // memory at real scale.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      // hash-map memory is keys × a small constant. The raise is sized
+      // to the heap (SessionTuning) — a fixed 1M OOM'd an 8 GB driver
+      // at 100× before sort-fallback could trigger.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        SessionTuning.objectAggFallbackThreshold(cpus.toInt).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

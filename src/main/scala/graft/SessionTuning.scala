@@ -1,0 +1,24 @@
+package graft
+
+/** Session-level tuning shared by the Bench / Verify / Rehearsal mains.
+  */
+object SessionTuning {
+
+  /** Heap-aware `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`.
+    *
+    * The suite raises the 128-key default because every object
+    * aggregate here has bounded per-key state (see the rationale at the
+    * call sites) — but the raise itself must be a MEMORY BUDGET, not a
+    * constant: at 100× stress the fixed 1M-key setting × 32 concurrent
+    * partial maps exceeded an 8 GB driver before sort-fallback could
+    * trigger (q_market_basket, STRESS100_r09_run1_8g.json), while a
+    * 32 GB driver ran the same row fine. Budget an eighth of each
+    * task's heap share at ~96 bytes per hash-map entry, capped at the
+    * old 1M (beyond which the win is noise) and floored well above the
+    * sort-happy 128 default.
+    */
+  def objectAggFallbackThreshold(cores: Int): Long = {
+    val heapPerTask = Runtime.getRuntime.maxMemory / math.max(cores, 1)
+    math.max(131072L, math.min(1000000L, heapPerTask / 8 / 96))
+  }
+}

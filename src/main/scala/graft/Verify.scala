@@ -15,7 +15,8 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // Bounded object-agg buffers everywhere in this suite — see the
       // matching knob + rationale in Bench.scala.
-      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        SessionTuning.objectAggFallbackThreshold(cpus.toInt).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
