@@ -22,7 +22,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * floor and the comparison is noise.
   */
 object Rehearsal {
-  import graft.operators.{Dedup, Similarity}
+  import graft.operators.{Dedup, Similarity, TextOps}
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -72,6 +72,9 @@ object Rehearsal {
       },
       timed("build_knn_graph") {
         Similarity.writeKnnArtifact(spark, sfDir, s"$workDir/knn")
+      },
+      timed("build_boilerplate_set") {
+        TextOps.writeBoilerplateArtifact(spark, sfDir, s"$workDir/boiler")
       })
 
     // USE: every consumer reading artifacts only — no training, no
@@ -89,6 +92,9 @@ object Rehearsal {
       },
       timed("use_centrality") {
         noop(Similarity.ssCentralityFromArtifact(spark, sfDir, s"$workDir/knn"))
+      },
+      timed("use_boilerplate_scrub") {
+        noop(TextOps.boilerplateFromArtifact(spark, sfDir, s"$workDir/boiler"))
       })
 
     // The curation gate chain is already artifact-shaped (independent
@@ -119,6 +125,9 @@ object Rehearsal {
       },
       timed("insession_centrality") {
         noop(SparkEntry.queries("ss_centrality")(spark, sfDir))
+      },
+      timed("insession_boilerplate") {
+        noop(SparkEntry.queries("tx_boilerplate")(spark, sfDir))
       })
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
