@@ -69,4 +69,51 @@ object Sampling {
     val b = withBuckets(df, hashCol)
     rankFromCounts(b, bucketCounts(b, groupCols), groupCols, tieCol, rankCol)
   }
+
+  /** Corpus-wide `row_number() OVER (ORDER BY sortCols)` — and
+    * optionally the running `sum(valueCol)` under the same order —
+    * WITHOUT funneling the table through one WindowExec partition.
+    *
+    * A global window ships every row to a single sort task: fine for a
+    * k-row sweep table, a hard single-node ceiling for a corpus- or
+    * vocab-sized one. Two-phase instead (the tx_pack prefix pattern):
+    * range-partition on the sort order, rank/cumsum locally per
+    * partition, and add each partition's starting offset from the tiny
+    * per-partition totals table (|shuffle partitions| rows, broadcast).
+    * Identical to the single-window form PROVIDED `sortCols` is a
+    * strict total order (no duplicate sort keys — callers tie-break on
+    * a unique id), since equal keys may straddle a range boundary.
+    *
+    * The INPUT is localCheckpointed (it is expected to be a narrow
+    * projection — ids + sort keys, not raw text): repartitionByRange
+    * first runs a boundary-SAMPLING pass over its child, which would
+    * re-execute an expensive upstream (measured +4 s on ss_centrality's
+    * PageRank chain at 20×) — and the offsets branch and the rank
+    * branch then share the one range exchange via ReuseExchange. */
+  def globalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String,
+                 cumOf: Option[(Column, String)] = None): DataFrame = {
+    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val ranged = df.localCheckpoint(true)
+      .repartitionByRange(parts, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
+    val wOrd = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
+    val pre = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val totals = ranged.groupBy(col("__pid")).agg(
+      count(lit(1)).as("__n"),
+      cumOf.map { case (c, _) => sum(c) }.getOrElse(lit(0L)).as("__s"))
+    val offs = totals.select(col("__pid"),
+      coalesce(sum(col("__n")).over(pre), lit(0L)).as("__noff"),
+      coalesce(sum(col("__s")).over(pre), lit(0L)).as("__soff"))
+    val joined = ranged.join(broadcast(offs), "__pid")
+      .withColumn(rankCol,
+        (row_number().over(wLocal) + col("__noff")).cast("long"))
+    cumOf.fold(joined.drop("__pid", "__noff", "__soff")) { case (c, cumName) =>
+      joined
+        .withColumn(cumName, sum(c).over(
+          wLocal.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          + col("__soff"))
+        .drop("__pid", "__noff", "__soff")
+    }
+  }
 }

@@ -509,13 +509,17 @@ object Similarity {
     * (src, dst) edge frame — shared with [[ssCentralityFromArtifact]]. */
   private def centralityOver(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val indeg = edges.groupBy(col("dst")).agg(count(lit(1)).as("d"))
-    nodes
+    val scored = nodes
       .join(indeg.withColumnRenamed("dst", "vec_id"), Seq("vec_id"), "left")
       .join(pageRank(nodes, edges), Seq("vec_id"))
       .select(col("vec_id"), coalesce(col("d"), lit(0L)).as("in_deg"),
         col("r").as("pr_ppm"))
-      .withColumn("rank", row_number()
-        .over(Window.orderBy(col("pr_ppm").desc, col("vec_id"))).cast("long"))
+    // Global rank over EVERY vector: a plain unpartitioned window ships
+    // the corpus through one sort task; the two-phase form ranks within
+    // range partitions and offsets — vec_id tie-break makes the order
+    // strict, so the result is identical (the oracle's row_number form).
+    Sampling.globalRank(scored,
+        Seq(col("pr_ppm").desc, col("vec_id")), "rank")
       .select(col("rank"), col("vec_id"), col("in_deg"), col("pr_ppm"))
       .orderBy(col("rank"))
   }

@@ -481,6 +481,11 @@ object TextOps {
     val tf = docs
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+    // Single-window rank/cumsum over the VOCAB table is deliberate (the
+    // documented vocab-table seam): vocab ≪ corpus, and the two-phase
+    // Sampling.globalRank alternative measured pure overhead here. A
+    // corpus whose vocabulary itself outgrows one sort task can switch
+    // this line to globalRank(tf, ..., cumOf = ...) unchanged.
     val w = Window.orderBy(col("tf").desc, col("tok"))
     val ranked = tf
       .withColumn("rank", row_number().over(w).cast("long"))
