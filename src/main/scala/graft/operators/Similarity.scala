@@ -106,16 +106,22 @@ object Similarity {
     * use the deterministic K-prefix of the seed set. */
   val MaxCentroidsKey = "graft.similarity.maxCentroids"
 
-  /** Seed centroids: every 50th vector, optionally capped to the first
-    * [[MaxCentroidsKey]] seeds (deterministic prefix, broadcastable). */
-  private def centroidsDf(spark: SparkSession, sfDir: String): DataFrame = {
-    val seeds = vecs(spark, sfDir).filter(col("vec_id") % 50 === 0)
-    val capped = spark.conf.getOption(MaxCentroidsKey) match {
-      case Some(k) => seeds.filter(col("vec_id") < lit(50L * k.toLong))
+  /** Keep the deterministic K-prefix of an every-`mod`th-vector seed
+    * frame when [[MaxCentroidsKey]] is set (vec_id < mod·K); unset =
+    * the fixture rule untouched. Shared by the IVF seed set and the
+    * Lloyd's-family initial seeds, so ONE knob caps every N·K
+    * assignment in the suite. */
+  private def capSeeds(spark: SparkSession, seeds: DataFrame, mod: Long): DataFrame =
+    spark.conf.getOption(MaxCentroidsKey) match {
+      case Some(k) => seeds.filter(col("vec_id") < lit(mod * k.toLong))
       case None    => seeds
     }
-    capped.select(col("vec_id").as("c_id"), col("v").as("cv"))
-  }
+
+  /** Seed centroids: every 50th vector, optionally capped to the first
+    * [[MaxCentroidsKey]] seeds (deterministic prefix, broadcastable). */
+  private def centroidsDf(spark: SparkSession, sfDir: String): DataFrame =
+    capSeeds(spark, vecs(spark, sfDir).filter(col("vec_id") % 50 === 0), 50L)
+      .select(col("vec_id").as("c_id"), col("v").as("cv"))
 
   /** Per-(query, partition) partial top-k, then exact global top-k over
     * the ≤ k·numPartitions survivors. Phase-1 shuffle keys are
@@ -896,7 +902,11 @@ object Similarity {
       seedMod: Int = LloydsSeedMod): DataFrame = {
     import graft.functions.NativeExpressions.argminL2
     val vm = lloydsVm(spark, sfDir).select(col("vec_id"), col("v"))
-    var cents = vm.filter(col("vec_id") % seedMod === 0)
+    // Initial seeds honor the same K-cap as the IVF set: the training
+    // cost is LloydsIters × N·K, quadratic under the fixture's K = N/mod
+    // rule (measured 281 s at 100× uncapped vs 49.3 s at K = 1024).
+    var cents = capSeeds(spark,
+        vm.filter(col("vec_id") % seedMod === 0), seedMod.toLong)
       .select(col("vec_id").as("c_id"), col("v").as("cv"))
     for (_ <- 1 to LloydsIters) {
       val centArr = cents.agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
@@ -939,15 +949,18 @@ object Similarity {
     * seed mod actually analyzed). Cross-session persistence is the
     * [[writeCentroidArtifact]] / [[assignFromArtifact]] split. */
   private val centTableCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int, Option[String]), DataFrame]()
 
   private def lloydsCentArr(spark: SparkSession, sfDir: String,
       seedMod: Int = LloydsSeedMod): DataFrame = {
     // Dead-session entries pin the stopped session and its checkpoint
     // blocks for the JVM lifetime — evict them whenever the cache is
     // consulted (the map holds a handful of keys; the sweep is free).
+    // The MaxCentroidsKey cap is part of the key: a capped training run
+    // must never serve a later uncapped caller in the same session.
     centTableCache.keySet.removeIf(_._1.sparkContext.isStopped)
-    centTableCache.computeIfAbsent((spark, sfDir, seedMod), _ =>
+    centTableCache.computeIfAbsent(
+        (spark, sfDir, seedMod, spark.conf.getOption(MaxCentroidsKey)), _ =>
       lloydsCentroids(spark, sfDir, seedMod).localCheckpoint(true))
       .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
   }

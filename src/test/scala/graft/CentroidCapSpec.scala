@@ -10,6 +10,7 @@ import graft.operators.Similarity
   * path).
   */
 class CentroidCapSpec extends SparkSpec {
+  import spark.implicits._
 
   private def withCap[T](k: Long)(body: => T): T = {
     spark.conf.set(Similarity.MaxCentroidsKey, k.toString)
@@ -42,5 +43,23 @@ class CentroidCapSpec extends SparkSpec {
       Similarity.ssCentrality(spark, sfDir).collect().toSeq
     }
     assert(capped == base)
+  }
+
+  test("the Lloyd's family honors the cap without poisoning the centroid cache") {
+    // trained UNCAPPED first → cache holds the default entry
+    val base = Similarity.p21Lloyds(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq
+    val capped = withCap(1L) {
+      // K=1: one seed centroid, every vector in cluster of seed 0 after
+      // 3 re-estimations — exactly one output row covering the corpus
+      Similarity.p21Lloyds(spark, sfDir).as[(Long, Long)].collect().toSeq
+    }
+    val n = Tables.embeddings(spark, sfDir).count()
+    assert(capped.map(_._2).sum == n && capped.size == 1)
+    // back to unset: the cache must serve the DEFAULT training, not the
+    // capped one (the cap is part of the cache key)
+    assert(Similarity.p21Lloyds(spark, sfDir)
+      .as[(Long, Long)].collect().toSeq == base)
+    assert(base.size > 1)
   }
 }
