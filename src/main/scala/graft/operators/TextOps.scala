@@ -700,6 +700,35 @@ object TextOps {
     boilerScrub(blockify(docsOrdered(spark, sfDir)),
       spark.read.parquet(path))
 
+  /** tx_source_stats: the per-source "domain table" a pretraining mix
+    * is planned from — per source: document count, token mass and its
+    * corpus share (ppm), distinct content fingerprints, and the exact-
+    * duplicate rate (docs beyond the first of each fingerprint, ppm).
+    * tx_quality_dist gives the quality axis per source; this gives the
+    * volume + duplication axes; tx_mix consumes such weights.
+    *
+    * Scale shape: one map pass (token count + fingerprint are native
+    * kernels) into a (source, fp)-then-source two-phase distinct
+    * aggregate, both map-side-combinable; the corpus token total is a
+    * one-row broadcast. Output is |sources| rows. */
+  def txSourceStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val bySrc = docsOrdered(spark, sfDir)
+      .select(col("source"),
+        tokenCount(col("text")).cast("long").as("nt"),
+        fingerprint(col("text")).as("fp"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("nt")).as("n_tokens"),
+        countDistinct(col("fp")).as("n_distinct_fp"))
+    val total = bySrc.agg(sum(col("n_tokens")).as("__t"))
+    bySrc.crossJoin(broadcast(total))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        expr("n_tokens * 1000000L div __t").as("token_share_ppm"),
+        col("n_distinct_fp"),
+        expr("(n_docs - n_distinct_fp) * 1000000L div n_docs").as("dup_ppm"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_tokens"       -> (txTokens _),
     "tx_langid"       -> (txLangid _),
@@ -717,12 +746,29 @@ object TextOps {
     "tx_pii"          -> (txPii _),
     "tx_vocab_coverage" -> (txVocabCoverage _),
     "tx_chunk"        -> (txChunk _),
-    "tx_boilerplate"  -> (txBoilerplate _))
+    "tx_boilerplate"  -> (txBoilerplate _),
+    "tx_source_stats" -> (txSourceStats _))
 
   private[operators] val sqlTokens =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 
   val oracle: Map[String, String] = Map(
+    "tx_source_stats" ->
+      s"""WITH per AS (SELECT source,
+         |    CAST(length($sqlTokens) AS BIGINT) AS nt,
+         |    md5(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', '', 'g'),
+         |      '\\s+', ' ', 'g')) AS fp
+         |  FROM documents),
+         |s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(nt) AS BIGINT) AS n_tokens,
+         |    CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct_fp
+         |  FROM per GROUP BY source),
+         |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM s)
+         |SELECT source, n_docs, n_tokens,
+         |  CAST(n_tokens * 1000000 // tt AS BIGINT) AS token_share_ppm,
+         |  n_distinct_fp,
+         |  CAST((n_docs - n_distinct_fp) * 1000000 // n_docs AS BIGINT) AS dup_ppm
+         |FROM s, t ORDER BY source""".stripMargin,
     "tx_chunk" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
          |c AS (SELECT doc_id, toks,
