@@ -17,7 +17,10 @@ import graft.functions.VectorFunctions._
   * partition), then a tiny global pass — never a global sort of the
   * candidate set. Reference counterpart for clustering:
   * 21-embedding-and-clustering.py:315-334 (KMeans random_state=42),
-  * re-expressed on MLlib.
+  * re-expressed as the deterministic integer-exact Lloyd's chains below
+  * (MLlib's seeded k-means|| survives only as the parity pin in
+  * KmeansQualitySpec — its init has no SQL form, so it can't be the
+  * hash-gated production path).
   */
 object Similarity {
 
@@ -25,7 +28,8 @@ object Similarity {
   val NProbe = 2
   val NPlanes = 8 // sign-LSH bits → 256 buckets (grow with corpus size)
   val NTables = 2 // independent LSH tables for multiprobe band-ORing
-  val TrainedK = 16 // k-means|| centroid count for ss_ivf_trained
+  val TrainedK = 16 // trained-centroid count for ss_ivf_trained
+  val KmeansK = 10  // reference 21-embedding-and-clustering.py:300-320 k
   val Dim = 64
   val PqM = 8       // PQ subspaces → PqM-byte codes per vector
   val PqDs = Dim / PqM
@@ -596,54 +600,54 @@ object Similarity {
     topKPerQuery(cand, TopK)
   }
 
-  /** ss_ivf_trained: IVF probing over k-means||-TRAINED centroids (MLlib
-    * KMeans, k=[[TrainedK]], seed=42) instead of the deterministic seed
-    * sample — the centroid-training loop §7 calls for. The trained centers
-    * collect to one broadcast array row (k·dim doubles); assignment and
-    * probe/scan are byte-identical in shape to ss_ivf_topk. Training runs
-    * on the [[withTrainSample]] hash-sample only — each k-means|| iteration is
-    * a full pass over its input, so the full corpus would pay MaxIter
-    * scans for centroids a sample estimates as well; the full corpus is
-    * then assigned by the map-only broadcast argmin. Training is
-    * iterative ⇒ rows-only gate (same as p21_kmeans); IvfRecallSpec pins
-    * recall vs ss_brute_topk AND bands the trained cells' inertia against
-    * the hash-gated Lloyd's chain ([[ivfTrainedInertia]]) — two
-    * independent quantitative pins. */
+  /** ss_ivf_trained: IVF probing over TRAINED centroids — the
+    * centroid-training loop §7 calls for (reference trains KMeans with
+    * random_state=42). Re-expressed as the deterministic integer-exact
+    * fixed-k Lloyd's chain so the WHOLE pipeline has a DuckDB mirror:
+    * MLlib's k-means|| init has no SQL form and kept this entry
+    * rows-only through round 9. Training = [[TrainedK]] seeds
+    * (vec_id < k over the micro-fixed-point corpus), [[LloydsIters]]
+    * unrolled assign→update rounds via [[lloydsIterate]] — fixed k ⇒
+    * each round is one map-only broadcast-argmin pass plus a bounded
+    * per-(cluster, dim) mean, linear at any corpus size. Assignment and
+    * probe ranking run in the exact-integer micro space (bit-identical
+    * across engines); the candidate COSINE runs on the real-unit
+    * vectors like every other ss_* op. IvfRecallSpec still pins recall
+    * vs ss_brute_topk — now a quality floor ON TOP of the hash gate,
+    * not a substitute for it. */
   def ssIvfTrained(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = vecs(spark, sfDir)
-    val centArr = ivfTrainedCentArr(spark, sfDir)
-    val asg = v.crossJoin(broadcast(centArr))
-      .withColumn("best",
-        graft.functions.NativeExpressions.argminL2(col("v"), col("cents")))
-      .select(col("vec_id"), col("v"), col("best.c_id").as("cluster"))
-    val cand = asg.join(broadcast(probeClusters(spark, sfDir, centArr)), Seq("cluster"))
+    import graft.functions.NativeExpressions.argminL2
+    val both = vecsWithMicro(spark, sfDir)
+    val centArr = fixedKCentArr(spark, sfDir, TrainedK)
+    val asg = both.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("v"),
+        argminL2(col("vmi"), col("cents")).getField("c_id").as("cluster"))
+    val probes = both.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("vmi").as("qmi"))
+      .crossJoin(broadcast(centArr))
+      .withColumn("cluster", explode(graft.functions.NativeExpressions
+        .topNCentroidIds(col("qmi"), col("cents"), NProbe)))
+      .select(col("q_id"), col("qv"), col("cluster"))
+    val cand = asg.join(broadcast(probes), Seq("cluster"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), cosineSim(col("qv"), col("v")).as("cos"))
     topKPerQuery(cand, TopK)
   }
 
-  /** The trained IVF cell centroids as the one-row broadcastable (c_id,
-    * cv) array [[ssIvfTrained]] assigns against — split out so
-    * IvfRecallSpec can band the SAME training's inertia against the
-    * hash-gated Lloyd's chain (the second independent pin next to its
-    * recall floor). */
-  private[graft] def ivfTrainedCentArr(spark: SparkSession, sfDir: String): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
-    import spark.implicits._
-    val model = withTrainSample(vecs(spark, sfDir), TrainedK) { s =>
-      new KMeans().setK(TrainedK).setSeed(42L).setMaxIter(20)
-        .fit(s.select(col("vec_id"), array_to_vector(col("v")).as("features")))
-    }
-    model.clusterCenters.zipWithIndex.toSeq
-      .map { case (c, i) => (i.toLong, c.toArray.toSeq) }
-      .toDF("c_id", "cv")
-      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
-  }
+  /** Corpus carrying BOTH unit systems — real-unit `v` for cosine
+    * scoring, micro-fixed-point `vmi` for exact-integer trained-centroid
+    * assignment/probing. One scan; Catalyst prunes whichever column a
+    * branch doesn't use. */
+  private def vecsWithMicro(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"), x => x.cast("double")).as("v"),
+      transform(col("embedding"), x => round(x.cast("double") * 1000000d, 0)).as("vmi"))
 
-  /** [[inertiaOf]] for the trained-IVF cell clustering (real-unit corpus). */
+  /** [[inertiaOf]] for the trained-IVF cell clustering (micro space,
+    * rescaled to real units like [[lloydsInertia]]). */
   private[graft] def ivfTrainedInertia(spark: SparkSession, sfDir: String): Double =
-    inertiaOf(vecs(spark, sfDir), ivfTrainedCentArr(spark, sfDir))
+    inertiaOf(lloydsVm(spark, sfDir).select(col("vec_id"), col("v")),
+      fixedKCentArr(spark, sfDir, TrainedK), scale = 1e12)
 
   /** p21_cluster_assign: per-vector nearest seed centroid + distance. */
   def p21ClusterAssign(spark: SparkSession, sfDir: String): DataFrame =
@@ -652,26 +656,38 @@ object Similarity {
         round(col("dist2") * 1000, 0).cast("long").as("dist2_mil"))
       .orderBy(col("vec_id"))
 
-  /** p21_kmeans: MLlib KMeans (k=10, seed=42 per the reference's
-    * random_state=42) — cluster sizes, rows-only gate (training is
-    * iterative; no SQL oracle). Trains on the [[withTrainSample]] hash-sample;
-    * the full corpus is assigned by the same broadcast argmin kernel as
-    * the other centroid ops (model.transform over every row would drag
-    * MLlib's vector UDF through the corpus instead of a codegen'd
-    * one-pass kernel). */
+  /** p21_kmeans: the reference's k=10 document clustering
+    * (21-embedding-and-clustering.py:300-320, random_state=42) —
+    * re-expressed as the deterministic fixed-k Lloyd's chain
+    * ([[fixedKCentArr]], k=[[KmeansK]]) so the cluster sizes hash-gate
+    * against an unrolled DuckDB mirror (rows-only through round 9 while
+    * it rode MLlib's un-SQL-able k-means|| init). KmeansQualitySpec
+    * keeps the MLlib trainer as the quality-parity pin: the
+    * deterministic chain's inertia must band with sklearn-style seeded
+    * training on the same corpus. Output (cluster, n): clusters carry
+    * their seed ids 0..k-1. One map-only broadcast-argmin pass +
+    * a k-group count — linear at any corpus size. */
   def p21Kmeans(spark: SparkSession, sfDir: String): DataFrame = {
-    val v = vecs(spark, sfDir)
-    v.crossJoin(broadcast(kmeansCentArr(spark, sfDir)))
-      .withColumn("best",
-        graft.functions.NativeExpressions.argminL2(col("v"), col("cents")))
-      .groupBy(col("best.c_id").as("cluster"))
+    import graft.functions.NativeExpressions.argminL2
+    lloydsVm(spark, sfDir)
+      .crossJoin(broadcast(fixedKCentArr(spark, sfDir, KmeansK)))
+      .groupBy(argminL2(col("v"), col("cents")).getField("c_id").as("cluster"))
       .agg(count(lit(1)).as("n"))
       .orderBy(col("cluster"))
   }
 
-  /** The MLlib k-means centroids as the one-row broadcastable (c_id, cv)
-    * array [[p21Kmeans]] assigns against — split out so
-    * KmeansQualitySpec can score the SAME clustering it gates. */
+  /** [[inertiaOf]] for the deterministic [[p21Kmeans]] clustering (micro
+    * space, rescaled to real units) — the side KmeansQualitySpec bands
+    * against the MLlib parity trainer. */
+  private[graft] def detKmeansInertia(spark: SparkSession, sfDir: String): Double =
+    inertiaOf(lloydsVm(spark, sfDir).select(col("vec_id"), col("v")),
+      fixedKCentArr(spark, sfDir, KmeansK), scale = 1e12)
+
+  /** MLlib k-means centroids (k=10, seed=42, [[withTrainSample]] hash-
+    * sample training) — no longer the p21_kmeans production path (its
+    * k-means|| init has no SQL form, so it can't hash-gate); retained
+    * ONLY as KmeansQualitySpec's parity trainer, standing in for the
+    * reference's seeded sklearn fit. */
   private[graft] def kmeansCentArr(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
@@ -900,14 +916,24 @@ object Similarity {
     * [[LloydsSeedMod]]. */
   private def lloydsCentroids(spark: SparkSession, sfDir: String,
       seedMod: Int = LloydsSeedMod): DataFrame = {
-    import graft.functions.NativeExpressions.argminL2
     val vm = lloydsVm(spark, sfDir).select(col("vec_id"), col("v"))
     // Initial seeds honor the same K-cap as the IVF set: the training
     // cost is LloydsIters × N·K, quadratic under the fixture's K = N/mod
     // rule (measured 281 s at 100× uncapped vs 49.3 s at K = 1024).
-    var cents = capSeeds(spark,
+    lloydsIterate(vm, capSeeds(spark,
         vm.filter(col("vec_id") % seedMod === 0), seedMod.toLong)
-      .select(col("vec_id").as("c_id"), col("v").as("cv"))
+      .select(col("vec_id").as("c_id"), col("v").as("cv")))
+  }
+
+  /** The shared [[LloydsIters]] assign→update rounds from `seeds` over a
+    * micro-fixed-point corpus `vm` (vec_id, v) — the integer-exact loop
+    * behind the seed-mod chain AND the fixed-k trainers
+    * ([[fixedKCentArr]]): one map-only broadcast-argmin pass + one
+    * bounded per-(cluster, dim) mean per round, lineage checkpointed
+    * per round like dd_components. */
+  private def lloydsIterate(vm: DataFrame, seeds: DataFrame): DataFrame = {
+    import graft.functions.NativeExpressions.argminL2
+    var cents = seeds
     for (_ <- 1 to LloydsIters) {
       val centArr = cents.agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
       val asg = vm.crossJoin(broadcast(centArr))
@@ -963,6 +989,25 @@ object Similarity {
         (spark, sfDir, seedMod, spark.conf.getOption(MaxCentroidsKey)), _ =>
       lloydsCentroids(spark, sfDir, seedMod).localCheckpoint(true))
       .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+  }
+
+  /** Trained FIXED-k centroids as the one-row broadcastable (c_id, cv)
+    * array — micro-fixed-point, [[lloydsIterate]] from the first k
+    * vectors as seeds (c_id = vec_id 0..k-1: on the synthetic sphere as
+    * arbitrary as any deterministic pick, zero extra passes, and a
+    * one-predicate SQL mirror). Cached in [[centTableCache]] under
+    * seedMod = -k: the fixed-k chains ignore the seed-mod fixture rule
+    * AND the [[MaxCentroidsKey]] cap — k is already a constant, so the
+    * N·K assignment is linear by construction. */
+  private[graft] def fixedKCentArr(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    centTableCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    centTableCache.computeIfAbsent((spark, sfDir, -k, None), _ => {
+      val vm = lloydsVm(spark, sfDir).select(col("vec_id"), col("v"))
+      lloydsIterate(vm,
+        vm.filter(col("vec_id") < k)
+          .select(col("vec_id").as("c_id"), col("v").as("cv")))
+        .localCheckpoint(true)
+    }).agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
   }
 
   /** Index BUILD: train the Lloyd's centroids and persist them as a
@@ -1232,10 +1277,11 @@ object Similarity {
     "p21_feature_dist"   -> (p21FeatureDist _),
     "p21_pca"            -> (p21Pca _))
 
-  // ---- DuckDB oracle (p21_kmeans / ss_ivf_trained are rows-only — MLlib
-  // training is iterative, no SQL equivalent; IvfRecallSpec gates
-  // ss_ivf_trained's recall against the exact brute-force ranking;
-  // p21_pca IS hash-gated via the deterministic squaring fit below) ----
+  // ---- DuckDB oracle — every Similarity entry is hash-gated: the
+  // trained paths (p21_kmeans / ss_ivf_trained, rows-only through
+  // round 9 on MLlib) now ride the deterministic fixed-k Lloyd's
+  // chains mirrored below; p21_pca via the deterministic squaring fit.
+  // IvfRecallSpec / KmeansQualitySpec keep the quality pins on top. ----
 
   private val eCte = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
   private val qCte = "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10)"
@@ -1614,6 +1660,49 @@ object Similarity {
          |$asgCte
          |SELECT vec_id, cluster, CAST(round(dist2*1000, 0) AS BIGINT) AS dist2_mil
          |FROM asg ORDER BY vec_id""".stripMargin,
+    "p21_kmeans" ->
+      // The fixed-k chain (seeds = vec_id < KmeansK) unrolled like
+      // p21_lloyds; final assignment reuses the shared rank tail.
+      s"""WITH $vmCteSql,
+         |${lloydsChainTailSql(0, "_km", fixedK = Some(KmeansK))},
+         |${lloydsFinalRankSql("frk", "_km")}
+         |SELECT cluster, CAST(count(*) AS BIGINT) AS n
+         |FROM frk WHERE rn = 1 GROUP BY cluster ORDER BY cluster""".stripMargin,
+    "ss_ivf_trained" -> {
+      // Micro-space training/assignment/probing (exact integers both
+      // engines), real-unit cosine — the Spark plan mirrored CTE for CTE.
+      // The chain is MATERIALIZED: asg and probes both reference its tail.
+      val cf = s"c$LloydsIters" + "_tr"
+      s"""WITH $vmCteSql,
+         |${lloydsChainTailSql(0, "_tr", mat = true, fixedK = Some(TrainedK))},
+         |asg AS MATERIALIZED (
+         |  SELECT vec_id, c_id AS cluster FROM (
+         |    SELECT e.vec_id, c.c_id,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${l2SqSql("e.v", "c.cv")}, c.c_id) AS rn
+         |    FROM vm e CROSS JOIN $cf c) WHERE rn = 1),
+         |ee AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+         |q AS (SELECT vec_id AS q_id, v AS qv FROM ee WHERE vec_id < 10),
+         |qm AS (SELECT vec_id AS q_id, v AS qmi FROM vm WHERE vec_id < 10),
+         |probes AS (
+         |  SELECT q_id, c_id AS cluster FROM (
+         |    SELECT m.q_id, c.c_id,
+         |      row_number() OVER (PARTITION BY m.q_id
+         |        ORDER BY ${l2SqSql("m.qmi", "c.cv")}, c.c_id) AS rn
+         |    FROM qm m CROSS JOIN $cf c) WHERE rn <= $NProbe),
+         |cand AS (
+         |  SELECT p.q_id, a.vec_id, ${cosineSql("q.qv", "ee.v")} AS cos
+         |  FROM probes p JOIN asg a USING (cluster)
+         |  JOIN ee ON ee.vec_id = a.vec_id
+         |  JOIN q ON q.q_id = p.q_id
+         |  WHERE a.vec_id != p.q_id),
+         |r AS (SELECT q_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, vec_id) AS rank
+         |  FROM cand)
+         |SELECT q_id, CAST(rank AS BIGINT) AS rank, vec_id,
+         |  CAST(round(cos*1000000, 0) AS BIGINT) AS cos_ppm
+         |FROM r WHERE rank <= $TopK ORDER BY q_id, rank""".stripMargin
+    },
     "p21_lloyds" ->
       s"""WITH ${lloydsChainSql()},
          |${lloydsFinalRankSql("fr")}
@@ -1737,9 +1826,16 @@ object Similarity {
     * OOM'd the oracle session until the chains were pinned
     * materialized. The single-chain oracles keep plain CTEs (their
     * re-evaluation is the long-recorded DuckDB baseline cost). */
-  private def lloydsChainTailSql(seedMod: Int, sfx: String, mat: Boolean = false): String = {
+  private def lloydsChainTailSql(seedMod: Int, sfx: String, mat: Boolean = false,
+      fixedK: Option[Int] = None): String = {
     val as = if (mat) "AS MATERIALIZED" else "AS"
-    val c0Cte = s"c0$sfx $as (SELECT vec_id AS c_id, v AS cv FROM vm WHERE vec_id % $seedMod = 0)"
+    // fixedK mirrors [[fixedKCentArr]]'s first-k seeds; the default is
+    // the every-seedMod-th fixture rule of [[lloydsCentroids]].
+    val seedPred = fixedK match {
+      case Some(k) => s"vec_id < $k"
+      case None    => s"vec_id % $seedMod = 0"
+    }
+    val c0Cte = s"c0$sfx $as (SELECT vec_id AS c_id, v AS cv FROM vm WHERE $seedPred)"
     def asgCteOf(i: Int, src: String) =
       s"""a$i$sfx $as (
          |  SELECT vec_id, v, c_id AS cluster FROM (

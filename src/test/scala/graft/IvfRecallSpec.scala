@@ -38,13 +38,12 @@ class IvfRecallSpec extends SparkSpec {
   }
 
   test("trained-IVF inertia lands in a band around the hash-gated Lloyd's inertia") {
-    // The KmeansQualitySpec treatment for the OTHER rows-only entry: the
-    // trained cells (k=16, 20 iters, 1/4 hash-sample) must partition the
-    // full corpus about as tightly as the hash-verified full-corpus k=10
-    // 3-iteration Lloyd's chain. Sample training costs a little on the
-    // near-uniform sphere (measured ratio 1.038 at sf0.001 — the sample's
-    // centroids are slightly off the full corpus's mass) while the six
-    // extra cells buy a little back; the band pins that equilibrium.
+    // ss_ivf_trained hash-gates since round 10 (deterministic fixed-k
+    // chain), so this band is no longer its only pin — it remains as a
+    // cross-clustering sanity check: the k=16 trained cells must
+    // partition the corpus about as tightly as the hash-verified k=10
+    // seed-mod Lloyd's chain (six extra cells buy a little inertia back;
+    // both sides are 3-iteration chains on the same micro corpus).
     val ivf = Similarity.ivfTrainedInertia(spark, sfDir)
     val lloyds = Similarity.lloydsInertia(spark, sfDir)
     assert(ivf > 0 && lloyds > 0, s"non-positive inertia: ivf=$ivf lloyds=$lloyds")

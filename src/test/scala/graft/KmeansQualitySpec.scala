@@ -2,15 +2,14 @@ package graft
 
 import graft.operators.Similarity
 
-/** p21_kmeans is the last rows-only gate without a quantitative pin:
-  * MLlib's k-means|| init is seeded-random with no SQL form, so the
-  * oracle can't hash it. Following IvfRecallSpec's pattern, this pins
-  * the clustering's QUALITY against the hash-verified Lloyd's chain
-  * (p21_lloyds trains the same k=10 at sf0.001 — 500 vectors, one seed
-  * per 50) instead: sizes must partition the corpus, and the trained
-  * inertia must sit in a band around the Lloyd's inertia. Deterministic
-  * (seed 42, hash-sample training) — a drift means the operator changed
-  * behavior, not flakiness.
+/** p21_kmeans is hash-gated since round 10 (deterministic fixed-k
+  * Lloyd's chain with a full DuckDB mirror); this spec keeps the
+  * QUALITY-parity pin the reference's seeded sklearn training implies:
+  * the deterministic chain must cluster about as tightly as MLlib's
+  * k-means|| (seed 42, 20 iterations, hash-sample training) on the same
+  * corpus — the [[Similarity.kmeansCentArr]] trainer retained for
+  * exactly this comparison. Deterministic both sides — a drift means an
+  * operator changed behavior, not flakiness.
   */
 class KmeansQualitySpec extends SparkSpec {
 
@@ -25,19 +24,20 @@ class KmeansQualitySpec extends SparkSpec {
       s"expected 10 non-empty clusters 0..9, got ${sizes.keySet.toSeq.sorted}")
   }
 
-  test("p21_kmeans inertia lands in a band around the hash-gated Lloyd's inertia") {
+  test("p21_kmeans inertia lands in a band around the MLlib parity trainer") {
+    val det = Similarity.detKmeansInertia(spark, sfDir)
     val mllib = Similarity.kmeansInertia(spark, sfDir)
-    val lloyds = Similarity.lloydsInertia(spark, sfDir)
-    assert(mllib > 0 && lloyds > 0, s"non-positive inertia: mllib=$mllib lloyds=$lloyds")
-    // 20-iteration k-means|| must not be WORSE than 3-iteration
-    // every-50th-seed Lloyd's by more than 5%...
-    assert(mllib <= lloyds * 1.05,
-      s"MLlib inertia $mllib exceeds Lloyd's $lloyds by >5% — training regressed")
-    // ...and can't be dramatically better either: same k on a
-    // near-uniform corpus bounds how much 17 extra iterations buy
-    // (measured ratio ~0.97 at sf0.001). A collapse below half the
-    // Lloyd's inertia means one of the two sides changed corpus/scale.
-    assert(mllib >= lloyds * 0.5,
-      s"MLlib inertia $mllib below half of Lloyd's $lloyds — scale/corpus drift")
+    assert(det > 0 && mllib > 0, s"non-positive inertia: det=$det mllib=$mllib")
+    // 3-iteration first-k-seeded Lloyd's must not be WORSE than MLlib's
+    // 20-iteration k-means|| by more than 10% (measured ratio ~1.03 at
+    // sf0.001 — the near-uniform sphere leaves little for 17 extra
+    // iterations + smarter init to win)...
+    assert(det <= mllib * 1.10,
+      s"deterministic inertia $det exceeds MLlib $mllib by >10% — training regressed")
+    // ...and can't be dramatically better either: same k on the same
+    // corpus bounds the gap. A collapse below half the MLlib inertia
+    // means one of the two sides changed corpus/scale.
+    assert(det >= mllib * 0.5,
+      s"deterministic inertia $det below half of MLlib $mllib — scale/corpus drift")
   }
 }

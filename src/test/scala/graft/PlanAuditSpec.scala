@@ -13,7 +13,7 @@ class PlanAuditSpec extends SparkSpec {
 
   test("no query plans a CartesianProduct or BroadcastNestedLoop with a real right side") {
     SparkEntry.queries.foreach { case (name, q) =>
-      if (name != "p21_kmeans" && !allowedCross(name)) { // kmeans: iterative MLlib training, not one plan
+      if (!allowedCross(name)) {
         val plan = q(spark, sfDir).queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"),
           s"$name plans a CartesianProduct:\n$plan")
