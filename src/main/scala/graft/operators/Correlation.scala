@@ -20,11 +20,20 @@ import graft.functions.TextFunctions._
   */
 object Correlation {
 
-  def p20Correlation(spark: SparkSession, sfDir: String): DataFrame = {
+  /** The 8 deterministic numeric features of the reference's
+    * extract_features — shared by p20_correlation and p20_importance. */
+  private val Feats = Seq("text_length", "word_count", "avg_word_len",
+    "line_breaks", "emoji_count", "hashtag_count", "vocab_distinct",
+    "n_sentences")
+
+  /** (doc_id, 8 features, y) — ONE definition of the p20 feature frame;
+    * Catalyst prunes doc_id where a consumer drops it. */
+  private def featureFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val t = col("text")
     val toks = tokens(t)
     val sumTokLen = aggregate(transform(toks, x => length(x)), lit(0), (a, v) => a + v)
-    val f = Tables.documents(spark, sfDir).select(
+    Tables.documents(spark, sfDir).select(
+      col("doc_id"),
       length(t).cast("double").as("text_length"),
       tokenCount(t).cast("double").as("word_count"),
       // divisor clamped: subexpression elimination can hoist the division
@@ -38,8 +47,11 @@ object Correlation {
       distinctTokenCount(t).cast("double").as("vocab_distinct"),
       sentenceCount(t).cast("double").as("n_sentences"),
       DocPipeline.engagementPpm.cast("double").as("y"))
-    val feats = Seq("text_length", "word_count", "avg_word_len", "line_breaks",
-      "emoji_count", "hashtag_count", "vocab_distinct", "n_sentences")
+  }
+
+  def p20Correlation(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = featureFrame(spark, sfDir).drop("doc_id")
+    val feats = Feats
     // not functions.corr: its Pearson evaluation divides by the raw
     // variance product, which under ANSI mode throws DIVIDE_BY_ZERO for a
     // zero-variance feature; try_divide yields NULL — exactly what DuckDB's
@@ -54,6 +66,54 @@ object Correlation {
       .selectExpr(s"stack(${feats.length}, $stackArgs) AS (feature, c)")
       .select(col("feature"),
         round(col("c") * 1000000, 0).cast("long").as("corr_ppm"))
+      .orderBy(col("feature"))
+  }
+
+  /** p20_importance: deterministic model-free permutation importance —
+    * the query part of the reference's RF + permutation_importance
+    * ranking (20-permutation-and-correlation.py:324-375; the model fit
+    * itself is declared out of scope in §1.8). Instead of refitting a
+    * model per permuted column, each feature's Pearson correlation with
+    * engagement is recomputed against a HASH-permuted target: rows are
+    * paired position-for-position between doc_id order and
+    * md5(doc_id) order (the house md5 rank — one shared deterministic
+    * permutation for every feature, mirrored exactly by the oracle's
+    * row_number forms), and importance = |corr| − |corr_permuted| in
+    * ppm. Under a permutation the correlation collapses toward 0, so
+    * the degradation ranks features the way permutation importance
+    * ranks them for a univariate-effects model.
+    *
+    * Scale shape: two [[Sampling.globalRank]] passes over a narrow
+    * (id, features, y) projection (range-partitioned two-phase rank —
+    * no corpus through one window task), one shuffle join on the rank
+    * (the permutation's data movement, irreducible), one 16-state
+    * grouping-less corr aggregate; the final rank window runs over 8
+    * rows. */
+  def p20Importance(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = featureFrame(spark, sfDir)
+    val idSide = Sampling.globalRank(f, Seq.empty, col("doc_id"), "__r")
+    val permSide = Sampling.globalRank(
+        f.select(col("doc_id"), col("y").as("y_perm"))
+          .withColumn("__h", md5(col("doc_id").cast("string"))),
+        Seq(col("__h")), col("doc_id"), "__r")
+      .select(col("__r"), col("y_perm"))
+    val j = idSide.join(permSide, "__r")
+    def corrOf(n: String, yc: String, out: String) =
+      expr(s"try_divide(covar_samp($n, $yc), stddev_samp($n) * stddev_samp($yc))")
+        .as(out)
+    val aggCols = Feats.flatMap(n =>
+      Seq(corrOf(n, "y", s"c_$n"), corrOf(n, "y_perm", s"p_$n")))
+    val aggd = j.agg(aggCols.head, aggCols.tail: _*)
+    val stackArgs = Feats.map(n => s"'$n', c_$n, p_$n").mkString(", ")
+    aggd
+      .selectExpr(s"stack(${Feats.length}, $stackArgs) AS (feature, c, p)")
+      .select(col("feature"),
+        round(col("c") * 1000000, 0).cast("long").as("corr_ppm"),
+        round(col("p") * 1000000, 0).cast("long").as("perm_corr_ppm"))
+      .withColumn("importance_ppm",
+        abs(col("corr_ppm")) - abs(col("perm_corr_ppm")))
+      .withColumn("rank", row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(col("importance_ppm").desc, col("feature"))).cast("long"))
       .orderBy(col("feature"))
   }
 
@@ -109,37 +169,65 @@ object Correlation {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p20_correlation" -> (p20Correlation _),
+    "p20_importance"  -> (p20Importance _),
     "p20_onehot"      -> (p20Onehot _))
 
   private val toksSql =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 
+  /** The [[featureFrame]] mirror — ONE `f` CTE shared by the
+    * p20_correlation and p20_importance oracles. */
+  private def featCteSql: String =
+    s"""f AS (
+       |  SELECT doc_id,
+       |    CAST(length(text) AS DOUBLE) AS text_length,
+       |    CAST(len($toksSql) AS DOUBLE) AS word_count,
+       |    CASE WHEN len($toksSql) = 0 THEN 0.0
+       |      ELSE CAST(list_sum(list_transform($toksSql, x -> length(x))) AS DOUBLE) / len($toksSql)
+       |      END AS avg_word_len,
+       |    CAST(length(text) - length(replace(text, chr(10), '')) AS DOUBLE) AS line_breaks,
+       |    CAST(length(regexp_extract_all(text, '$EmojiClass')) AS DOUBLE) AS emoji_count,
+       |    CAST(length(regexp_extract_all(text, '#\\w+')) AS DOUBLE) AS hashtag_count,
+       |    CAST(length(list_distinct($toksSql)) AS DOUBLE) AS vocab_distinct,
+       |    CAST(length(list_filter(regexp_split_to_array(text, '[.!?]+'), s -> trim(s) != '')) AS DOUBLE) AS n_sentences,
+       |    CAST(${DocPipeline.engagementPpmSql} AS DOUBLE) AS y
+       |  FROM documents)""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "p20_correlation" -> {
-      val feats = Seq("text_length", "word_count", "avg_word_len", "line_breaks",
-        "emoji_count", "hashtag_count", "vocab_distinct", "n_sentences")
-      val unions = feats.map(n =>
+      val unions = Feats.map(n =>
         s"SELECT '$n' AS feature, CAST(round(c_$n * 1000000, 0) AS BIGINT) AS corr_ppm FROM c")
         .mkString("\n  UNION ALL\n  ")
-      s"""WITH f AS (
-         |  SELECT
-         |    CAST(length(text) AS DOUBLE) AS text_length,
-         |    CAST(len($toksSql) AS DOUBLE) AS word_count,
-         |    CASE WHEN len($toksSql) = 0 THEN 0.0
-         |      ELSE CAST(list_sum(list_transform($toksSql, x -> length(x))) AS DOUBLE) / len($toksSql)
-         |      END AS avg_word_len,
-         |    CAST(length(text) - length(replace(text, chr(10), '')) AS DOUBLE) AS line_breaks,
-         |    CAST(length(regexp_extract_all(text, '$EmojiClass')) AS DOUBLE) AS emoji_count,
-         |    CAST(length(regexp_extract_all(text, '#\\w+')) AS DOUBLE) AS hashtag_count,
-         |    CAST(length(list_distinct($toksSql)) AS DOUBLE) AS vocab_distinct,
-         |    CAST(length(list_filter(regexp_split_to_array(text, '[.!?]+'), s -> trim(s) != '')) AS DOUBLE) AS n_sentences,
-         |    CAST(${DocPipeline.engagementPpmSql} AS DOUBLE) AS y
-         |  FROM documents),
+      s"""WITH $featCteSql,
          |c AS (
-         |  SELECT ${feats.map(n => s"corr($n, y) AS c_$n").mkString(", ")} FROM f)
+         |  SELECT ${Feats.map(n => s"corr($n, y) AS c_$n").mkString(", ")} FROM f)
          |SELECT feature, corr_ppm FROM (
          |  $unions)
          |ORDER BY feature""".stripMargin
+    },
+    "p20_importance" -> {
+      val corrCols = Feats.map(n => s"corr($n, y) AS c_$n, corr($n, y_perm) AS p_$n")
+        .mkString(",\n    ")
+      val unions = Feats.map(n =>
+        s"""SELECT '$n' AS feature,
+           |    CAST(round(c_$n * 1000000, 0) AS BIGINT) AS corr_ppm,
+           |    CAST(round(p_$n * 1000000, 0) AS BIGINT) AS perm_corr_ppm FROM c""".stripMargin)
+        .mkString("\n  UNION ALL\n  ")
+      s"""WITH $featCteSql,
+         |a AS (SELECT f.*, row_number() OVER (ORDER BY doc_id) AS r FROM f),
+         |b AS (SELECT y AS y_perm,
+         |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+         |  FROM f),
+         |j AS (SELECT a.*, b.y_perm FROM a JOIN b USING (r)),
+         |c AS (
+         |  SELECT $corrCols FROM j),
+         |u AS (
+         |  $unions),
+         |w AS (SELECT feature, corr_ppm, perm_corr_ppm,
+         |    abs(corr_ppm) - abs(perm_corr_ppm) AS importance_ppm FROM u)
+         |SELECT feature, corr_ppm, perm_corr_ppm, importance_ppm,
+         |  CAST(row_number() OVER (ORDER BY importance_ppm DESC, feature) AS BIGINT) AS rank
+         |FROM w ORDER BY feature""".stripMargin
     },
     "p20_onehot" -> {
       val sentSql =

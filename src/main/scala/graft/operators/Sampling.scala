@@ -80,9 +80,11 @@ object Sampling {
     * range-partition on the sort order, rank/cumsum locally per
     * partition, and add each partition's starting offset from the tiny
     * per-partition totals table (|shuffle partitions| rows, broadcast).
-    * Identical to the single-window form PROVIDED `sortCols` is a
-    * strict total order (no duplicate sort keys — callers tie-break on
-    * a unique id), since equal keys may straddle a range boundary.
+    * Identical to the single-window form PROVIDED the order is strict —
+    * equal keys may straddle a range boundary — which is why the UNIQUE
+    * tie-break is a required parameter (`tieCol`, appended to
+    * `sortCols`), not a doc-comment convention a caller can silently
+    * drop.
     *
     * The INPUT is localCheckpointed (it is expected to be a narrow
     * projection — ids + sort keys, not raw text): repartitionByRange
@@ -90,9 +92,13 @@ object Sampling {
     * re-execute an expensive upstream (measured +4 s on ss_centrality's
     * PageRank chain at 20×) — and the offsets branch and the rank
     * branch then share the one range exchange via ReuseExchange. */
-  def globalRank(df: DataFrame, sortCols: Seq[Column], rankCol: String,
+  def globalRank(df: DataFrame, keyCols: Seq[Column], tieCol: Column,
+                 rankCol: String,
                  cumOf: Option[(Column, String)] = None): DataFrame = {
-    val parts = df.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+    val sortCols = keyCols :+ tieCol
+    // session conf accessor, not the raw string: platforms that set the
+    // conf to "auto" would throw in a bare .toInt
+    val parts = df.sparkSession.sessionState.conf.numShufflePartitions
     val ranged = df.localCheckpoint(true)
       .repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())

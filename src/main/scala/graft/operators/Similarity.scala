@@ -529,7 +529,7 @@ object Similarity {
     // range partitions and offsets — vec_id tie-break makes the order
     // strict, so the result is identical (the oracle's row_number form).
     Sampling.globalRank(scored,
-        Seq(col("pr_ppm").desc, col("vec_id")), "rank")
+        Seq(col("pr_ppm").desc), col("vec_id"), "rank")
       .select(col("rank"), col("vec_id"), col("in_deg"), col("pr_ppm"))
       .orderBy(col("rank"))
   }

@@ -22,7 +22,7 @@ class GlobalRankSpec extends SparkSpec {
 
   test("rank equals the single-window form under a strict order") {
     val df = fixture(500)
-    val got = Sampling.globalRank(df, Seq(col("score").desc, col("id")), "rank")
+    val got = Sampling.globalRank(df, Seq(col("score").desc), col("id"), "rank")
       .select($"id", $"rank").as[(Long, Long)].collect().toMap
     val w = Window.orderBy(col("score").desc, col("id"))
     val want = df.withColumn("rank", row_number().over(w).cast("long"))
@@ -32,7 +32,7 @@ class GlobalRankSpec extends SparkSpec {
 
   test("running sum equals the single-window cumsum") {
     val df = fixture(500)
-    val got = Sampling.globalRank(df, Seq(col("score"), col("id")), "rank",
+    val got = Sampling.globalRank(df, Seq(col("score")), col("id"), "rank",
         cumOf = Some((col("weight"), "cum")))
       .select($"id", $"rank", $"cum").as[(Long, Long, Long)].collect().toSet
     val w = Window.orderBy(col("score"), col("id"))
@@ -49,7 +49,7 @@ class GlobalRankSpec extends SparkSpec {
     // of equal primary keys; the id tie-break must keep ranks exact
     val df = (0 until 300).map(i => (i.toLong, if (i % 10 == 0) i.toLong else -1L))
       .toDF("id", "score")
-    val got = Sampling.globalRank(df, Seq(col("score").desc, col("id")), "rank")
+    val got = Sampling.globalRank(df, Seq(col("score").desc), col("id"), "rank")
       .select($"rank").as[Long].collect().sorted.toSeq
     assert(got == (1L to 300L))
   }
