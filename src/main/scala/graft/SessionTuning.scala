@@ -16,9 +16,20 @@ object SessionTuning {
     * task's heap share at ~96 bytes per hash-map entry, capped at the
     * old 1M (beyond which the win is noise) and floored well above the
     * sort-happy 128 default.
+    *
+    * `executorMemory` (a `spark.executor.memory` size string, e.g.
+    * "8g") sizes the budget when given; the `Runtime.maxMemory`
+    * fallback reads the CALLING JVM's heap, which equals the executor
+    * heap only in local mode — this repo's mains are all local[N], but
+    * a cluster deployment whose executor heap differs from the
+    * driver's must pass the conf value through.
     */
-  def objectAggFallbackThreshold(cores: Int): Long = {
-    val heapPerTask = Runtime.getRuntime.maxMemory / math.max(cores, 1)
+  def objectAggFallbackThreshold(cores: Int,
+      executorMemory: Option[String] = None): Long = {
+    val heap = executorMemory
+      .map(org.apache.spark.network.util.JavaUtils.byteStringAsBytes)
+      .getOrElse(Runtime.getRuntime.maxMemory)
+    val heapPerTask = heap / math.max(cores, 1)
     math.max(131072L, math.min(1000000L, heapPerTask / 8 / 96))
   }
 }

@@ -496,8 +496,14 @@ object TextOps {
     val targets = spark.range(VocabTargets.length)
       .select(element_at(
         array(VocabTargets.map(lit): _*), col("id").cast("int") + 1).as("target_pct"))
-    targets.crossJoin(broadcast(total))
-      .join(ranked, col("cum") * 100 >= col("target_pct") * col("total"))
+    // The whole 3-row (target_pct × total) frame is hinted as the
+    // nested-loop BUILD side: the inner broadcast(total) hint is
+    // consumed by the crossJoin, so without the outer hint the non-equi
+    // join's side choice fell to size estimation — which at scale could
+    // flip to broadcasting the vocab table.
+    ranked
+      .join(broadcast(targets.crossJoin(broadcast(total))),
+        col("cum") * 100 >= col("target_pct") * col("total"))
       .groupBy(col("target_pct"), col("total"))
       .agg(min(struct(col("rank"), col("cum"))).as("first"))
       .select(col("target_pct"),
@@ -519,7 +525,18 @@ object TextOps {
     ("url", "https?://[^\\s]+"),
     ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"),
     ("ip", "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"),
-    ("phone", "\\+?\\d[\\d\\- ]{6,}\\d"))
+    // Phone shapes, not "any 8+ digit/separator run" (which redacted
+    // dates, numeric IDs, and number columns as phones): a leading-+
+    // international form; 3/4-group forms whose FIRST and LAST groups
+    // have ≥3 digits (excludes ISO dates 4-2-2 and 2-digit-column
+    // spans); the US 3-4 local form; or a bare 7-15 digit run (\b-
+    // anchored, so longer IDs don't clip). At most ONE [- ] between
+    // digit groups. No lookaround — the Java-regex ∩ RE2 subset the
+    // oracle mirror requires.
+    ("phone", "\\+\\d{1,4}([\\- ]?\\d{2,4}){1,4}\\b" +
+      "|\\b\\d{3,4}[\\- ]\\d{2,4}[\\- ]\\d{3,4}([\\- ]\\d{3,4})?\\b" +
+      "|\\b\\d{3}[\\- ]\\d{4}\\b" +
+      "|\\b\\d{7,15}\\b"))
 
   /** The tx_pii column list over a text column — ONE projection shared
     * verbatim by the batch operator and the streaming

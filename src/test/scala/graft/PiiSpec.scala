@@ -58,6 +58,30 @@ class PiiSpec extends SparkSpec {
     assert(r.getAs[String]("red_fp") == md5Hex("ping <IP> now"))
   }
 
+  test("date-like and ID-like digit runs are not phones") {
+    val rows = run(
+      (0L, "released 2026-01-01 and updated 1999-12-31"),
+      (1L, "series 10 20 30 40 50 continues"),
+      (2L, "order 123456 shipped"),
+      (3L, "trace 1234567890123456789 logged"))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_phone") == 0L, r.toString)
+      assert(r.getAs[Long]("n_pii") == 0L, r.toString)
+    }
+  }
+
+  test("phone shapes still fire: local, bare-run, grouped, international") {
+    val rows = run(
+      (0L, "call 555-8675 today"),
+      (1L, "fax 5551234567 now"),
+      (2L, "dial 555-867-5309 or 0151-496-0780"),
+      (3L, "intl +44 20 7946 0958"))
+    val expected = Seq(1L, 1L, 2L, 1L)
+    rows.zip(expected).foreach { case (r, p) =>
+      assert(r.getAs[Long]("n_phone") == p, r.toString)
+    }
+  }
+
   test("clean text passes through byte-identical with zero counts") {
     val clean = "no personal data here, just words and 42 digits"
     val Array(r) = run((0L, clean))
