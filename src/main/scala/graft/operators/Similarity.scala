@@ -1035,6 +1035,17 @@ object Similarity {
         argminL2(col("v"), col("cents")).getField("c_id").as("cluster"))
   }
 
+  /** (vec_id, cluster) under the default Lloyd's chain — the assignment
+    * every p21 analysis gate shares; exposed for SilhouetteCrossSpec's
+    * exact-pairwise cross-check. */
+  private[graft] def lloydsAssign(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.NativeExpressions.argminL2
+    lloydsVm(spark, sfDir)
+      .crossJoin(broadcast(lloydsCentArr(spark, sfDir)))
+      .select(col("vec_id"),
+        argminL2(col("v"), col("cents")).getField("c_id").as("cluster"))
+  }
+
   /** p21_cluster_profile: per-(cluster, label) occupancy over the Lloyd's
     * clustering — size, share (ppm), and the cluster's dominant label —
     * the reference's per-cluster feature-distribution analysis
