@@ -37,10 +37,55 @@ object TextFunctions {
   /** Newline count (reference: features/text_stats.py:analyze_line_breaks). */
   def lineBreakCount(c: Column): Column = charCount(c, "\n")
 
-  /** Supplementary-plane emoji + misc symbols, as code points. */
-  val EmojiClass = "[\\x{1F000}-\\x{1FAFF}\\x{2600}-\\x{27BF}\\x{FE0F}\\x{2190}-\\x{21FF}\\x{2B00}-\\x{2BFF}]"
+  /** Pictographic code-point ranges, re-expressed from the public UTS #51
+    * emoji-data tables (Extended_Pictographic restricted to assigned
+    * blocks) — the embedded-public-table pattern the synonym and PII
+    * tables use: ONE source generating the Spark pattern, the DuckDB
+    * mirror, and tools/ref_parity.py's `emojis`-package stand-in.
+    * Deliberately excludes what the round-2 block-class over-counted:
+    * plain arrows (U+2190-U+21FF beyond the UTS #51 subset), non-emoji
+    * symbol blocks, and the bare variation selector U+FE0F (which
+    * double-counted every "❤️"-style sequence). */
+  val PictographicRanges: Seq[(Int, Int)] = Seq(
+    (0x00A9, 0x00A9), (0x00AE, 0x00AE), // © ®
+    (0x203C, 0x203C), (0x2049, 0x2049), // ‼ ⁉
+    (0x2122, 0x2122), (0x2139, 0x2139), // ™ ℹ
+    (0x2194, 0x2199), (0x21A9, 0x21AA), // arrows with emoji presentation
+    (0x231A, 0x231B), (0x2328, 0x2328), (0x23CF, 0x23CF),
+    (0x23E9, 0x23F3), (0x23F8, 0x23FA), // clocks / AV controls
+    (0x24C2, 0x24C2),
+    (0x25AA, 0x25AB), (0x25B6, 0x25B6), (0x25C0, 0x25C0),
+    (0x25FB, 0x25FE),                   // geometric shapes subset
+    (0x2600, 0x27BF),                   // Misc Symbols + Dingbats
+    (0x2934, 0x2935),
+    (0x2B05, 0x2B07), (0x2B1B, 0x2B1C), (0x2B50, 0x2B50), (0x2B55, 0x2B55),
+    (0x3030, 0x3030), (0x303D, 0x303D), (0x3297, 0x3297), (0x3299, 0x3299),
+    (0x1F000, 0x1FAFF))                 // supplementary emoji blocks
 
-  /** Emoji code-point count (reference: 2-label.py emoji_frequency_analysis). */
+  private def hexEsc(cp: Int): String = f"\\x{$cp%X}"
+
+  /** The pictographic char class built from [[PictographicRanges]]. */
+  val PictClass: String = PictographicRanges.map { case (a, b) =>
+    if (a == b) hexEsc(a) else s"${hexEsc(a)}-${hexEsc(b)}"
+  }.mkString("[", "", "]")
+
+  /** UTS #51 emoji-SEQUENCE pattern: one match per displayed emoji —
+    * keycap sequences (#️⃣), flags (regional-indicator pairs), and
+    * pictographic ZWJ chains with optional VS16 / skin-tone modifiers
+    * (so "❤️" and "👍🏽" and "👨‍👩‍👧" each count ONCE). Alternation,
+    * classes, and bounded quantifiers only — the Java-regex ∩ RE2
+    * subset every embedded pattern keeps so the DuckDB mirror sees the
+    * same language. Kept under the historical name: every consumer and
+    * oracle interpolates `EmojiClass`. */
+  val EmojiClass: String =
+    "[#*0-9]\\x{FE0F}?\\x{20E3}" +
+      "|[\\x{1F1E6}-\\x{1F1FF}]{2}" +
+      s"|$PictClass(?:\\x{FE0F}|[\\x{1F3FB}-\\x{1F3FF}])?" +
+      s"(?:\\x{200D}$PictClass(?:\\x{FE0F}|[\\x{1F3FB}-\\x{1F3FF}])?)*"
+
+  /** Emoji sequence count (reference: 2-label.py emoji_frequency_analysis
+    * via the `emojis` package's database; this is the UTS #51
+    * re-expression of that database's matching). */
   def emojiCount(c: Column): Column = regexp_count(c, lit(EmojiClass))
 
   /** Emoji frequency = emoji / chars (0 for empty text). */

@@ -22,6 +22,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(one[String](emojiUsage(col("t")), "plain") == "none")
     // 1 emoji / 4 chars = 0.25 -> extreme
     assert(one[String](emojiUsage(col("t")), "ab🔥c") == "extreme")
+    // UTS #51 sequences count ONCE per displayed emoji: VS16 form,
+    // skin-tone modifier, ZWJ family, flag pair, keycap — and plain
+    // arrows / bare digits are not emoji
+    assert(one[Int](emojiCount(col("t")), "love ❤️!") == 1)
+    assert(one[Int](emojiCount(col("t")), "👍🏽 ok") == 1)
+    assert(one[Int](emojiCount(col("t")),
+      "👨‍👩‍👧") == 1)
+    assert(one[Int](emojiCount(col("t")), "🇺🇸 usa") == 1)
+    assert(one[Int](emojiCount(col("t")), "1️⃣ first") == 1)
+    assert(one[Int](emojiCount(col("t")), "see ↓ below, page 12") == 0)
   }
 
   test("length buckets at the reference thresholds") {

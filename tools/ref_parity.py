@@ -11,11 +11,14 @@ the DuckDB oracle (which checks Spark against a SQL re-expression) cannot.
 
 Scope notes, declared up front:
  - The `emojis` package is not installable in this sandbox (zero egress),
-   so a shim implementing emojis.count() over the SAME codepoint class as
-   the engine's TextFunctions.EmojiClass is injected. The parity therefore
-   covers everything AROUND the emoji database (normalization, counting
-   plumbing, frequency, binning, buckets) but not the database itself —
-   that re-expression is declared in SURVEY §3.
+   so a shim implementing emojis.count() over the SAME UTS #51
+   emoji-sequence grammar as the engine's TextFunctions.EmojiClass is
+   injected (keycaps, flag pairs, pictographic ZWJ chains with VS16 /
+   skin-tone — each displayed emoji counts once, matching the package's
+   database semantics over the public Unicode ranges). The parity
+   therefore covers the normalization, counting plumbing, frequency,
+   binning, and buckets plus the sequence matching; only database
+   entries OUTSIDE the embedded public ranges remain out of reach.
  - Ratios: the engine carries integer ppm (floor(e*1e6/f), exact integer
    arithmetic); the reference carries IEEE floats. Values are compared to
    the 1-ppm quantization bound; TIER labels — the semantic output — must
@@ -50,12 +53,33 @@ def load_ref_module(fname, name):
     return mod
 
 
+# Mirror of TextFunctions.PictographicRanges — the UTS #51-derived
+# pictographic table embedded in the engine (ONE conceptual source; a
+# drift here desynchronizes the parity harness from the engine's counts).
+PICT_RANGES = [
+    (0x00A9, 0x00A9), (0x00AE, 0x00AE), (0x203C, 0x203C), (0x2049, 0x2049),
+    (0x2122, 0x2122), (0x2139, 0x2139), (0x2194, 0x2199), (0x21A9, 0x21AA),
+    (0x231A, 0x231B), (0x2328, 0x2328), (0x23CF, 0x23CF), (0x23E9, 0x23F3),
+    (0x23F8, 0x23FA), (0x24C2, 0x24C2), (0x25AA, 0x25AB), (0x25B6, 0x25B6),
+    (0x25C0, 0x25C0), (0x25FB, 0x25FE), (0x2600, 0x27BF), (0x2934, 0x2935),
+    (0x2B05, 0x2B07), (0x2B1B, 0x2B1C), (0x2B50, 0x2B50), (0x2B55, 0x2B55),
+    (0x3030, 0x3030), (0x303D, 0x303D), (0x3297, 0x3297), (0x3299, 0x3299),
+    (0x1F000, 0x1FAFF)]
+
+
 def install_emojis_shim():
-    """emojis.count over the engine's EmojiClass codepoint ranges
-    (TextFunctions.scala:41) — see module docstring for what this scopes
-    the parity claim to."""
+    """emojis.count over the engine's UTS #51 emoji-SEQUENCE grammar
+    (TextFunctions.EmojiClass: keycaps, flag pairs, pictographic ZWJ
+    chains with optional VS16/skin-tone) — the same matching the real
+    `emojis` package database performs, minus database entries outside
+    these public ranges. See module docstring for the parity scope."""
+    pict = "[" + "".join(
+        chr(a) if a == b else f"{chr(a)}-{chr(b)}" for a, b in PICT_RANGES) + "]"
+    mod = "(?:\uFE0F|[\U0001F3FB-\U0001F3FF])?"
     cls = re.compile(
-        "[\U0001F000-\U0001FAFF☀-➿️←-⇿⬀-⯿]")
+        "[#*0-9]\uFE0F?\u20E3"
+        "|[\U0001F1E6-\U0001F1FF]{2}"
+        f"|{pict}{mod}(?:\u200D{pict}{mod})*")
     shim = type(sys)("emojis")
     shim.count = lambda text, unique=False: (
         len(set(cls.findall(text))) if unique else len(cls.findall(text)))
