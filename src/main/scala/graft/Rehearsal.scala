@@ -40,6 +40,13 @@ object Rehearsal {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Same scale-knob passthrough as Bench: at stress densities the
+    // fixture's K = N/50 centroid rule makes the knn/IVF builds
+    // quadratic — see Similarity.MaxCentroidsKey.
+    sys.env.get("SPARK_GRAFT_MAX_CENTROIDS").foreach { k =>
+      spark.conf.set(graft.operators.Similarity.MaxCentroidsKey, k)
+    }
+
     def timed(name: String)(body: => Unit): (String, Double) = {
       val t0 = System.nanoTime()
       body
