@@ -90,8 +90,19 @@ object Sampling {
     * projection — ids + sort keys, not raw text): repartitionByRange
     * first runs a boundary-SAMPLING pass over its child, which would
     * re-execute an expensive upstream (measured +4 s on ss_centrality's
-    * PageRank chain at 20×) — and the offsets branch and the rank
-    * branch then share the one range exchange via ReuseExchange. */
+    * PageRank chain at 20×).
+    *
+    * The RANGED frame (with its `__pid` stamp) is then checkpointed
+    * TOO, and this one is load-bearing for correctness, not cost: the
+    * offsets branch and the rank branch must see the SAME partition
+    * boundaries, but the range exchange's boundary sampling is seeded
+    * per RDD id — a fresh evaluation draws DIFFERENT boundaries — and
+    * exchange reuse between the branches is not guaranteed (column
+    * pruning can specialize the two subplans apart; observed at sf0.1
+    * inside p20_importance's two-rank join: offsets from one boundary
+    * set applied to ranks from another silently corrupted the global
+    * rank while each standalone evaluation stayed correct —
+    * GlobalRankSpec's consistency differential pins this). */
   def globalRank(df: DataFrame, keyCols: Seq[Column], tieCol: Column,
                  rankCol: String,
                  cumOf: Option[(Column, String)] = None): DataFrame = {
@@ -102,6 +113,7 @@ object Sampling {
     val ranged = df.localCheckpoint(true)
       .repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
+      .localCheckpoint(true) // pin boundaries + __pid — see scaladoc
     val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     val wOrd = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
     val pre = wOrd.rowsBetween(Window.unboundedPreceding, -1)

@@ -44,6 +44,33 @@ class GlobalRankSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("two independent ranks joined on rank stay a consistent bijection") {
+    // The round-10 corruption repro: two globalRank frames over the
+    // same input, different sort orders, joined on the rank — the
+    // p20_importance permutation-pairing shape. Before the ranged-frame
+    // checkpoint, the offsets branch and the rank branch could evaluate
+    // the range exchange separately with DIFFERENT sampled boundaries
+    // (the sampler is seeded per RDD id), silently corrupting ranks in
+    // exactly this multi-consumer plan while every standalone
+    // evaluation stayed correct. The invariant: the join must be a
+    // complete bijection and each side's payload multiset must survive.
+    val df = fixture(5000).select($"id", $"weight")
+    val a = Sampling.globalRank(df, Seq.empty, col("id"), "__r")
+    val b = Sampling.globalRank(
+        df.select($"id".as("bid"), $"weight".as("bweight"))
+          .withColumn("__h", md5(col("bid").cast("string"))),
+        Seq(col("__h")), col("bid"), "__r")
+      .select($"__r", $"bid", $"bweight")
+    val j = a.join(b, "__r")
+    val row = j.agg(
+      count(lit(1)), countDistinct($"__r"), countDistinct($"bid"),
+      sum($"weight"), sum($"bweight")).head
+    assert(row.getLong(0) == 5000 && row.getLong(1) == 5000 &&
+      row.getLong(2) == 5000, s"join not a bijection: $row")
+    assert(row.getLong(3) == row.getLong(4),
+      s"payload multiset corrupted across the rank join: $row")
+  }
+
   test("ranks are a permutation of 1..n even when one key dominates") {
     // 90% of rows share the top score: range partitions split the run
     // of equal primary keys; the id tie-break must keep ranks exact
