@@ -67,6 +67,102 @@ object Kernels {
   def sentenceCount(text: UTF8String): Int =
     text.toString.split("[.!?]+", -1).count(x => trimSpaces(x).nonEmpty)
 
+  // ---- UTS #51 emoji-sequence scanner ------------------------------
+  // The native form of regexp_count(text, TextFunctions.EmojiClass):
+  // Java's backtracking engine pays heavily for the big pictographic
+  // alternation (p02_label measured 0.5 → 3.3 s at sf0.1 when the
+  // sequence grammar replaced the flat block-class), where this is one
+  // leftmost code-point walk. Semantics are match-for-match identical
+  // to the regex (EmojiKernelSpec differential): at each position try
+  // keycap, then flag pair, then pictographic chain; on failure advance
+  // one code point (a match can only start on a class member, so the
+  // regex's per-char scan visits the same start set).
+
+  private val pictStarts: Array[Int] =
+    TextFunctions.PictographicRanges.map(_._1).toArray
+  private val pictEnds: Array[Int] =
+    TextFunctions.PictographicRanges.map(_._2).toArray
+
+  private def isPict(c: Int): Boolean = {
+    var lo = 0
+    var hi = pictStarts.length - 1
+    while (lo <= hi) {
+      val mid = (lo + hi) >>> 1
+      if (c < pictStarts(mid)) hi = mid - 1
+      else if (c > pictEnds(mid)) lo = mid + 1
+      else return true
+    }
+    false
+  }
+
+  private def isRegionalIndicator(c: Int): Boolean =
+    c >= 0x1F1E6 && c <= 0x1F1FF
+
+  /** One optional presentation selector per pictograph:
+    * (?:FE0F|[1F3FB-1F3FF])? — at most ONE of either. */
+  private def skipSelector(s: String, i: Int): Int =
+    if (i < s.length) {
+      val c = s.codePointAt(i)
+      if (c == 0xFE0F || (c >= 0x1F3FB && c <= 0x1F3FF)) i + Character.charCount(c)
+      else i
+    } else i
+
+  /** The scan core: walks `s` leftmost, invokes `onMatch(start, end)`
+    * (char offsets) per emoji sequence, returns the match count. Shared
+    * by [[emojiCount]] (count only) and [[rewardStats]] (which also
+    * needs the matched substrings for the variety ratio). */
+  private def scanEmoji(s: String, onMatch: (Int, Int) => Unit): Int = {
+    val len = s.length
+    var i = 0
+    var n = 0
+    while (i < len) {
+      val c = s.codePointAt(i)
+      val cw = Character.charCount(c)
+      if (c == '#' || c == '*' || (c >= '0' && c <= '9')) {
+        // keycap: [#*0-9] FE0F? 20E3
+        var j = i + cw
+        if (j < len && s.codePointAt(j) == 0xFE0F) j += 1
+        if (j < len && s.codePointAt(j) == 0x20E3) {
+          n += 1; onMatch(i, j + 1); i = j + 1
+        } else i += cw
+      } else if (isRegionalIndicator(c) && i + cw < len &&
+          isRegionalIndicator(s.codePointAt(i + cw))) {
+        // flag: exactly two regional indicators
+        val end = i + cw + Character.charCount(s.codePointAt(i + cw))
+        n += 1; onMatch(i, end); i = end
+      } else if (isPict(c)) {
+        // pictographic chain: PICT sel? (ZWJ PICT sel?)* — an unpaired
+        // regional indicator lands here too (RI ⊂ the 1F000-1FAFF
+        // range), exactly like the regex's third alternative
+        var j = skipSelector(s, i + cw)
+        var more = true
+        while (more) {
+          more = false
+          if (j < len && s.codePointAt(j) == 0x200D && j + 1 < len) {
+            val next = s.codePointAt(j + 1)
+            if (isPict(next)) {
+              // the ZWJ is consumed only when a pictograph follows —
+              // the regex gives it back otherwise
+              j = skipSelector(s, j + 1 + Character.charCount(next))
+              more = true
+            }
+          }
+        }
+        n += 1; onMatch(i, j); i = j
+      } else i += cw
+    }
+    n
+  }
+
+  private val noMatch: (Int, Int) => Unit = (_, _) => ()
+
+  /** Emoji SEQUENCE count — native form of
+    * regexp_count(c, TextFunctions.EmojiClass); one displayed emoji
+    * (keycap / flag pair / pictographic ZWJ chain with optional VS16 or
+    * skin-tone per pictograph) counts once. */
+  def emojiCount(text: UTF8String): Int =
+    scanEmoji(text.toString, noMatch)
+
   private val FpStrip = Pattern.compile("[^a-z0-9\\s]")
   private val FpSpaces = Pattern.compile("\\s+")
 
@@ -293,7 +389,6 @@ object Kernels {
   // the reward suite's — both families are counted in the same line scan.
   private val StyleLet = Pattern.compile("^\\s*[A-Za-z]+[.)]\\s+")
   private val StyleSym = Pattern.compile("^\\s*[^A-Za-z0-9_\\s]")
-  private val EmojiRe = Pattern.compile(TextFunctions.EmojiClass)
   private val TailHashtagRe = Pattern.compile("#[A-Za-z0-9_]+")
 
   /** Deterministic sentiment lexicon for the arc re-expression
@@ -503,14 +598,11 @@ object Kernels {
       while (tm.find()) tailHashtags += 1
     }
 
-    // Emoji variety
-    val m = EmojiRe.matcher(s)
-    var emoTotal = 0
+    // Emoji variety — the native scanner, not EmojiRe: the sequence
+    // grammar's alternation is pathological under Java's backtracking
+    // engine (same 6× wall as emojiCount's regexp_count form)
     val emoSet = new java.util.HashSet[String]()
-    while (m.find()) {
-      emoTotal += 1
-      emoSet.add(m.group())
-    }
+    val emoTotal = scanEmoji(s, (a, b) => { emoSet.add(s.substring(a, b)); () })
 
     // Punctuation-family counts (single char scan)
     var nPeriod = 0L; var nComma = 0L; var nExclaim = 0L

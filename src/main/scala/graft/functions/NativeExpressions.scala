@@ -209,6 +209,24 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$K.sentenceCount($c)")
   }
 
+  /** Emoji sequence count — native form of
+    * regexp_count(c, TextFunctions.EmojiClass) (see Kernels.emojiCount
+    * for why the big alternation can't ride Java's backtracking
+    * engine). */
+  case class EmojiCount(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkString(prettyName, child)
+    override def dataType: DataType = IntegerType
+    override def prettyName: String = "emoji_count"
+    override protected def withNewChildInternal(newChild: Expression): EmojiCount =
+      copy(child = newChild)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.emojiCount(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.emojiCount($c)")
+  }
+
   /** Normalized md5 fingerprint — fused native form of the
     * lower → strip → collapse → md5 chain. */
   case class Fingerprint(child: Expression)
@@ -597,6 +615,9 @@ object NativeExpressions {
 
   def bpeCount(c: Column): Column =
     ColumnBridge.column(BpeCount(ColumnBridge.expression(c)))
+
+  def emojiCount(c: Column): Column =
+    ColumnBridge.column(EmojiCount(ColumnBridge.expression(c)))
 
   def fingerprint(c: Column): Column =
     ColumnBridge.column(Fingerprint(ColumnBridge.expression(c)))

@@ -85,8 +85,11 @@ object TextFunctions {
 
   /** Emoji sequence count (reference: 2-label.py emoji_frequency_analysis
     * via the `emojis` package's database; this is the UTS #51
-    * re-expression of that database's matching). */
-  def emojiCount(c: Column): Column = regexp_count(c, lit(EmojiClass))
+    * re-expression of that database's matching). Native kernel — the
+    * regexp_count([[EmojiClass]]) form it equals (EmojiKernelSpec) costs
+    * 6× wall on emoji-consuming queries under Java's backtracking
+    * engine; the oracle keeps the regex (RE2 compiles it to a DFA). */
+  def emojiCount(c: Column): Column = NativeExpressions.emojiCount(c)
 
   /** Emoji frequency = emoji / chars (0 for empty text). */
   def emojiFrequency(c: Column): Column =
