@@ -746,7 +746,46 @@ object TextOps {
       .orderBy(col("source"))
   }
 
+  /** Pattern-canary fixture: constructed PII-shaped and emoji-shaped
+    * strings, EMBEDDED like the synonym/UTS-51 tables so the oracle
+    * gate exercises the regex/scanner semantics on strings that
+    * actually match. The synthetic corpus is pattern-clean, which made
+    * the tx_pii / emoji gates trivially green while cross-engine
+    * semantic drift stayed invisible — this round's emoji episode
+    * (Java-backtracking vs RE2 over the sequence grammar) is exactly
+    * the class of divergence this table pins every round. Covers each
+    * PII pattern shape, the documented phone false-positive set (dates,
+    * ID runs, number columns), every emoji grammar branch, and the
+    * mask application order. */
+  private[graft] val CanaryRows: Seq[(Long, String)] = Seq(
+    0L -> "call +1 555-867-5309 or 0044 20 7946 0958 today",
+    1L -> "released 2026-01-01, updated 1999-12-31, order 123456 shipped",
+    2L -> "series 10 20 30 40 50 and trace 1234567890123456789 logged",
+    3L -> "mail jane.doe+x@example.co.uk via https://example.com/a?b=c&d=e",
+    4L -> "server 10.0.0.1 and 192.168.254.3 mask before phone digit runs",
+    5L -> "fax 5551234567 or local 555-8675, backup 0151-496-0780",
+    6L -> ("love ❤️ and 👍🏽 and " +
+      "👨‍👩‍👧"),
+    7L -> ("flags 🇺🇸🇫🇷 lone " +
+      "🇺 keycap 1️⃣ #⃣"),
+    8L -> "fire 🔥 rocket 🚀 arrow ↓ © ® ™ ☀️",
+    9L -> "mixed: https://x.io/mailto/a@b.co then a@b.co, dial 555-123-4567 by 2026-03-01")
+
+  /** tx_pattern_canary: the embedded fixture scrubbed + emoji-counted
+    * on BOTH engines — a per-round cross-engine semantic pin for every
+    * regex family (URL/email/IP/phone application chain, red_fp mask
+    * hash) and the emoji scanner vs RE2. Corpus-independent: the
+    * sfDir argument is unused, the table is the fixture itself. */
+  def txPatternCanary(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    val docs = CanaryRows.toDF("doc_id", "text")
+    docs.select(col("doc_id") +: piiCols(col("text")) :+
+      emojiCount(col("text")).cast("long").as("n_emoji"): _*)
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "tx_pattern_canary" -> (txPatternCanary _),
     "tx_tokens"       -> (txTokens _),
     "tx_langid"       -> (txLangid _),
     "tx_quality"      -> (txQuality _),
@@ -997,6 +1036,7 @@ object TextOps {
          |SELECT tok, est, exact_tf, CAST(est - exact_tf AS BIGINT) AS overcount
          |FROM e WHERE est >= $HhThreshold ORDER BY est DESC, tok""".stripMargin,
     "tx_pii" -> piiOracleSql,
+    "tx_pattern_canary" -> piiSqlOver(canarySrcSql, withEmoji = true),
     "tx_vocab_coverage" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
          |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf
@@ -1015,10 +1055,13 @@ object TextOps {
          |GROUP BY target_pct, total
          |ORDER BY target_pct""".stripMargin)
 
-  /** DuckDB mirror of [[piiProject]], generated from the same
-    * [[PiiPatterns]] (patterns use only Java-regex ∩ RE2 syntax, so the
-    * single-quoted literal reads identically on both engines). */
-  private def piiOracleSql: String = {
+  /** DuckDB mirror of [[piiProject]] over an arbitrary (doc_id, text)
+    * source, generated from the same [[PiiPatterns]] (patterns use only
+    * Java-regex ∩ RE2 syntax, so the single-quoted literal reads
+    * identically on both engines). `withEmoji` appends the canary's
+    * emoji-sequence count over the ORIGINAL text (the RE2 side of the
+    * EmojiKernelSpec chain). */
+  private def piiSqlOver(srcSql: String, withEmoji: Boolean): String = {
     val steps = PiiPatterns.zipWithIndex.map { case ((tag, re), i) =>
       val carry = ("doc_id" +: PiiPatterns.take(i).map(p => s"n_${p._1}"))
         .mkString(", ")
@@ -1027,11 +1070,27 @@ object TextOps {
          |  regexp_replace(t, '$re', '<${tag.toUpperCase}>', 'g') AS t FROM p$i)""".stripMargin
     }
     val counts = PiiPatterns.map(p => s"n_${p._1}")
-    s"""WITH p0 AS (SELECT doc_id, text AS t FROM documents),
+    val emojiCol =
+      if (withEmoji)
+        s""",
+           |  CAST(length(regexp_extract_all(c.text, '${graft.functions.TextFunctions.EmojiClass}')) AS BIGINT) AS n_emoji""".stripMargin
+      else ""
+    val emojiJoin = if (withEmoji) " JOIN src c USING (doc_id)" else ""
+    s"""WITH src AS ($srcSql),
+       |p0 AS (SELECT doc_id, text AS t FROM src),
        |${steps.mkString(",\n")}
-       |SELECT doc_id, ${counts.mkString(", ")},
+       |SELECT p${PiiPatterns.length}.doc_id, ${counts.mkString(", ")},
        |  CAST(${counts.mkString(" + ")} AS BIGINT) AS n_pii,
-       |  CAST(length(t) AS BIGINT) AS red_chars, md5(t) AS red_fp
-       |FROM p${PiiPatterns.length} ORDER BY doc_id""".stripMargin
+       |  CAST(length(t) AS BIGINT) AS red_chars, md5(t) AS red_fp$emojiCol
+       |FROM p${PiiPatterns.length}$emojiJoin ORDER BY doc_id""".stripMargin
   }
+
+  private def piiOracleSql: String =
+    piiSqlOver("SELECT doc_id, text FROM documents", withEmoji = false)
+
+  /** The [[CanaryRows]] fixture as a DuckDB VALUES source. */
+  private def canarySrcSql: String =
+    CanaryRows.map { case (id, t) =>
+      s"(CAST($id AS BIGINT), '${t.replace("'", "''")}')"
+    }.mkString("SELECT * FROM (VALUES ", ", ", ") AS v(doc_id, text)")
 }
