@@ -75,29 +75,35 @@ object Correlation {
     * itself is declared out of scope in §1.8). Instead of refitting a
     * model per permuted column, each feature's Pearson correlation with
     * engagement is recomputed against a HASH-permuted target: rows are
-    * paired position-for-position between doc_id order and
-    * md5(doc_id) order (the house md5 rank — one shared deterministic
+    * ranked once by (md5(doc_id), doc_id) — the house md5 rank — and
+    * each row's features pair with the y of its md5-successor (rank
+    * r ↔ r % N + 1, a single-cycle derangement; the md5 neighbor is a
+    * content-unrelated document, so this is one shared deterministic
     * permutation for every feature, mirrored exactly by the oracle's
-    * row_number forms), and importance = |corr| − |corr_permuted| in
+    * row_number form), and importance = |corr| − |corr_permuted| in
     * ppm. Under a permutation the correlation collapses toward 0, so
     * the degradation ranks features the way permutation importance
     * ranks them for a univariate-effects model.
     *
-    * Scale shape: two [[Sampling.globalRank]] passes over a narrow
+    * Scale shape: ONE [[Sampling.globalRank]] pass over a narrow
     * (id, features, y) projection (range-partitioned two-phase rank —
-    * no corpus through one window task), one shuffle join on the rank
-    * (the permutation's data movement, irreducible), one 16-state
-    * grouping-less corr aggregate; the final rank window runs over 8
-    * rows. */
+    * no corpus through one window task; the first formulation ranked
+    * TWICE, by doc order and md5 order, and joined the two — same
+    * statistics, double the rank machinery), the row count as a one-row
+    * broadcast, one shuffle join on the shifted rank (the permutation's
+    * data movement, irreducible), one 16-state grouping-less corr
+    * aggregate; the final rank window runs over 8 rows. */
   def p20Importance(spark: SparkSession, sfDir: String): DataFrame = {
     val f = featureFrame(spark, sfDir)
-    val idSide = Sampling.globalRank(f, Seq.empty, col("doc_id"), "__r")
-    val permSide = Sampling.globalRank(
-        f.select(col("doc_id"), col("y").as("y_perm"))
-          .withColumn("__h", md5(col("doc_id").cast("string"))),
+    val ranked = Sampling.globalRank(
+        f.withColumn("__h", md5(col("doc_id").cast("string"))),
         Seq(col("__h")), col("doc_id"), "__r")
-      .select(col("__r"), col("y_perm"))
-    val j = idSide.join(permSide, "__r")
+      .drop("__h")
+    val tot = ranked.agg(max(col("__r")).as("__n"))
+    val shifted = ranked.crossJoin(broadcast(tot))
+      .select((pmod(col("__r"), col("__n")) + 1).as("__r2"),
+        col("y").as("y_perm"))
+    val j = ranked.join(shifted, col("__r") === col("__r2"))
     def corrOf(n: String, yc: String, out: String) =
       expr(s"try_divide(covar_samp($n, $yc), stddev_samp($n) * stddev_samp($yc))")
         .as(out)
@@ -214,11 +220,12 @@ object Correlation {
            |    CAST(round(p_$n * 1000000, 0) AS BIGINT) AS perm_corr_ppm FROM c""".stripMargin)
         .mkString("\n  UNION ALL\n  ")
       s"""WITH $featCteSql,
-         |a AS (SELECT f.*, row_number() OVER (ORDER BY doc_id) AS r FROM f),
-         |b AS (SELECT y AS y_perm,
+         |a AS (SELECT f.*,
          |    row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
          |  FROM f),
-         |j AS (SELECT a.*, b.y_perm FROM a JOIN b USING (r)),
+         |n AS (SELECT max(r) AS c FROM a),
+         |b AS (SELECT y AS y_perm, r % c + 1 AS r2 FROM a, n),
+         |j AS (SELECT a.*, b.y_perm FROM a JOIN b ON b.r2 = a.r),
          |c AS (
          |  SELECT $corrCols FROM j),
          |u AS (
