@@ -538,29 +538,65 @@ object TextOps {
       "|\\b\\d{3}[\\- ]\\d{4}\\b" +
       "|\\b\\d{7,15}\\b"))
 
-  /** The tx_pii column list over a text column — ONE projection shared
-    * verbatim by the batch operator and the streaming
-    * [[graft.streaming.EventStreams.piiGate]] (the
-    * promptConstraintCols seam), and drivable by PiiSpec on constructed
-    * documents (the synthetic corpus contains no PII-shaped strings; the
-    * gate proves the chain, the spec proves the signal). Each pattern
-    * counts on the PREVIOUSLY redacted text, so counts and masks are
-    * consistent with the declared application order. */
-  private[graft] def piiCols(t: Column): Seq[Column] = {
-    val (red, counts) = PiiPatterns.foldLeft((t, Seq.empty[(String, Column)])) {
-      case ((tc, acc), (tag, re)) =>
-        (regexp_replace(tc, re, s"<${tag.toUpperCase}>"),
-          acc :+ (tag -> regexp_count(tc, lit(re)).cast("long")))
+  /** The tx_pii output column names, in emission order. */
+  private[graft] val PiiOutCols =
+    Seq("n_url", "n_email", "n_ip", "n_phone", "n_pii", "red_chars", "red_fp")
+
+  /** Appends the tx_pii columns ([[PiiOutCols]]) for text column `t` —
+    * ONE staged projection chain shared verbatim by the batch operator
+    * and the streaming [[graft.streaming.EventStreams.piiGate]], and
+    * drivable by PiiSpec on constructed documents (the synthetic corpus
+    * contains no PII-shaped strings; the gate proves the chain, the
+    * spec proves the signal). Each pattern counts on the PREVIOUSLY
+    * redacted text, so counts and masks are consistent with the
+    * declared application order.
+    *
+    * Two scan-cost properties (the 125→~8 s rewrite at the 100×
+    * corpus; results are bit-identical):
+    *  - **Literal prefilters** (the grep/Hyperscan trick): each
+    *    pattern's count AND replace are gated on a required literal of
+    *    the pattern in the RAW text — "http" for url, "@" for email, a
+    *    digit for ip/phone — via `instr`/one trivial char-class scan.
+    *    Sound: every match contains its literal, and redaction tokens
+    *    (`<URL>`…) introduce none of them, so a stage-k match implies
+    *    the literal in the raw text. Docs without triggers (most of any
+    *    real corpus) never pay the backtracking regex engines.
+    *  - **Named redaction stages**: each intermediate redaction level
+    *    is a named column in its own projection, so every regex runs
+    *    once per row. Folding the chain into one projection re-nests
+    *    the replace tree under every consuming column (~28 regex
+    *    applications per row instead of 8 — CollapseProject keeps the
+    *    stages apart here precisely because the shared columns are
+    *    non-cheap). */
+  private[graft] def withPiiCols(docs: DataFrame, t: Column): DataFrame = {
+    var d = docs
+      .withColumn("__red", t)
+      .withColumn("__g_url", instr(t, "http") > 0)
+      .withColumn("__g_email", instr(t, "@") > 0)
+      .withColumn("__g_num", t.rlike("[0-9]"))
+    val gateOf = Map("url" -> col("__g_url"), "email" -> col("__g_email"),
+      "ip" -> col("__g_num"), "phone" -> col("__g_num"))
+    for ((tag, re) <- PiiPatterns) {
+      d = d
+        .withColumn(s"n_$tag",
+          when(gateOf(tag), regexp_count(col("__red"), lit(re)).cast("long"))
+            .otherwise(lit(0L)))
+        .withColumn("__red",
+          when(gateOf(tag),
+            regexp_replace(col("__red"), re, s"<${tag.toUpperCase}>"))
+            .otherwise(col("__red")))
     }
-    counts.map { case (tag, c) => c.as(s"n_$tag") } ++ Seq(
-      counts.map(_._2).reduce(_ + _).as("n_pii"),
-      length(red).cast("long").as("red_chars"),
-      md5(red).as("red_fp"))
+    d.withColumn("n_pii",
+        col("n_url") + col("n_email") + col("n_ip") + col("n_phone"))
+      .withColumn("red_chars", length(col("__red")).cast("long"))
+      .withColumn("red_fp", md5(col("__red")))
+      .drop("__red", "__g_url", "__g_email", "__g_num")
   }
 
-  /** [[piiCols]] applied to a (doc_id, text) frame. */
+  /** [[withPiiCols]] applied to a (doc_id, text) frame. */
   private[graft] def piiProject(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id") +: piiCols(col("text")): _*)
+    withPiiCols(docs, col("text"))
+      .select(("doc_id" +: PiiOutCols).map(col): _*)
 
   /** tx_pii: PII detection + redaction — per-document counts of
     * URL/email/IP/phone matches and the fully masked text (length +
@@ -779,8 +815,9 @@ object TextOps {
   def txPatternCanary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     val docs = CanaryRows.toDF("doc_id", "text")
-    docs.select(col("doc_id") +: piiCols(col("text")) :+
-      emojiCount(col("text")).cast("long").as("n_emoji"): _*)
+    withPiiCols(docs, col("text"))
+      .withColumn("n_emoji", emojiCount(col("text")).cast("long"))
+      .select(("doc_id" +: PiiOutCols :+ "n_emoji").map(col): _*)
       .orderBy(col("doc_id"))
   }
 

@@ -285,14 +285,15 @@ object EventStreams {
 
   /** Streaming PII scrub at INGEST — the stateless streaming form of
     * batch tx_pii: each arriving document is counted and masked via the
-    * SAME shared projection ([[graft.operators.TextOps.piiCols]]), so
+    * SAME shared staged projection
+    * ([[graft.operators.TextOps.withPiiCols]] — literal-prefilter
+    * gated, so trigger-free documents pass the gate at memchr cost), so
     * batch and stream cannot drift. Stateless map — no watermark, no
     * state store, no shuffle; input needs a `text` column. This is the
     * scrub-at-the-door deployment shape: redact before anything is
     * persisted, not as a later batch pass over already-stored raw text. */
   def piiGate(docs: DataFrame): DataFrame =
-    docs.select(col("*") +:
-      graft.operators.TextOps.piiCols(col("text")): _*)
+    graft.operators.TextOps.withPiiCols(docs, col("text"))
 
   /** Streaming boilerplate scrub at INGEST — the streaming form of
     * batch tx_boilerplate's use half: each arriving document is
