@@ -94,11 +94,23 @@ object Annotations {
       .orderBy(col("doc_id"))
 
   /** p07: drop topics with disallowed content (7-clean-topics.py:18-43:
-    * "..."/?/_/{}/[]/<>/CJK/"unknown"). */
+    * "..."/?/_/{}/[]/<>/CJK/"unknown").
+    *
+    * The filter is expressed as a one-element higher-order
+    * `explode(filter(array(topic), …))` rather than a Filter node: a
+    * plain `.filter(isDisallowed(col("topic")))` gets pushed below the
+    * projection with the alias INLINED into each of the predicate's 12
+    * references, so the DominantToken kernel ran 13× per row (146 s at
+    * the 100× corpus vs p06's 16 s for the same kernel once). Here the
+    * kernel fills the array once and the lambda tests the materialized
+    * element with the SAME Catalyst expressions (exact oracle parity);
+    * a disallowed (or null, i.e. empty-doc) topic yields an empty array
+    * and explode emits no row — identical row set. */
   def p07CleanTopics(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
-      .select(col("doc_id"), topicCol.as("topic"))
-      .filter(!isDisallowedAnnotation(col("topic")))
+      .select(col("doc_id"),
+        explode(filter(array(topicCol),
+          t => !isDisallowedAnnotation(t))).as("topic"))
       .orderBy(col("doc_id"))
 
   /** p09: tone — up to 3 distinct md5-bucketed picks from the 76-tone
