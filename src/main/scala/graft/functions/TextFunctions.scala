@@ -93,12 +93,27 @@ object TextFunctions {
 
   /** Emoji frequency = emoji / chars (0 for empty text). */
   def emojiFrequency(c: Column): Column =
-    when(length(c) > 0, emojiCount(c).cast("double") / length(c)).otherwise(lit(0.0))
+    emojiFrequencyOf(emojiCount(c), length(c))
+
+  /** [[emojiFrequency]] from a PRE-COMPUTED emoji count — the staged
+    * form hot paths use: `cnt` should be a materialized attribute, so
+    * the emoji kernel runs once per row however many times the
+    * frequency/usage chain references it. (Codegen subexpression
+    * elimination does not reach into later `when` branches, so the
+    * unstaged forms evaluate the kernel once per reference — the
+    * p02_label 8×-kernel plan.) Division arithmetic identical to the
+    * original emojiCount(c)/length(c) form. */
+  def emojiFrequencyOf(cnt: Column, len: Column): Column =
+    when(len > 0, cnt.cast("double") / len).otherwise(lit(0.0))
 
   /** Usage bins from the reference's default thresholds (2-label.py
     * load_emoji_bins): none/very low/low/medium/high/extreme. */
-  def emojiUsage(c: Column): Column = {
-    val f = emojiFrequency(c)
+  def emojiUsage(c: Column): Column =
+    emojiUsageOf(emojiCount(c), length(c))
+
+  /** [[emojiUsage]] from a pre-computed emoji count (staged form). */
+  def emojiUsageOf(cnt: Column, len: Column): Column = {
+    val f = emojiFrequencyOf(cnt, len)
     when(f <= 0.0, "none")
       .when(f <= 0.0005, "very low")
       .when(f <= 0.001, "low")

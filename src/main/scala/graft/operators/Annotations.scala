@@ -56,21 +56,29 @@ object Annotations {
   private val toksSql =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 
-  /** Structure label column (shared with p18's prompt assembly). */
-  private[operators] def structureCol: Column =
+  /** Structure label from a PRE-COMPUTED token array — the staged form
+    * hot paths use so the tokenizer kernel runs once per row; a `when`
+    * chain re-evaluates a non-attribute token expression per branch
+    * (codegen subexpression elimination does not cross conditional
+    * branches — the 6×-tokenize p03 plan). */
+  private[operators] def structureColOf(tks: Column): Column =
     when(length(trim(t)) === 0, "unknown")
-      .when(array_contains(toks, "data") && array_contains(toks, "table"), "analytical")
-      .when(array_contains(toks, "fast") && array_contains(toks, "slow"), "comparative")
-      .when(array_contains(toks, "stream"), "evolutionary")
-      .when(array_contains(toks, "spark"), "announcement")
+      .when(array_contains(tks, "data") && array_contains(tks, "table"), "analytical")
+      .when(array_contains(tks, "fast") && array_contains(tks, "slow"), "comparative")
+      .when(array_contains(tks, "stream"), "evolutionary")
+      .when(array_contains(tks, "spark"), "announcement")
       .otherwise(pick(StructureLabels, hashBucket(t, 9)))
+
+  /** Structure label column (shared with p18's prompt assembly). */
+  private[operators] def structureCol: Column = structureColOf(toks)
 
   /** p03: structure classification — keyword rules first, md5-bucket
     * fallback over the 9-label taxonomy; empty text → 'unknown'
     * (3-extract-structures.py:60-75 semantics, heuristic re-expression). */
   def p03Structure(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
-      .select(col("doc_id"), structureCol.as("structure"))
+      .select(col("doc_id"), t, toks.as("__toks"))
+      .select(col("doc_id"), structureColOf(col("__toks")).as("structure"))
       .orderBy(col("doc_id"))
 
   /** p06: dominant-token topic (most frequent token, ties → smallest by
@@ -131,10 +139,13 @@ object Annotations {
       .orderBy(col("doc_id"))
 
   /** p11: opinion extraction — leading-phrase re-expression ("I think " +
-    * first 5 tokens); empty text → '' (11-extract-opinion.py:50,64-70). */
-  private[operators] val opinionCol =
-    when(size(toks) === 0, "")
-      .otherwise(concat(lit("I think "), concat_ws(" ", slice(toks, 1, 5))))
+    * first 5 tokens); empty text → '' (11-extract-opinion.py:50,64-70).
+    * Staged form: `tks` should be a materialized token attribute. */
+  private[operators] def opinionColOf(tks: Column): Column =
+    when(size(tks) === 0, "")
+      .otherwise(concat(lit("I think "), concat_ws(" ", slice(tks, 1, 5))))
+
+  private[operators] val opinionCol = opinionColOf(toks)
 
   private[operators] val opinionSql =
     s"""CASE WHEN len($toksSql) = 0 THEN ''
@@ -142,7 +153,8 @@ object Annotations {
 
   def p11Opinion(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
-      .select(col("doc_id"), opinionCol.as("opinion"))
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), opinionColOf(col("__toks")).as("opinion"))
       .orderBy(col("doc_id"))
 
   /** p12: drop opinions with CJK or bare "unknown"
@@ -153,18 +165,24 @@ object Annotations {
     * while filter pushdown re-evaluates only the payload, not the whole
     * CASE/concat chain. */
   def p12CleanOpinions(spark: SparkSession, sfDir: String): DataFrame =
+    // one-element higher-order filter (the p07 pattern): a Filter node
+    // would be pushed below the projection and re-derive the token
+    // array from text inside the predicate
     docs(spark, sfDir)
-      .select(col("doc_id"), opinionCol.as("opinion"),
-        concat_ws(" ", slice(toks, 1, 5)).as("__first5"))
-      .filter(!hasCjk(col("__first5")))
-      .select(col("doc_id"), col("opinion"))
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), explode(filter(array(struct(
+          opinionColOf(col("__toks")).as("opinion"),
+          concat_ws(" ", slice(col("__toks"), 1, 5)).as("first5"))),
+        s => !hasCjk(s("first5")))).as("__o"))
+      .select(col("doc_id"), col("__o.opinion").as("opinion"))
       .orderBy(col("doc_id"))
 
   /** p14: context extraction — tokens 6-10 as the supporting-context
-    * phrase; <6 tokens → 'Unknown' (14-extract-context.py:34-39,69-75). */
-  private val contextCol =
-    when(size(toks) < 6, "Unknown")
-      .otherwise(concat(lit("Based on "), concat_ws(" ", slice(toks, 6, 5))))
+    * phrase; <6 tokens → 'Unknown' (14-extract-context.py:34-39,69-75).
+    * Staged form: `tks` should be a materialized token attribute. */
+  private def contextColOf(tks: Column): Column =
+    when(size(tks) < 6, "Unknown")
+      .otherwise(concat(lit("Based on "), concat_ws(" ", slice(tks, 6, 5))))
 
   private val contextSql =
     s"""CASE WHEN len($toksSql) < 6 THEN 'Unknown'
@@ -172,7 +190,8 @@ object Annotations {
 
   def p14Context(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
-      .select(col("doc_id"), contextCol.as("context"))
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), contextColOf(col("__toks")).as("context"))
       .orderBy(col("doc_id"))
 
   /** p15: drop contexts with CJK, bare "unknown", or the literal "650+"
@@ -185,13 +204,16 @@ object Annotations {
     * span the ASCII prefix boundary) — row-for-row identical to
     * filtering the assembled context, which the oracle still does. */
   def p15CleanContext(spark: SparkSession, sfDir: String): DataFrame =
+    // same one-element higher-order filter shape as p12
     docs(spark, sfDir)
-      .select(col("doc_id"), contextCol.as("context"),
-        size(toks).as("__ntok"),
-        concat_ws(" ", slice(toks, 6, 5)).as("__mid"))
-      .filter(col("__ntok") >= 6 &&
-        !(hasCjk(col("__mid")) || col("__mid").contains("650+")))
-      .select(col("doc_id"), col("context"))
+      .select(col("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"), explode(filter(array(struct(
+          contextColOf(col("__toks")).as("context"),
+          size(col("__toks")).as("ntok"),
+          concat_ws(" ", slice(col("__toks"), 6, 5)).as("mid"))),
+        s => s("ntok") >= 6 &&
+          !(hasCjk(s("mid")) || s("mid").contains("650+")))).as("__c"))
+      .select(col("doc_id"), col("__c.context").as("context"))
       .orderBy(col("doc_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

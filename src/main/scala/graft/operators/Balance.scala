@@ -99,10 +99,15 @@ object Balance {
 
   private def prepared(spark: SparkSession, sfDir: String) = {
     val t = col("text")
-    val base = Tables.documents(spark, sfDir).select(
+    // tokenizer/emoji kernels staged as attributes so the label `when`
+    // chains evaluate each once per row (not once per branch)
+    val base = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), t, tokens(t).as("__toks"),
+        emojiCount(t).cast("long").as("__ne"))
+      .select(
       col("doc_id"),
-      Annotations.structureCol.as("structure"),
-      emojiUsage(t).as("emoji_usage"),
+      Annotations.structureColOf(col("__toks")).as("structure"),
+      emojiUsageOf(col("__ne"), length(t)).as("emoji_usage"),
       lengthBucket(t).as("max_length"))
     val bucketed = Sampling.withBuckets(base,
       md5(concat(lit("bal#"), col("doc_id").cast("string"))))

@@ -30,12 +30,17 @@ object Correlation {
     * Catalyst prunes doc_id where a consumer drops it. */
   private def featureFrame(spark: SparkSession, sfDir: String): DataFrame = {
     val t = col("text")
-    val toks = tokens(t)
+    // tokenizer staged as an attribute: the avg_word_len branch chain
+    // references the token array 3× and conditional branches defeat
+    // codegen subexpression elimination (one kernel pass, not 3)
+    val toks = col("__toks")
     val sumTokLen = aggregate(transform(toks, x => length(x)), lit(0), (a, v) => a + v)
-    Tables.documents(spark, sfDir).select(
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), t, tokens(t).as("__toks"))
+      .select(
       col("doc_id"),
       length(t).cast("double").as("text_length"),
-      tokenCount(t).cast("double").as("word_count"),
+      size(toks).cast("double").as("word_count"),
       // divisor clamped: subexpression elimination can hoist the division
       // out of the CASE branch, so a bare size() trips ANSI div-by-zero
       when(size(toks) === 0, 0.0)
@@ -44,7 +49,7 @@ object Correlation {
       lineBreakCount(t).cast("double").as("line_breaks"),
       emojiCount(t).cast("double").as("emoji_count"),
       hashtagCount(t).cast("double").as("hashtag_count"),
-      distinctTokenCount(t).cast("double").as("vocab_distinct"),
+      size(array_distinct(toks)).cast("double").as("vocab_distinct"),
       sentenceCount(t).cast("double").as("n_sentences"),
       DocPipeline.engagementPpm.cast("double").as("y"))
   }
@@ -144,9 +149,13 @@ object Correlation {
   def p20Onehot(spark: SparkSession, sfDir: String): DataFrame = {
     val t = col("text")
     val base = Tables.documents(spark, sfDir)
+      // tokenizer + emoji kernel staged (their when-chains re-evaluate
+      // non-attribute inputs per branch: 6 token + 6 emoji passes)
+      .select(col("doc_id"), t, tokens(t).as("__toks"),
+        emojiCount(t).cast("long").as("__ne"))
       .select(
-        Annotations.structureCol.as("structure"),
-        emojiUsage(t).as("emoji_usage"),
+        Annotations.structureColOf(col("__toks")).as("structure"),
+        emojiUsageOf(col("__ne"), length(t)).as("emoji_usage"),
         tokenCount(t).cast("long").as("__nt"),
         sentenceCount(t).cast("long").as("__ns"),
         DocPipeline.engagementPpm.cast("double").as("y"))

@@ -41,9 +41,13 @@ object Curation {
   def gopherStats(df: DataFrame): DataFrame = {
     val t = col("text")
     df
-      .withColumn("n_words", tokenCount(t).cast("long"))
+      // one staged tokenize pass shared by the word count and the
+      // stopword counter (each convenience form embeds its own)
+      .withColumn("__toks", tokens(t))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
       .withColumn("__ns", length(regexp_replace(t, "\\s", "")).cast("long"))
-      .withColumn("n_stops", tokenSetCount(t, TextOps.EnStops).cast("long"))
+      .withColumn("n_stops", graft.functions.NativeExpressions
+        .tokenSetCount(col("__toks"), TextOps.EnStops).cast("long"))
       .withColumn("__sym", regexp_count(t, lit("#|\\.\\.\\.")).cast("long"))
       .withColumn("awl_centi", expr("__ns * 100L div greatest(n_words, 1L)"))
       .withColumn("sym_ppm", expr("__sym * 1000000L div greatest(n_words, 1L)"))
@@ -53,7 +57,7 @@ object Curation {
            | + CASE WHEN n_stops < $GopherMinStops THEN 4L ELSE 0L END
            | + CASE WHEN sym_ppm > $GopherMaxSymPpm THEN 8L ELSE 0L END""".stripMargin))
       .withColumn("keep", when(col("fail_mask") === 0L, 1L).otherwise(0L))
-      .drop("__ns", "__sym")
+      .drop("__ns", "__sym", "__toks")
   }
 
   /** tx_gopher: the Gopher rule gate — word count, mean word length,
@@ -151,11 +155,19 @@ object Curation {
     * n_trigrams = 0 with guarded divisions. */
   def txRepetition(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.NativeExpressions.ngramRepetition
+    // one-element higher-order filter instead of a Filter node: pushdown
+    // would inline the kernel aliases into the predicate and field
+    // extractions (3 kernel passes per row); here each kernel fills the
+    // struct once and the lambda tests the materialized element (the
+    // p07_clean_topics pattern)
     docs(spark, sfDir)
       .select(col("doc_id"),
-        ngramRepetition(col("text"), 2).as("__r2"),
-        ngramRepetition(col("text"), 3).as("__r3"))
-      .filter(col("__r2.total") > 0)
+        explode(filter(array(struct(
+            ngramRepetition(col("text"), 2).as("r2"),
+            ngramRepetition(col("text"), 3).as("r3"))),
+          s => s("r2")("total") > 0)).as("__rr"))
+      .select(col("doc_id"),
+        col("__rr.r2").as("__r2"), col("__rr.r3").as("__r3"))
       .selectExpr("doc_id",
         "__r2.total AS n_bigrams",
         "__r2.top * 1000000L div __r2.total AS top2_ppm",

@@ -67,20 +67,26 @@ object Datasets {
     def fam(name: String, prompt: Column, chosen: Column): Column =
       struct(lit(name).as("family"), prompt.as("prompt"), chosen.as("chosen"))
     // Annotations materialize ONCE below the explode — each md5/token
-    // pipeline runs per document, not per (document, family) reference.
+    // pipeline runs per document, not per (document, family) reference;
+    // the tokenizer/emoji kernels stage first so the structure/usage
+    // `when` chains read attributes (one kernel pass per row each).
     Tables.documents(spark, sfDir)
+      .select(col("doc_id"), t, tokens(t).as("__toks"),
+        emojiCount(t).cast("long").as("__ne"))
       .select(col("doc_id"), t,
         Annotations.topicCol.as("__topic"),
-        Annotations.opinionCol.as("__opinion"),
+        Annotations.opinionColOf(col("__toks")).as("__opinion"),
         Annotations.toneCol.as("__tone"),
-        Annotations.structureCol.as("__structure"))
+        Annotations.structureColOf(col("__toks")).as("__structure"),
+        emojiUsageOf(col("__ne"), length(t)).as("__usage"))
       .select(col("doc_id"), explode(array(
         fam("topic", concat(lit(topicPre), t, lit(topicPost)), col("__topic")),
         fam("opinion", concat(lit(opinionPre), t, lit(opinionPost)), col("__opinion")),
         fam("tone", concat(lit(tonePre), t, lit(tonePost)), col("__tone")),
         fam("structure", concat(lit(structurePre), t, lit(structurePost)), col("__structure")),
         fam("post-generation",
-          Style.genPromptFrom(col("__structure"), col("__topic"), col("__tone"), t),
+          Style.genPromptFrom(col("__structure"), col("__topic"), col("__tone"), t,
+            col("__usage")),
           t))).as("f"))
       .select(col("doc_id"), col("f.family"), lit(SystemMessage).as("system"),
         col("f.prompt"), col("f.chosen"))
@@ -88,10 +94,12 @@ object Datasets {
   }
 
   /** Split-group key: post-generation rows group by structure, the rest by
-    * prompt family (23-split.py:496-509). */
-  private def groupKeyCol(family: Column): Column =
+    * prompt family (23-split.py:496-509). `structure` should be a
+    * materialized attribute (staging keeps the tokenizer to one pass
+    * per document rather than one per family row and `when` branch). */
+  private def groupKeyCol(family: Column, structure: Column): Column =
     when(family === "post-generation",
-      concat(lit("post-"), Annotations.structureCol)).otherwise(family)
+      concat(lit("post-"), structure)).otherwise(family)
 
   /** p23: deterministic per-group 80/20 SFT/DPO split
     * (23-split.py:514-521: per-group shuffle + int(n*0.80) to SFT — the
@@ -100,10 +108,12 @@ object Datasets {
   def p23Split(spark: SparkSession, sfDir: String): DataFrame = {
     val fams = Seq("topic", "opinion", "tone", "structure", "post-generation")
     val base = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), t,
+      .select(col("doc_id"), t, tokens(t).as("__toks"))
+      .select(col("doc_id"),
+        Annotations.structureColOf(col("__toks")).as("__structure"),
         explode(array(fams.map(lit): _*)).as("family"))
       .select(col("doc_id"), col("family"),
-        groupKeyCol(col("family")).as("group_key"))
+        groupKeyCol(col("family"), col("__structure")).as("group_key"))
     val bucketed = Sampling.withBuckets(base,
       md5(concat(lit("split#"), col("doc_id").cast("string"), lit("#"), col("family"))))
     val bCounts = Sampling.bucketCounts(bucketed, Seq("group_key"))
@@ -134,8 +144,10 @@ object Datasets {
     * emoji) are md5-derived. Shuffle-free single-pass projection. */
   def p24Negatives(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      .select(col("doc_id"), t, emojiCount(t).cast("long").as("__ne"))
       .select(col("doc_id"), t,
-        emojiUsage(t).as("__eu"), lengthBucket(t).as("__lb"))
+        emojiUsageOf(col("__ne"), length(t)).as("__eu"),
+        lengthBucket(t).as("__lb"))
       // violate_urls: deterministic 8-char path from md5 (violations.py:29-31)
       .withColumn("__s1", concat(t, lit("\n\nLearn more: https://lnkd.in/"),
         substring(md5(concat(lit("url#"), col("doc_id").cast("string"))), 1, 8)))

@@ -91,12 +91,16 @@ object DocPipeline {
     * reference-output parity harness (tools/ref_parity.py). */
   def labelPosts(posts: DataFrame): DataFrame =
     posts.filter(col("post_text").isNotNull && length(col("post_text")) > 0)
+      .select(col("post_text"),
+        emojiCount(col("post_text")).cast("long").as("emoji_count"),
+        length(col("post_text")).cast("long").as("text_length"))
       .select(
         col("post_text"),
-        emojiCount(col("post_text")).cast("long").as("emoji_count"),
-        length(col("post_text")).cast("long").as("text_length"),
-        round(emojiFrequency(col("post_text")) * 1000000, 0).cast("long").as("freq_ppm"),
-        emojiUsage(col("post_text")).as("emoji_usage"),
+        col("emoji_count"),
+        col("text_length"),
+        round(emojiFrequencyOf(col("emoji_count"), col("text_length")) * 1000000, 0)
+          .cast("long").as("freq_ppm"),
+        emojiUsageOf(col("emoji_count"), col("text_length")).as("emoji_usage"),
         lengthBucket(col("post_text")).as("max_length"))
 
   /** p02: emoji count / frequency / usage bins + length buckets.
@@ -104,12 +108,18 @@ object DocPipeline {
     */
   def p02Label(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
+      // stage 1 materializes the emoji-kernel count so the freq/usage
+      // chain reads an attribute (one kernel pass, not 8 — see
+      // TextFunctions.emojiFrequencyOf)
+      .select(col("doc_id"), col("text"),
+        emojiCount(col("text")).cast("long").as("emoji_count"))
       .select(
         col("doc_id"),
-        emojiCount(col("text")).cast("long").as("emoji_count"),
+        col("emoji_count"),
         length(col("text")).cast("long").as("text_length"),
-        round(emojiFrequency(col("text")) * 1000000, 0).cast("long").as("freq_ppm"),
-        emojiUsage(col("text")).as("emoji_usage"),
+        round(emojiFrequencyOf(col("emoji_count"), length(col("text"))) * 1000000, 0)
+          .cast("long").as("freq_ppm"),
+        emojiUsageOf(col("emoji_count"), length(col("text"))).as("emoji_usage"),
         lengthBucket(col("text")).as("max_length"))
       .orderBy(col("doc_id"))
 

@@ -590,8 +590,7 @@ object Rewards {
     * Scale shape: map-only, shuffle-free, all codegen'd regexp_extract —
     * a pure scan at 100 TB. */
   def rwPromptParse(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), Style.genPromptCol.as("prompt"), t)
+    Style.promptFrame(spark, sfDir)
       .select(col("doc_id") +: promptConstraintCols(col("prompt"))
         :+ urlCount(t).cast("long").as("n_urls"): _*)
       .orderBy(col("doc_id"))

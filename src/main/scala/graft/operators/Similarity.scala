@@ -1188,9 +1188,16 @@ object Similarity {
       .select(col("vec_id").as("doc_id"),
         argminL2(col("v"), col("cents")).getField("c_id").as("cluster"))
     val counts = Tables.documents(spark, sfDir)
+      // tokenizer/emoji kernels staged so the structure/usage `when`
+      // chains evaluate each once per row, not per branch
+      .select(col("doc_id"), col("text"),
+        graft.functions.TextFunctions.tokens(col("text")).as("__toks"),
+        graft.functions.TextFunctions.emojiCount(col("text"))
+          .cast("long").as("__ne"))
       .select(col("doc_id"),
-        Annotations.structureCol.as("structure"),
-        emojiUsage(col("text")).as("emoji_usage"),
+        Annotations.structureColOf(col("__toks")).as("structure"),
+        graft.functions.TextFunctions
+          .emojiUsageOf(col("__ne"), length(col("text"))).as("emoji_usage"),
         lengthBucket(col("text")).as("length_bucket"))
       .join(asg, "doc_id")
       .select(col("cluster"), expr(

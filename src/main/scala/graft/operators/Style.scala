@@ -38,16 +38,19 @@ object Style {
   private val ProfLight = Seq("arsehole", "ass", "asshole", "bollocks",
     "hell", "piss", "pissed")
 
-  /** Max-severity category over the first 1000 lowercased tokens
-    * (features/profanity.py:34-40). */
-  private def profanityCol: Column = {
-    val toks1k = slice(tokens(lower(t)), 1, 1000)
+  /** Max-severity category over a PRE-COMPUTED first-1000-lowercased-
+    * token slice (features/profanity.py:34-40) — staged so the
+    * tokenizer runs once, not once per `when` branch. */
+  private def profanityColOf(toks1k: Column): Column = {
     def has(set: Seq[String]) = arrays_overlap(toks1k, array(set.map(lit): _*))
     when(has(ProfHeavy), "heavy")
       .when(has(ProfModerate), "moderate")
       .when(has(ProfLight), "light")
       .otherwise("none")
   }
+
+  /** Max-severity category over the first 1000 lowercased tokens. */
+  private def profanityCol: Column = profanityColOf(slice(tokens(lower(t)), 1, 1000))
 
   /** p17: style features. Every line/token/sentence statistic comes from
     * the one-pass stats kernel (the HOF line classifiers measured 22 s at
@@ -56,8 +59,15 @@ object Style {
     * exactly: splitting on \n yields one more part than there are
     * newlines. */
   def p17Style(spark: SparkSession, sfDir: String): DataFrame = {
-    val st = graft.functions.NativeExpressions.rewardStats(t)
+    // stage the stats kernel and the profanity token slice as named
+    // columns: 21 raw getField references re-embedded the kernel into
+    // every output column (21 kernel passes per row — 78 s at the 100×
+    // corpus); from attributes the extractions are free
+    val st = col("__st")
     Tables.documents(spark, sfDir)
+      .select(col("doc_id"), t,
+        graft.functions.NativeExpressions.rewardStats(t).as("__st"),
+        slice(tokens(lower(t)), 1, 1000).as("__toks1k"))
       .select(col("doc_id"),
         st.getField("tok_distinct").cast("long").as("vocab_distinct"),
         st.getField("sent_n").cast("long").as("n_sentences"),
@@ -77,7 +87,7 @@ object Style {
         st.getField("div_eq").cast("long").as("d2"),
         st.getField("div_star").cast("long").as("d3"),
         st.getField("div_tilde").cast("long").as("d4"),
-        profanityCol.as("profanity"),
+        profanityColOf(col("__toks1k")).as("profanity"),
         // 17-writing-style.py:314-324 average-sentiment arc (lexicon
         // scores — integer cross-multiplication for the ±0.2 thresholds)
         // and :274-284 flow via keyword-overlap transitions.
@@ -122,26 +132,35 @@ object Style {
     * (lets p22 materialize structure/topic/tone once below its explode
     * instead of re-evaluating the md5/token pipelines per family). */
   private[operators] def genPromptFrom(
-      structure: Column, topic: Column, tone: Column, text: Column): Column =
+      structure: Column, topic: Column, tone: Column, text: Column,
+      usage: Column): Column =
     concat(
       lit("Write a "), structure,
       lit(" social media post about \""), topic,
       lit("\" in a "), tone,
       lit(" tone.\n**Length**: "), lengthBucket(text),
-      lit("\n**Emoji Usage**: "), emojiUsage(text))
+      lit("\n**Emoji Usage**: "), usage)
 
-  /** Generation-prompt column (p18 template; shared with p22's
-    * post-generation family). */
-  private[operators] def genPromptCol: Column =
-    genPromptFrom(Annotations.structureCol, Annotations.topicCol,
-      Annotations.toneCol, t)
+  /** The staged (doc_id, text, prompt) frame behind p18 and
+    * rw_prompt_parse: tokenizer and emoji kernels materialize once as
+    * attributes before the structure/usage `when` chains consume them
+    * (the unstaged column form re-evaluated them per branch — 6 token +
+    * 5 emoji passes per row). */
+  private[operators] def promptFrame(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), t, tokens(t).as("__toks"),
+        emojiCount(t).cast("long").as("__ne"))
+      .select(col("doc_id"), t,
+        genPromptFrom(Annotations.structureColOf(col("__toks")),
+          Annotations.topicCol, Annotations.toneCol, t,
+          emojiUsageOf(col("__ne"), length(t))).as("prompt"))
 
   /** p18: generation-prompt assembly from extracted features
     * (18-generate-prompts.py template semantics over this engine's
     * deterministic feature set). */
   def p18Prompts(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), genPromptCol.as("prompt"))
+    promptFrame(spark, sfDir)
+      .select(col("doc_id"), col("prompt"))
       .orderBy(col("doc_id"))
 
   /** p17_phrases: per-author distinctive phrases (reference:

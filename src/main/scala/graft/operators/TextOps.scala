@@ -34,10 +34,11 @@ object TextOps {
     * sentence count. */
   def txTokens(spark: SparkSession, sfDir: String): DataFrame =
     docsOrdered(spark, sfDir)
+      .select(col("doc_id"), col("text"), tokens(col("text")).as("__toks"))
       .select(
         col("doc_id"),
-        tokenCount(col("text")).cast("long").as("n_tokens"),
-        distinctTokenCount(col("text")).cast("long").as("n_distinct"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("__toks"))).cast("long").as("n_distinct"),
         bpeTokenCount(col("text")).cast("long").as("n_bpe"),
         sentenceCount(col("text")).cast("long").as("n_sentences"))
       .orderBy(col("doc_id"))
@@ -47,8 +48,13 @@ object TextOps {
     * 'unknown'). */
   def txLangid(spark: SparkSession, sfDir: String): DataFrame = {
     val t = col("text")
-    def hits(set: Seq[String]) = tokenSetCount(t, set).cast("long")
+    // tokenize once; each stop-set counter scans the shared array (the
+    // convenience tokenSetCount(text, set) embeds its own tokenizer —
+    // 4 tokenize passes per row for the 4 languages)
+    def hits(set: Seq[String]) =
+      graft.functions.NativeExpressions.tokenSetCount(col("__toks"), set).cast("long")
     docsOrdered(spark, sfDir)
+      .select(col("doc_id"), t, tokens(t).as("__toks"))
       .select(col("doc_id"), t,
         hits(EnStops).as("en_hits"), hits(EsStops).as("es_hits"),
         hits(DeStops).as("de_hits"), hits(FrStops).as("fr_hits"))
@@ -69,13 +75,17 @@ object TextOps {
     * tx_quality_dist): ratios + composite score, all integer-exact. */
   private def qualityBase(spark: SparkSession, sfDir: String): DataFrame = {
     val t = col("text")
-    val nTok = tokenCount(t).cast("long")
+    // shared token array: tokenCount + the stopword counter read one
+    // staged tokenize pass instead of embedding one each
+    val nTok = size(col("__toks")).cast("long")
     val punct = regexp_count(t, lit("[,.;:!?]")).cast("long")
-    val stops = tokenSetCount(t, EnStops).cast("long")
+    val stops = graft.functions.NativeExpressions
+      .tokenSetCount(col("__toks"), EnStops).cast("long")
     val lines = filter(split(t, "\n"), l => length(trim(l)) > lit(0))
     val nLines = size(lines).cast("long")
     val nDistinctLines = size(array_distinct(lines)).cast("long")
     docsOrdered(spark, sfDir)
+      .select(col("doc_id"), col("source"), t, tokens(t).as("__toks"))
       .select(col("doc_id"), col("source"),
         length(t).cast("long").as("n_chars"),
         nTok.as("n_tokens"),
