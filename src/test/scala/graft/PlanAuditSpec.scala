@@ -91,4 +91,40 @@ class PlanAuditSpec extends SparkSpec {
       plan.contains("BroadcastHashJoin"), plan)
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
   }
+
+  test("expensive kernels stay within their per-plan call budget") {
+    // Codegen subexpression elimination does not reach into later `when`
+    // branches or pushed-down predicates, so a label chain that embeds a
+    // kernel instead of reading a staged attribute re-evaluates it per
+    // reference (the 8×-emoji p02 / 13×-DominantToken p07 / 24×-tokenize
+    // p05_upsample plans this round removed). Budget = 2 by default (a
+    // build/probe or filter/project pair); the exceptions below are
+    // separate SCAN branches (posting + vocabulary passes, stage
+    // composition) — linear per-scan work, not per-row multiplication.
+    val kernels = Seq("reward_stats(", "dominant_token(", "word_tokens(",
+      "word_shingles(", "winnow_fingerprints(", "minhash_sigs(",
+      "ngram_repetition(", "word_ngrams(", "emoji_count(", "sentence_count(")
+    val allowed = Map(
+      ("dd_corpus_report", "word_shingles(") -> 5,
+      ("dd_containment", "word_shingles(") -> 3,
+      ("dd_ngram_jaccard", "word_shingles(") -> 3,
+      ("dd_winnow", "winnow_fingerprints(") -> 3,
+      ("p05_balance", "word_tokens(") -> 3,
+      ("p05_balance", "emoji_count(") -> 3,
+      ("p05_upsample", "word_tokens(") -> 4,
+      ("p05_upsample", "emoji_count(") -> 4,
+      ("p23_split", "word_tokens(") -> 3,
+      ("p24_dpo_ready", "word_tokens(") -> 4,
+      ("tx_unigram_lm", "word_tokens(") -> 3)
+    SparkEntry.queries.foreach { case (name, q) =>
+      val plan = q(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
+      for (k <- kernels) {
+        val n = java.util.regex.Pattern.quote(k).r.findAllIn(plan).length
+        val cap = allowed.getOrElse((name, k), 2)
+        assert(n <= cap,
+          s"$name evaluates ${k.dropRight(1)} $n times per row-set (budget $cap) — " +
+            "stage the kernel output as an attribute instead of re-embedding it")
+      }
+    }
+  }
 }
