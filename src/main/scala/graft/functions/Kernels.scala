@@ -23,15 +23,50 @@ object Kernels {
   private val mdLocal: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  def tokenize(s: String): Array[String] =
-    s.split("\\s+").filter(_.nonEmpty)
+  /** Java regex \s without UNICODE flags = exactly [ \t\n\x0B\f\r]. */
+  @inline private def isWsChar(c: Char): Boolean =
+    c == ' ' || (c >= '\t' && c <= '\r')
+
+  /** Manual walk equal to s.split("\\s+").filter(_.nonEmpty): maximal
+    * runs of non-\s chars. The regex split paid engine dispatch per
+    * boundary plus the empty-first-element rescan; the walk is a single
+    * char loop (same output on every input — TokenizeWalkSpec fuzzes
+    * the equivalence). */
+  def tokenize(s: String): Array[String] = {
+    val n = s.length
+    val out = new java.util.ArrayList[String]()
+    var i = 0
+    while (i < n) {
+      while (i < n && isWsChar(s.charAt(i))) i += 1
+      val start = i
+      while (i < n && !isWsChar(s.charAt(i))) i += 1
+      if (i > start) out.add(s.substring(start, i))
+    }
+    out.toArray(new Array[String](out.size()))
+  }
 
   /** Whitespace tokens as an ArrayData (the native form of
     * filter(split(c, "\\s+"), nonEmpty) — one pass, no per-token lambda
-    * round-trips). */
-  def wordTokens(text: UTF8String): ArrayData =
-    new GenericArrayData(
-      tokenize(text.toString).map(UTF8String.fromString).toArray[Any])
+    * round-trips). Walks BYTES: the six \s chars are single-byte ASCII
+    * and UTF-8 multibyte sequences never contain ASCII bytes, so the
+    * byte walk splits exactly where the char walk does and each token is
+    * a byte-slice — no String round-trip, no char decode. */
+  def wordTokens(text: UTF8String): ArrayData = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val out = new java.util.ArrayList[Any]()
+    var i = 0
+    while (i < n) {
+      while (i < n && isWsByte(bytes(i))) i += 1
+      val start = i
+      while (i < n && !isWsByte(bytes(i))) i += 1
+      if (i > start) out.add(UTF8String.fromBytes(bytes, start, i - start))
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  @inline private def isWsByte(b: Byte): Boolean =
+    b == 0x20 || (b >= 0x09 && b <= 0x0D)
 
   /** BPE-ish subword count — the native form of
     * regexp_count(c, "[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"): a greedy

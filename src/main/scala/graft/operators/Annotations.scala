@@ -79,7 +79,7 @@ object Annotations {
     docs(spark, sfDir)
       .select(col("doc_id"), t, toks.as("__toks"))
       .select(col("doc_id"), structureColOf(col("__toks")).as("structure"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** p06: dominant-token topic (most frequent token, ties → smallest by
     * binary UTF-8 order) — a native one-pass expression; the DuckDB oracle
@@ -99,7 +99,7 @@ object Annotations {
   def p06Topic(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .select(col("doc_id"), topicCol.as("topic"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** p07: drop topics with disallowed content (7-clean-topics.py:18-43:
     * "..."/?/_/{}/[]/<>/CJK/"unknown").
@@ -119,7 +119,7 @@ object Annotations {
       .select(col("doc_id"),
         explode(filter(array(topicCol),
           t => !isDisallowedAnnotation(t))).as("topic"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** p09: tone — up to 3 distinct md5-bucketed picks from the 76-tone
     * taxonomy, joined ", " (9-extract-tone.py:154-163 join semantics). */
@@ -136,7 +136,7 @@ object Annotations {
   def p09Tone(spark: SparkSession, sfDir: String): DataFrame =
     docs(spark, sfDir)
       .select(col("doc_id"), toneCol.as("tone"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** p11: opinion extraction — leading-phrase re-expression ("I think " +
     * first 5 tokens); empty text → '' (11-extract-opinion.py:50,64-70).
@@ -155,7 +155,7 @@ object Annotations {
     docs(spark, sfDir)
       .select(col("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), opinionColOf(col("__toks")).as("opinion"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** p12: drop opinions with CJK or bare "unknown"
     * (12-clean-opinions.py:18-30). The predicate tests the five-token
@@ -175,7 +175,7 @@ object Annotations {
           concat_ws(" ", slice(col("__toks"), 1, 5)).as("first5"))),
         s => !hasCjk(s("first5")))).as("__o"))
       .select(col("doc_id"), col("__o.opinion").as("opinion"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** p14: context extraction — tokens 6-10 as the supporting-context
     * phrase; <6 tokens → 'Unknown' (14-extract-context.py:34-39,69-75).
@@ -192,7 +192,7 @@ object Annotations {
     docs(spark, sfDir)
       .select(col("doc_id"), toks.as("__toks"))
       .select(col("doc_id"), contextColOf(col("__toks")).as("context"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** p15: drop contexts with CJK, bare "unknown", or the literal "650+"
     * (15-clean-context.py:18-39 — note the reference's `and` chain
@@ -214,7 +214,7 @@ object Annotations {
         s => s("ntok") >= 6 &&
           !(hasCjk(s("mid")) || s("mid").contains("650+")))).as("__c"))
       .select(col("doc_id"), col("__c.context").as("context"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p03_structure"     -> (p03Structure _),

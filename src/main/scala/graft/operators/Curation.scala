@@ -70,7 +70,7 @@ object Curation {
     gopherStats(docs(spark, sfDir).select(col("doc_id"), col("text")))
       .select(col("doc_id"), col("n_words"), col("awl_centi"), col("n_stops"),
         col("sym_ppm"), col("fail_mask"), col("keep"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** tx_unigram_lm: unigram-LM document scoring — each document's mean
     * and minimum corpus token frequency (parts-per-billion of all token
@@ -175,7 +175,7 @@ object Curation {
         "__r3.total AS n_trigrams",
         "__r3.top * 1000000L div greatest(__r3.total, 1L) AS top3_ppm",
         "__r3.dup * 1000000L div greatest(__r3.total, 1L) AS dup3_ppm")
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
   }
 
   /** tx_bigram_lm: bigram conditional-frequency scoring — for each

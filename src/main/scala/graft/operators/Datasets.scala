@@ -174,7 +174,7 @@ object Datasets {
           "repeat(' Lorem ipsum dolor sit amet.', greatest(1, length(__s4) div 120))")))
         .otherwise(expr("substring(__s4, 1, greatest(1, length(__s4) div 2))")))
       .select(col("doc_id"), t.as("chosen"), col("rejected"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** p24_dpo_ready: the reference pipeline's final artifact
     * (24-dpo-ready) — the DPO split of the assembled dataset with

@@ -121,7 +121,7 @@ object DocPipeline {
           .cast("long").as("freq_ppm"),
         emojiUsageOf(col("emoji_count"), length(col("text"))).as("emoji_usage"),
         lengthBucket(col("text")).as("max_length"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_engagement" -> (p01Engagement _),

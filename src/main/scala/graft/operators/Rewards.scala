@@ -443,7 +443,7 @@ object Rewards {
     * The HOF-heavy statistics come from one native [[graft.functions
     * .NativeExpressions.RewardStats]] pass shared across columns. */
   def rwRewards(spark: SparkSession, sfDir: String): DataFrame =
-    rwRewardsCore(spark, sfDir).orderBy(col("doc_id"))
+    Sampling.presentSorted(rwRewardsCore(spark, sfDir), col("doc_id"))
 
   /** The reward projection without the presentation sort — [[rwReport]]
     * aggregates this directly (a sort under an aggregate is either dead
@@ -593,7 +593,7 @@ object Rewards {
     Style.promptFrame(spark, sfDir)
       .select(col("doc_id") +: promptConstraintCols(col("prompt"))
         :+ urlCount(t).cast("long").as("n_urls"): _*)
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   private val promptParseSql =
     s"""WITH p AS (

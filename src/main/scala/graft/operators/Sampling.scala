@@ -31,6 +31,22 @@ import graft.functions.TextFunctions.nibble
   */
 object Sampling {
 
+  /** Presentation ORDER BY for an operator's computed output: checkpoint
+    * the frame, THEN sort. A range-partitioned global sort EXECUTES ITS
+    * CHILD TWICE — once for RangePartitioner's boundary sampling, once
+    * for the real pass — and for a map-only plan there is no shuffle
+    * below the sort whose files the second pass could reuse, so every
+    * kernel/regex in the projection runs 2× per row (rw_rewards measured
+    * 115 s at the 100× corpus against ~40 s of actual projection work;
+    * jstack showed reservoirSampleAndCount driving the full reward
+    * chain). The checkpoint materializes the computed rows once and the
+    * sampling pass re-reads partitions instead of recomputing them.
+    * Use for expensive map-only projections whose output is modest;
+    * plans with a shuffle below the final sort reuse its files already
+    * and should keep a plain orderBy. */
+  def presentSorted(df: DataFrame, keys: Column*): DataFrame =
+    df.localCheckpoint(true).orderBy(keys: _*)
+
   /** Adds `__h` (the hash) and `__b` (its first-two-hex-chars bucket). */
   def withBuckets(df: DataFrame, hashCol: Column): DataFrame =
     df.withColumn("__h", hashCol)

@@ -125,7 +125,7 @@ object Style {
           |     WHEN __ft <= 1 THEN 'Smooth'
           |     WHEN __ft <= 3 THEN 'Moderate'
           |     ELSE 'Choppy' END AS flow""".stripMargin)
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
   }
 
   /** Generation-prompt template over already-computed annotation columns
@@ -161,7 +161,7 @@ object Style {
   def p18Prompts(spark: SparkSession, sfDir: String): DataFrame =
     promptFrame(spark, sfDir)
       .select(col("doc_id"), col("prompt"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** p17_phrases: per-author distinctive phrases (reference:
     * features/phrases.py:22 — per-author n-gram counts vs corpus, the one

@@ -41,7 +41,7 @@ object TextOps {
         size(array_distinct(col("__toks"))).cast("long").as("n_distinct"),
         bpeTokenCount(col("text")).cast("long").as("n_bpe"),
         sentenceCount(col("text")).cast("long").as("n_sentences"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** tx_langid: stopword-hit language scores with deterministic argmax
     * (CJK chars dominate; ties break en > es > de > fr; no hits →
@@ -68,7 +68,7 @@ object TextOps {
           .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), "es")
           .when(col("de_hits") >= col("fr_hits"), "de")
           .otherwise("fr").as("lang_pred"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
   }
 
   /** Per-document quality base (shared by tx_quality and
@@ -109,7 +109,7 @@ object TextOps {
       .select(col("doc_id"), col("n_chars"), col("n_tokens"),
         col("punct_ppm"), col("stop_ppm"), col("dup_line_ppm"),
         col("quality_ppm"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** tx_quality_dist: per-source quality-score distribution — count +
     * exact p25/p50/p75/p95 (one map-side-combinable shuffle on source;
@@ -290,7 +290,7 @@ object TextOps {
       .selectExpr("doc_id", "n_words", "n_sentences", "n_long",
         "n_words * 100L div greatest(n_sentences, 1L) + " +
           "n_long * 10000L div greatest(n_words, 1L) AS lix_centi")
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
   }
 
   /** The fixed keyword query [[txBm25]] ranks against — corpus-frequent
@@ -408,7 +408,7 @@ object TextOps {
   def txFingerprint(spark: SparkSession, sfDir: String): DataFrame =
     docsOrdered(spark, sfDir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** Count-min-sketch geometry for [[txHeavyHitters]]: depth (independent
     * hash rows) × width (buckets per row) = the sketch's whole state —
@@ -616,7 +616,7 @@ object TextOps {
     * corpus runs before release. */
   def txPii(spark: SparkSession, sfDir: String): DataFrame =
     piiProject(docsOrdered(spark, sfDir).select(col("doc_id"), col("text")))
-      .orderBy(col("doc_id"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** Chunk window (tokens) and stride for [[txChunk]]; stride < window
     * gives the 8-token overlap retrieval chunkers use so no boundary
