@@ -263,6 +263,23 @@ object Kernels {
     new GenericArrayData(out.iterator.map(UTF8String.fromString).toArray[Any])
   }
 
+  /** Positionwise equal-element count over two equal-length long arrays —
+    * the native form of aggregate(zip_with(a, b, x==y ? 1 : 0), 0, +)
+    * over MinHash signature vectors, whose interpreted per-pair lambda
+    * was the hot cost of dd_minhash_estimate's pair-quadratic output. */
+  def sigMatches(a: ArrayData, b: ArrayData): Long = {
+    val n = a.numElements()
+    require(n == b.numElements(),
+      s"signature length mismatch: $n vs ${b.numElements()}")
+    var m = 0L
+    var i = 0
+    while (i < n) {
+      if (a.getLong(i) == b.getLong(i)) m += 1
+      i += 1
+    }
+    m
+  }
+
   def minHashSigs(shingles: ArrayData, k: Int, p: Long): ArrayData = {
     val md = mdLocal.get()
     val sigs = Array.fill(k)(Long.MaxValue)

@@ -357,6 +357,33 @@ object NativeExpressions {
       case other => throw new IllegalArgumentException(s"vector element type $other")
     }
 
+  /** Positionwise equal-element count of two BIGINT signature arrays —
+    * see [[Kernels.sigMatches]]. Equal length is asserted at runtime
+    * (length is data, not schema). */
+  case class SigMatches(left: Expression, right: Expression)
+      extends BinaryExpression {
+    private def isLongArr(t: DataType): Boolean = t match {
+      case ArrayType(LongType, _) => true
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      if (!isLongArr(left.dataType))
+        NativeExpressions.expectType(prettyName, "left", left.dataType,
+          ok = false, "ARRAY<BIGINT>")
+      else
+        NativeExpressions.expectType(prettyName, "right", right.dataType,
+          isLongArr(right.dataType), "ARRAY<BIGINT>")
+    override def dataType: DataType = LongType
+    override def prettyName: String = "sig_matches"
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SigMatches =
+      copy(left = newLeft, right = newRight)
+    override def nullSafeEval(a: Any, b: Any): Any =
+      Kernels.sigMatches(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b) => s"$K.sigMatches($a, $b)")
+  }
+
   /** Cosine similarity over two equal-length numeric arrays — the native
     * form of VectorFunctions.cosine; same left-to-right IEEE order as the
     * HOF folds and the unrolled DuckDB mirror, so values are
@@ -659,6 +686,9 @@ object NativeExpressions {
 
   def cosineSim(a: Column, b: Column): Column =
     ColumnBridge.column(CosineSim(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def sigMatches(a: Column, b: Column): Column =
+    ColumnBridge.column(SigMatches(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def l2SqDist(a: Column, b: Column): Column =
     ColumnBridge.column(L2SqDist(ColumnBridge.expression(a), ColumnBridge.expression(b)))

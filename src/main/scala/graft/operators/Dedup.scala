@@ -362,9 +362,10 @@ object Dedup {
       .select(col("doc_id"), NativeExpressions.minHashSigs(col("sh"), K, P).as("sigs"))
       .localCheckpoint(true)
     val cands = minhashCandidates(sigDf)
-    val matches = aggregate(
-      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
-      lit(0L), (acc, v) => acc + v)
+    // native positionwise matcher: the zip_with+aggregate HOF ran an
+    // interpreted lambda per pair over the K-long arrays — the hot cost
+    // of this operator's pair-quadratic output at replica densities
+    val matches = NativeExpressions.sigMatches(col("sa"), col("sb"))
     cands
       .join(sigDf.select(col("doc_id").as("id_a"), col("sigs").as("sa")), "id_a")
       .join(sigDf.select(col("doc_id").as("id_b"), col("sigs").as("sb")), "id_b")
