@@ -128,6 +128,28 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("sigMatches == aggregate(zip_with(eq)) fold over signature pairs") {
+    val k = 16
+    val p = 4294967291L
+    val docs = samples.toDF("text")
+      .union(spark.read.parquet(s"$sfDir/documents.parquet").select("text"))
+      .select(minHashSigs(shingles(col("text"), 3), k, p).as("s"))
+    // every (row, reversed-neighbor) pairing via a self-crossJoin sample
+    val a = docs.limit(40).withColumn("i", monotonically_increasing_id())
+    val pairs = a.select(col("s").as("sa"), col("i"))
+      .join(a.select(reverse(col("s")).as("sb"), col("i")), "i")
+      .select(col("sa"), col("sb"))
+      .union(a.select(col("s").as("sa"), col("s").as("sb")))
+    val hof = aggregate(
+      zip_with(col("sa"), col("sb"), (x, y) => when(x === y, 1L).otherwise(0L)),
+      lit(0L), (acc, v) => acc + v)
+    val diff = pairs
+      .select(hof.as("hof"), sigMatches(col("sa"), col("sb")).as("native"))
+      .filter(not(col("hof") <=> col("native")))
+      .count()
+    assert(diff == 0)
+  }
+
   test("bpeCount == regexp_count of the subword alternation") {
     val docs = (samples ++ Seq("🙂ab🙂", "abcdefgh 12345 x!?", "好的 test"))
       .toDF("text")
