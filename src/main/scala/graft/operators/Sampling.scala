@@ -43,9 +43,17 @@ object Sampling {
     * sampling pass re-reads partitions instead of recomputing them.
     * Use for expensive map-only projections whose output is modest;
     * plans with a shuffle below the final sort reuse its files already
-    * and should keep a plain orderBy. */
+    * and should keep a plain orderBy.
+    *
+    * LAZY checkpoint deliberately: the boundary-sampling job is the
+    * first evaluation and materializes every partition as it samples,
+    * so the real pass reads the cache — same single computation as the
+    * eager form without scheduling a separate materialization job per
+    * query (the eager form cost ~+1 s/query at sf0.1's scale). Nothing
+    * here needs the eager form's boundary-pinning (that is globalRank's
+    * concern — its two BRANCHES must agree; a single sort has one). */
   def presentSorted(df: DataFrame, keys: Column*): DataFrame =
-    df.localCheckpoint(true).orderBy(keys: _*)
+    df.localCheckpoint(false).orderBy(keys: _*)
 
   /** Adds `__h` (the hash) and `__b` (its first-two-hex-chars bucket). */
   def withBuckets(df: DataFrame, hashCol: Column): DataFrame =
