@@ -15,6 +15,15 @@ object Verify {
       .config("spark.sql.adaptive.enabled", "true")
       // Bounded object-agg buffers everywhere in this suite — see the
       // matching knob + rationale in Bench.scala.
+      // HotSpot never JIT-compiles methods over 8000 bytecode bytes
+      // (-XX:DontCompileHugeMethods, on by default): a whole-stage-fused
+      // projection past that size runs in the BYTECODE INTERPRETER.
+      // Spark's default hugeMethodLimit (65535) happily keeps such
+      // methods; at 8000 it falls back to per-operator codegen, whose
+      // smaller methods JIT (rw_rewards 41.8->33.4 s, rw_report
+      // 35.7->29.0 s at the 100x corpus; queries under the cliff are
+      // unaffected).
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
         SessionTuning.objectAggFallbackThreshold(cpus.toInt).toString)
       .config("spark.ui.enabled", "false")
