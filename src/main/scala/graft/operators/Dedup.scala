@@ -193,8 +193,17 @@ object Dedup {
     * eagerly checkpointed: the bloom branch and the verify join would
     * otherwise each re-run the band self-join lineage. Gated on scan
     * size ([[BloomMinScanBytesKey]]) — below the threshold the plain
-    * rescans win. */
-  def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    * rescans win.
+    *
+    * The verified pair frame is session-cached ([[cachedPairs]]): the
+    * corpus dashboard (dd_corpus_report) and the operator's own gate
+    * entry consume the SAME pair set, and at 100 TB the pair build is a
+    * job you run once per corpus version, not once per consumer. */
+  def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
+    cachedPairs(spark, sfDir, "minhash")(minhashPairsCore(spark, sfDir))
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def minhashPairsCore(spark: SparkSession, sfDir: String): DataFrame = {
     // raw-text identity groups (md5 of the text itself — NOT the
     // normalized dd_exact fingerprint: normalization-equal texts can
     // have different shingle sets and must not merge here)
@@ -281,7 +290,27 @@ object Dedup {
       .select(explode(pairsOf(col("ids"))).as("p"), col("j_ppm"))
       .select(col("p").getField("a").as("id_a"),
         col("p").getField("b").as("id_b"), col("j_ppm"))
-    within.unionByName(cross).orderBy(col("id_a"), col("id_b"))
+    within.unionByName(cross)
+  }
+
+  /** Session cache of the heavy verified near-dup PAIR frames (the
+    * expensive build shared by each operator's gate entry and
+    * dd_corpus_report) — the same house pattern as Similarity's
+    * centroid/knn caches: keyed per session (dead sessions evicted on
+    * access), corpus dir, method tag, and the bloom-prune conf (a
+    * pruned build and an unpruned one have identical VALUES, but the
+    * key keeps plan-audit runs honest about which shape they measure).
+    * Eagerly checkpointed; pair frames are id/score longs — far smaller
+    * than the shingle/band fan-in they save. */
+  private val pairFrameCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, Option[String]), DataFrame]()
+
+  private def cachedPairs(spark: SparkSession, sfDir: String, tag: String)
+      (build: => DataFrame): DataFrame = {
+    pairFrameCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    pairFrameCache.computeIfAbsent(
+      (spark, sfDir, tag, spark.conf.getOption(BloomMinScanBytesKey)),
+      _ => build.localCheckpoint(true))
   }
 
   /** dd_ngram_jaccard: exact shingle-Jaccard pairs via the inverted index
@@ -305,20 +334,20 @@ object Dedup {
     * overflowing keys (stop shingles) to NULL — one scan, one shuffle to
     * the pair stage, hot-key cost O(cap) no matter how many documents
     * share a boilerplate shingle. */
-  def ddNgramJaccard(spark: SparkSession, sfDir: String): DataFrame = {
-    val posting = shingleDf(spark, sfDir)
-      .select(explode(col("sh")).as("s"),
-        struct(col("doc_id"), size(col("sh")).cast("long").as("n")).as("post"))
-    val pairs = boundedPairs(posting, MaxShingleDf)
-      .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("p.a.n")).as("n_a"), first(col("p.b.n")).as("n_b"))
-    pairs
-      .withColumn("j_ppm", expr("inter * 1000000L div (n_a + n_b - inter)"))
-      .filter(col("j_ppm") >= JaccardThresholdPpm)
-      .select(col("id_a"), col("id_b"), col("inter"), col("j_ppm"))
-      .orderBy(col("id_a"), col("id_b"))
-  }
+  def ddNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
+    cachedPairs(spark, sfDir, "ngram") {
+      val posting = shingleDf(spark, sfDir)
+        .select(explode(col("sh")).as("s"),
+          struct(col("doc_id"), size(col("sh")).cast("long").as("n")).as("post"))
+      val pairs = boundedPairs(posting, MaxShingleDf)
+        .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
+        .agg(count(lit(1)).as("inter"),
+          first(col("p.a.n")).as("n_a"), first(col("p.b.n")).as("n_b"))
+      pairs
+        .withColumn("j_ppm", expr("inter * 1000000L div (n_a + n_b - inter)"))
+        .filter(col("j_ppm") >= JaccardThresholdPpm)
+        .select(col("id_a"), col("id_b"), col("inter"), col("j_ppm"))
+    }.orderBy(col("id_a"), col("id_b"))
 
   /** dd_minhash_estimate: the verify-free half of the MinHash story —
     * Jaccard ESTIMATED from signature agreement (matching positions / K)
@@ -650,7 +679,11 @@ object Dedup {
     * already unique, and the two expansion joins can't duplicate them,
     * so the quadratic output flows through exactly one sort (the gate's
     * ORDER BY) and nothing else. */
-  def ddSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def ddSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    cachedPairs(spark, sfDir, "simhash")(simhashPairsCore(spark, sfDir))
+      .orderBy(col("id_a"), col("id_b"))
+
+  private def simhashPairsCore(spark: SparkSession, sfDir: String): DataFrame = {
     // native one-pass fingerprint (one md5 per token; bit-identical to the
     // 32×filter-count Column form and the DuckDB mirror); checkpointed —
     // consumed by both expansion joins and the within-fp self-join
@@ -682,7 +715,7 @@ object Dedup {
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         lit(0L).as("hamming"))
-    within.unionByName(cross).orderBy(col("id_a"), col("id_b"))
+    within.unionByName(cross)
   }
 
   /** dd_simhash_clusters: the dense-corpus form of dd_simhash — docs with
