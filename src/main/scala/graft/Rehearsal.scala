@@ -44,7 +44,8 @@ object Rehearsal {
       // unaffected).
       .config("spark.sql.codegen.hugeMethodLimit", "8000")
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
-        SessionTuning.objectAggFallbackThreshold(cpus.toInt).toString)
+        SessionTuning.objectAggFallbackThreshold(cpus.toInt,
+          sys.env.get("SPARK_EXECUTOR_MEMORY")).toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

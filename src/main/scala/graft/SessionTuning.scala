@@ -20,9 +20,11 @@ object SessionTuning {
     * `executorMemory` (a `spark.executor.memory` size string, e.g.
     * "8g") sizes the budget when given; the `Runtime.maxMemory`
     * fallback reads the CALLING JVM's heap, which equals the executor
-    * heap only in local mode — this repo's mains are all local[N], but
-    * a cluster deployment whose executor heap differs from the
-    * driver's must pass the conf value through.
+    * heap only in local mode. The mains wire it from the
+    * SPARK_EXECUTOR_MEMORY environment variable (the same value a
+    * cluster submit passes as `spark.executor.memory`), so a deployment
+    * whose executor heap differs from the driver's budgets correctly —
+    * local runs leave it unset and use the JVM heap.
     */
   def objectAggFallbackThreshold(cores: Int,
       executorMemory: Option[String] = None): Long = {

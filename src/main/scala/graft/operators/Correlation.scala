@@ -81,11 +81,12 @@ object Correlation {
     * model per permuted column, each feature's Pearson correlation with
     * engagement is recomputed against a HASH-permuted target: rows are
     * ranked once by (md5(doc_id), doc_id) — the house md5 rank — and
-    * each row's features pair with the y of its md5-successor (rank
-    * r ↔ r % N + 1, a single-cycle derangement; the md5 neighbor is a
-    * content-unrelated document, so this is one shared deterministic
-    * permutation for every feature, mirrored exactly by the oracle's
-    * row_number form), and importance = |corr| − |corr_permuted| in
+    * each row's features pair with the y of its md5-PREDECESSOR (the
+    * shifted rank __r2 = __r % N + 1 joined on __r === __r2 hands rank
+    * r the y of rank r−1 — a single-cycle derangement; the md5 neighbor
+    * is a content-unrelated document, so this is one shared
+    * deterministic permutation for every feature, mirrored exactly by
+    * the oracle's row_number form), and importance = |corr| − |corr_permuted| in
     * ppm. Under a permutation the correlation collapses toward 0, so
     * the degradation ranks features the way permutation importance
     * ranks them for a univariate-effects model.

@@ -51,9 +51,31 @@ object Sampling {
     * eager form without scheduling a separate materialization job per
     * query (the eager form cost ~+1 s/query at sf0.1's scale). Nothing
     * here needs the eager form's boundary-pinning (that is globalRank's
-    * concern — its two BRANCHES must agree; a single sort has one). */
+    * concern — its two BRANCHES must agree; a single sort has one).
+    *
+    * Storage reclamation of the checkpointed blocks relies on the
+    * ContextCleaner GC'ing the LogicalRDD once the query's Dataset is
+    * unreachable — acceptable for the gate mains (bounded query count,
+    * MEMORY_AND_DISK spills under pressure), and a production job
+    * should not be here at all: set [[PresentationKey]] to "off".
+    *
+    * PRODUCTION KNOB: at 100 TB a presentation ORDER BY should not
+    * exist — a partitioned sink ([[graft.sources.Sinks]]) repartitions
+    * on its own keys and a global sort of the corpus is pure waste.
+    * `spark.conf.set(PresentationKey, "off")` makes this a no-op
+    * (no checkpoint, no sort): operators return their computed frame
+    * unsorted and nothing is pinned to executor storage. The oracle
+    * gate and bench leave it unset (the sorted form IS the gated
+    * output); PlanAuditSpec uses the same knob to audit each operator's
+    * pre-checkpoint plan (a LogicalRDD would otherwise hide the
+    * projection from the kernel-budget and cross-join assertions). */
   def presentSorted(df: DataFrame, keys: Column*): DataFrame =
-    df.localCheckpoint(false).orderBy(keys: _*)
+    if (df.sparkSession.conf.getOption(PresentationKey).contains("off")) df
+    else df.localCheckpoint(false).orderBy(keys: _*)
+
+  /** Session knob: "off" disables the presentation checkpoint+sort —
+    * the production-sink path. Unset (default) keeps the gated form. */
+  val PresentationKey = "graft.presentation"
 
   /** Adds `__h` (the hash) and `__b` (its first-two-hex-chars bucket). */
   def withBuckets(df: DataFrame, hashCol: Column): DataFrame =

@@ -11,8 +11,20 @@ class PlanAuditSpec extends SparkSpec {
   // (sq8 is the same exhaustive scan on 1-byte/dim integer codes).
   private val allowedCross = Set("ss_brute_topk", "ss_sq8_topk", "ss_sq8_rerank")
 
+  /** Build plans with the presentation checkpoint+sort disabled
+    * (Sampling.PresentationKey): presentSorted's localCheckpoint hides
+    * everything below it behind a LogicalRDD, so auditing the GATED
+    * frame made the kernel-budget and cross-join assertions vacuous for
+    * exactly the map-only operators that motivated them. The knob is
+    * the production-sink path, so the audited plan is also the one a
+    * real deployment executes. */
+  private def withPresentationOff[T](body: => T): T = {
+    spark.conf.set(operators.Sampling.PresentationKey, "off")
+    try body finally spark.conf.unset(operators.Sampling.PresentationKey)
+  }
+
   test("no query plans a CartesianProduct or BroadcastNestedLoop with a real right side") {
-    SparkEntry.queries.foreach { case (name, q) =>
+    withPresentationOff { SparkEntry.queries.foreach { case (name, q) =>
       if (!allowedCross(name)) {
         val plan = q(spark, sfDir).queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"),
@@ -25,7 +37,7 @@ class PlanAuditSpec extends SparkSpec {
           assert(plan.contains("keys=[], functions="),
             s"$name nested-loop-joins a non-singleton side:\n$plan")
       }
-    }
+    } }
   }
 
   test("fact tables are never the build side of a broadcast join") {
@@ -116,7 +128,7 @@ class PlanAuditSpec extends SparkSpec {
       ("p23_split", "word_tokens(") -> 3,
       ("p24_dpo_ready", "word_tokens(") -> 4,
       ("tx_unigram_lm", "word_tokens(") -> 3)
-    SparkEntry.queries.foreach { case (name, q) =>
+    withPresentationOff { SparkEntry.queries.foreach { case (name, q) =>
       val plan = q(spark, sfDir).queryExecution.optimizedPlan.toString.toLowerCase
       for (k <- kernels) {
         val n = java.util.regex.Pattern.quote(k).r.findAllIn(plan).length
@@ -124,6 +136,26 @@ class PlanAuditSpec extends SparkSpec {
         assert(n <= cap,
           s"$name evaluates ${k.dropRight(1)} $n times per row-set (budget $cap) — " +
             "stage the kernel output as an attribute instead of re-embedding it")
+      }
+    } }
+  }
+
+  test("presentation knob off: no sort or checkpoint in the production-sink plan") {
+    // The production path (Sinks.partitionedParquet after
+    // PresentationKey=off) must not inherit the oracle gate's global
+    // ORDER BY or pin the corpus to executor storage: the operator's
+    // own plan should end at its projection/aggregate, and the sink's
+    // repartition is the only exchange added on top.
+    withPresentationOff {
+      Seq("p02_label", "tx_pii", "rw_rewards").foreach { name =>
+        val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
+        val plan = qe.optimizedPlan.toString
+        assert(!plan.contains("LogicalRDD"),
+          s"$name still checkpoints with presentation off:\n$plan")
+        import org.apache.spark.sql.execution.SortExec
+        val sorts = qe.sparkPlan.collect { case s: SortExec if s.global => s }
+        assert(sorts.isEmpty,
+          s"$name still plans a global sort with presentation off")
       }
     }
   }
