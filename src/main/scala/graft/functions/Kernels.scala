@@ -964,4 +964,85 @@ object Kernels {
     }
     UTF8String.fromBytes(out.toByteArray)
   }
+
+  /** Merge-table BPE subword stats — (n_words, n_alpha_chars,
+    * n_bpe_tokens) in one byte pass + per-word span walk (see
+    * [[Bpe]] for the algorithm and the engine-mirroring contract).
+    *
+    * Tokens are always CONTIGUOUS substrings of their word (a merge of
+    * adjacent spans is a span), so the token list is just an array of
+    * span start offsets into the text bytes — each merge rule is one
+    * in-place compaction pass, no string materialization anywhere.
+    * Case folding is the ASCII `| 0x20` (word bytes are [A-Za-z] by
+    * construction); multi-byte UTF-8 units are ≥ 0x80 and never enter
+    * a word. Semantics pinned against [[Bpe.tokenCountViaReplaceChain]]
+    * (the oracle's replace-chain formulation) by BpeSpec. */
+  def bpeSubwordStats(text: UTF8String): InternalRow = {
+    val bytes = text.getBytes
+    val n = bytes.length
+    val rules = Bpe.MergeBytes
+    var nWords = 0L
+    var nChars = 0L
+    var nTokens = 0L
+    var spanBuf = new Array[Int](32)
+
+    @inline def isAlpha(b: Byte): Boolean = {
+      val lb = b | 0x20
+      b >= 0 && lb >= 'a' && lb <= 'z'
+    }
+
+    var i = 0
+    while (i < n) {
+      while (i < n && !isAlpha(bytes(i))) i += 1
+      val ws = i
+      while (i < n && isAlpha(bytes(i))) i += 1
+      if (i > ws) {
+        val we = i
+        val len = we - ws
+        nWords += 1L
+        nChars += len.toLong
+        if (len > spanBuf.length) spanBuf = new Array[Int](len)
+        var m = 0
+        while (m < len) { spanBuf(m) = ws + m; m += 1 } // one span per char
+        var r = 0
+        while (r < rules.length && m > 1) {
+          val p = rules(r)._1
+          val q = rules(r)._2
+          // one left-to-right non-overlapping pass for this rule
+          var read = 0
+          var write = 0
+          while (read < m) {
+            if (read < m - 1 &&
+                spanEq(bytes, spanBuf(read),
+                  (if (read + 1 < m) spanBuf(read + 1) else we), p) &&
+                spanEq(bytes, spanBuf(read + 1),
+                  (if (read + 2 < m) spanBuf(read + 2) else we), q)) {
+              spanBuf(write) = spanBuf(read)
+              read += 2
+            } else {
+              spanBuf(write) = spanBuf(read)
+              read += 1
+            }
+            write += 1
+          }
+          m = write
+          r += 1
+        }
+        nTokens += m.toLong
+      }
+    }
+    new GenericInternalRow(Array[Any](nWords, nChars, nTokens))
+  }
+
+  /** Case-folded byte-range equality against a rule token. */
+  @inline private def spanEq(
+      bytes: Array[Byte], start: Int, end: Int, tok: Array[Byte]): Boolean = {
+    if (end - start != tok.length) return false
+    var i = 0
+    while (i < tok.length) {
+      if ((bytes(start + i) | 0x20) != tok(i)) return false
+      i += 1
+    }
+    true
+  }
 }

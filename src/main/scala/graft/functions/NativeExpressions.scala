@@ -262,6 +262,29 @@ object NativeExpressions {
         ${ev.isNull} = (${ev.value} == null);""")
   }
 
+  /** Schema of [[BpeSubwordStats]] — see [[Kernels.bpeSubwordStats]]. */
+  val bpeStatsType: StructType = StructType(Seq(
+    StructField("n_words", LongType, nullable = false),
+    StructField("n_chars", LongType, nullable = false),
+    StructField("n_tokens", LongType, nullable = false)))
+
+  /** Merge-table BPE subword stats in one text pass — the embedded
+    * [[Bpe.Merges]] table applied in rank order (see [[Bpe]] for the
+    * engine-mirroring contract). */
+  case class BpeSubwordStats(child: Expression)
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkString(prettyName, child)
+    override def dataType: DataType = bpeStatsType
+    override def prettyName: String = "bpe_subword_stats"
+    override protected def withNewChildInternal(newChild: Expression): BpeSubwordStats =
+      copy(child = newChild)
+    override def nullSafeEval(input: Any): Any =
+      Kernels.bpeSubwordStats(input.asInstanceOf[UTF8String])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.bpeSubwordStats($c)")
+  }
+
   /** Schema of [[RewardStats]] — see [[Kernels.rewardStats]] for field
     * semantics. */
   val rewardStatsType: StructType = StructType(Seq(
@@ -642,6 +665,9 @@ object NativeExpressions {
 
   def bpeCount(c: Column): Column =
     ColumnBridge.column(BpeCount(ColumnBridge.expression(c)))
+
+  def bpeSubwordStats(c: Column): Column =
+    ColumnBridge.column(BpeSubwordStats(ColumnBridge.expression(c)))
 
   def emojiCount(c: Column): Column =
     ColumnBridge.column(EmojiCount(ColumnBridge.expression(c)))

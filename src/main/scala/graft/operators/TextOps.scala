@@ -43,6 +43,29 @@ object TextOps {
         sentenceCount(col("text")).cast("long").as("n_sentences"))
       .transform(Sampling.presentSorted(_, col("doc_id")))
 
+  /** tx_bpe: REAL merge-table subword tokenization stats — the token
+    * economics operator (budgets in tx_pack/tx_mix/tx_vocab_coverage
+    * count tokens; a BPE-driven count is what a training pipeline
+    * actually budgets in, where tx_tokens' `n_bpe` is a regex-chunk
+    * stand-in). One [[graft.functions.Bpe.Merges]]-driven native pass
+    * per doc (staged struct attribute — the kernel evaluates once);
+    * the DuckDB mirror is GENERATED from the same merge table as a
+    * nested replace chain ([[graft.functions.Bpe.oracleExprs]]), so a
+    * table edit cannot desynchronize the engines. Map-only,
+    * shuffle-free. cpt_ppm = alpha chars per emitted token (the
+    * compression the vocabulary achieves), null for letterless docs. */
+  def txBpe(spark: SparkSession, sfDir: String): DataFrame =
+    docsOrdered(spark, sfDir)
+      .select(col("doc_id"),
+        graft.functions.NativeExpressions.bpeSubwordStats(col("text")).as("__b"))
+      .select(col("doc_id"),
+        col("__b.n_words").as("n_words"),
+        col("__b.n_chars").as("n_alpha_chars"),
+        col("__b.n_tokens").as("n_bpe_tokens"),
+        when(col("__b.n_tokens") > 0,
+          expr("__b.n_chars * 1000000 div __b.n_tokens")).as("cpt_ppm"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
+
   /** tx_langid: stopword-hit language scores with deterministic argmax
     * (CJK chars dominate; ties break en > es > de > fr; no hits →
     * 'unknown'). */
@@ -834,6 +857,7 @@ object TextOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_pattern_canary" -> (txPatternCanary _),
     "tx_tokens"       -> (txTokens _),
+    "tx_bpe"          -> (txBpe _),
     "tx_langid"       -> (txLangid _),
     "tx_quality"      -> (txQuality _),
     "tx_quality_dist" -> (txQualityDist _),
@@ -948,6 +972,18 @@ object TextOps {
          |  CAST(length(regexp_extract_all(text, '[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]')) AS BIGINT) AS n_bpe,
          |  CAST(length(list_filter(regexp_split_to_array(text, '[.!?]+'), s -> trim(s) != '')) AS BIGINT) AS n_sentences
          |FROM documents ORDER BY doc_id""".stripMargin,
+    "tx_bpe" -> {
+      val (nWords, nChars, nTokens) = graft.functions.Bpe.oracleExprs("text")
+      s"""WITH b AS (SELECT doc_id,
+         |    $nWords AS n_words,
+         |    $nChars AS n_alpha_chars,
+         |    $nTokens AS n_bpe_tokens
+         |  FROM documents)
+         |SELECT doc_id, n_words, n_alpha_chars, n_bpe_tokens,
+         |  CASE WHEN n_bpe_tokens > 0
+         |       THEN n_alpha_chars * 1000000 // n_bpe_tokens END AS cpt_ppm
+         |FROM b ORDER BY doc_id""".stripMargin
+    },
     "tx_langid" ->
       s"""WITH h AS (
          |  SELECT doc_id, text,
