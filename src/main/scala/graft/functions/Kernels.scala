@@ -23,12 +23,21 @@ object Kernels {
   private val mdLocal: ThreadLocal[MessageDigest] =
     ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
 
-  /** Java regex \s without UNICODE flags = exactly [ \t\n\x0B\f\r]. */
+  /** The ENGINE-SHARED whitespace set [ \t\n\f\r] — RE2's `\s`, which
+    * is what every DuckDB oracle mirror written as `\s` actually reads.
+    * Java's `\s` additionally contains \x0B (vertical tab); the r11
+    * canary extension surfaced that as a latent cross-engine divergence
+    * in every tokenizer-derived oracle, so the kernels standardize on
+    * the shared set (the tx_pii "Java∩RE2" principle applied to
+    * whitespace). A \x0B therefore stays INSIDE a token on both
+    * engines — pinned by TokenizeWalkSpec and the tx_pattern_canary
+    * rows. */
   @inline private def isWsChar(c: Char): Boolean =
-    c == ' ' || (c >= '\t' && c <= '\r')
+    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
 
-  /** Manual walk equal to s.split("\\s+").filter(_.nonEmpty): maximal
-    * runs of non-\s chars. The regex split paid engine dispatch per
+  /** Manual walk equal to s.split("[ \t\n\f\r]+").filter(_.nonEmpty):
+    * maximal runs of non-whitespace chars ([[isWsChar]] — the
+    * engine-shared set). The regex split paid engine dispatch per
     * boundary plus the empty-first-element rescan; the walk is a single
     * char loop (same output on every input — TokenizeWalkSpec fuzzes
     * the equivalence). */
@@ -66,7 +75,7 @@ object Kernels {
   }
 
   @inline private def isWsByte(b: Byte): Boolean =
-    b == 0x20 || (b >= 0x09 && b <= 0x0D)
+    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0C || b == 0x0D
 
   /** BPE-ish subword count — the native form of
     * regexp_count(c, "[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"): a greedy
@@ -87,8 +96,8 @@ object Kernels {
       else {
         n += (run + 3) / 4
         run = 0
-        // Java regex \\s (no UNICODE flag) = [ \\t\\n\\x0B\\f\\r]
-        val ws = cp == ' ' || cp == '\t' || cp == '\n' || cp == 0x0b ||
+        // engine-shared whitespace set (see isWsChar): NOT \x0B
+        val ws = cp == ' ' || cp == '\t' || cp == '\n' ||
           cp == '\f' || cp == '\r'
         if (!ws) n += 1
       }
@@ -198,8 +207,10 @@ object Kernels {
   def emojiCount(text: UTF8String): Int =
     scanEmoji(text.toString, noMatch)
 
-  private val FpStrip = Pattern.compile("[^a-z0-9\\s]")
-  private val FpSpaces = Pattern.compile("\\s+")
+  // [ \t\n\f\r] spelled out: the engine-shared whitespace set (see
+  // isWsChar) — the DuckDB mirrors' RE2 reads `\s` as exactly this.
+  private val FpStrip = Pattern.compile("[^a-z0-9 \t\n\f\r]")
+  private val FpSpaces = Pattern.compile("[ \t\n\f\r]+")
 
   /** Normalized fingerprint: lowercase → strip non-alnum → collapse
     * whitespace → md5 hex. Identical to
@@ -434,13 +445,15 @@ object Kernels {
 
   // ---- one-pass reward statistics ----
 
-  private val BulletNum = Pattern.compile("^\\s*[0-9]+[.)]\\s+")
-  private val BulletLet = Pattern.compile("^\\s*[A-Za-z][.)]\\s+")
-  private val BulletSym = Pattern.compile("^\\s*[-*•]\\s+")
+  // \s spelled out as the engine-shared set (see isWsChar)
+  private val Ws = " \t\n\f\r"
+  private val BulletNum = Pattern.compile(s"^[$Ws]*[0-9]+[.)][$Ws]+")
+  private val BulletLet = Pattern.compile(s"^[$Ws]*[A-Za-z][.)][$Ws]+")
+  private val BulletSym = Pattern.compile(s"^[$Ws]*[-*•][$Ws]+")
   // p17's line classifiers (letter runs + any leading symbol) differ from
   // the reward suite's — both families are counted in the same line scan.
-  private val StyleLet = Pattern.compile("^\\s*[A-Za-z]+[.)]\\s+")
-  private val StyleSym = Pattern.compile("^\\s*[^A-Za-z0-9_\\s]")
+  private val StyleLet = Pattern.compile(s"^[$Ws]*[A-Za-z]+[.)][$Ws]+")
+  private val StyleSym = Pattern.compile(s"^[$Ws]*[^A-Za-z0-9_$Ws]")
   private val TailHashtagRe = Pattern.compile("#[A-Za-z0-9_]+")
 
   /** Deterministic sentiment lexicon for the arc re-expression

@@ -45,7 +45,9 @@ object Curation {
       // stopword counter (each convenience form embeds its own)
       .withColumn("__toks", tokens(t))
       .withColumn("n_words", size(col("__toks")).cast("long"))
-      .withColumn("__ns", length(regexp_replace(t, "\\s", "")).cast("long"))
+      // [ \t\n\f\r] spelled out: Spark regexp_* is Java regex, whose \s
+      // also contains \x0B — the oracle's RE2 \s does not (Kernels.isWsChar)
+      .withColumn("__ns", length(regexp_replace(t, "[ \t\n\f\r]", "")).cast("long"))
       .withColumn("n_stops", graft.functions.NativeExpressions
         .tokenSetCount(col("__toks"), TextOps.EnStops).cast("long"))
       .withColumn("__sym", regexp_count(t, lit("#|\\.\\.\\.")).cast("long"))

@@ -165,7 +165,8 @@ object Datasets {
             (hashBucket(concat(lit("emo#"), t), NegEmoji.length) + 1).cast("int")), 10)))
         .otherwise(col("__s2")))
       // violate_hashtags: rstrip + 6 tags (violations.py:24-26, count=max(6,3+3))
-      .withColumn("__s4", concat(regexp_replace(col("__s3"), "\\s+$", ""),
+      // engine-shared \s set (see Kernels.isWsChar): not \x0B
+      .withColumn("__s4", concat(regexp_replace(col("__s3"), "[ \t\n\f\r]+$", ""),
         lit("\n\n#tag0 #tag1 #tag2 #tag3 #tag4 #tag5")))
       // violate_length (violations.py:8-13): over = filler * max(1, len//120);
       // under = first max(1, len//2) chars

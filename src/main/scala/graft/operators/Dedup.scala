@@ -203,7 +203,10 @@ object Dedup {
     cachedPairs(spark, sfDir, "minhash")(minhashPairsCore(spark, sfDir))
       .orderBy(col("id_a"), col("id_b"))
 
-  private def minhashPairsCore(spark: SparkSession, sfDir: String): DataFrame = {
+  // private[graft]: AggregatesSpec audits the bloom-prune plan shape on
+  // this pre-checkpoint core — the cached gate entry is a LogicalRDD
+  // whose plan string shows nothing (the presentSorted lesson).
+  private[graft] def minhashPairsCore(spark: SparkSession, sfDir: String): DataFrame = {
     // raw-text identity groups (md5 of the text itself — NOT the
     // normalized dd_exact fingerprint: normalization-equal texts can
     // have different shingle sets and must not merge here)

@@ -66,23 +66,22 @@ object TextOps {
           expr("__b.n_chars * 1000000 div __b.n_tokens")).as("cpt_ppm"))
       .transform(Sampling.presentSorted(_, col("doc_id")))
 
-  /** tx_langid: stopword-hit language scores with deterministic argmax
-    * (CJK chars dominate; ties break en > es > de > fr; no hits →
-    * 'unknown'). */
-  def txLangid(spark: SparkSession, sfDir: String): DataFrame = {
-    val t = col("text")
-    // tokenize once; each stop-set counter scans the shared array (the
-    // convenience tokenSetCount(text, set) embeds its own tokenizer —
-    // 4 tokenize passes per row for the 4 languages)
+  /** Appends `en_hits..fr_hits` + `lang_pred` over a (…, text) frame —
+    * ONE definition shared by tx_langid and tx_pattern_canary (the
+    * shared-projection lesson: a heuristic edit that doesn't propagate
+    * desynchronizes a gate from its canary). Tokenizes once; each
+    * stop-set counter scans the shared staged array (the convenience
+    * tokenSetCount(text, set) embeds its own tokenizer — 4 tokenize
+    * passes per row for the 4 languages). */
+  private[operators] def withLangidCols(docs: DataFrame): DataFrame = {
     def hits(set: Seq[String]) =
       graft.functions.NativeExpressions.tokenSetCount(col("__toks"), set).cast("long")
-    docsOrdered(spark, sfDir)
-      .select(col("doc_id"), t, tokens(t).as("__toks"))
-      .select(col("doc_id"), t,
+    docs
+      .select(col("*"), tokens(col("text")).as("__toks"))
+      .select(col("*"),
         hits(EnStops).as("en_hits"), hits(EsStops).as("es_hits"),
         hits(DeStops).as("de_hits"), hits(FrStops).as("fr_hits"))
-      .select(
-        col("doc_id"), col("en_hits"), col("es_hits"), col("de_hits"), col("fr_hits"),
+      .select(col("*"),
         when(hasCjk(col("text")), "zh")
           .when(col("en_hits") === 0 && col("es_hits") === 0 &&
                 col("de_hits") === 0 && col("fr_hits") === 0, "unknown")
@@ -91,8 +90,17 @@ object TextOps {
           .when(col("es_hits") >= col("de_hits") && col("es_hits") >= col("fr_hits"), "es")
           .when(col("de_hits") >= col("fr_hits"), "de")
           .otherwise("fr").as("lang_pred"))
-      .transform(Sampling.presentSorted(_, col("doc_id")))
+      .drop("__toks")
   }
+
+  /** tx_langid: stopword-hit language scores with deterministic argmax
+    * (CJK chars dominate; ties break en > es > de > fr; no hits →
+    * 'unknown'). */
+  def txLangid(spark: SparkSession, sfDir: String): DataFrame =
+    withLangidCols(docsOrdered(spark, sfDir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("en_hits"), col("es_hits"), col("de_hits"),
+        col("fr_hits"), col("lang_pred"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** Per-document quality base (shared by tx_quality and
     * tx_quality_dist): ratios + composite score, all integer-exact. */
@@ -838,19 +846,54 @@ object TextOps {
     7L -> ("flags 🇺🇸🇫🇷 lone " +
       "🇺 keycap 1️⃣ #⃣"),
     8L -> "fire 🔥 rocket 🚀 arrow ↓ © ® ™ ☀️",
-    9L -> "mixed: https://x.io/mailto/a@b.co then a@b.co, dial 555-123-4567 by 2026-03-01")
+    9L -> "mixed: https://x.io/mailto/a@b.co then a@b.co, dial 555-123-4567 by 2026-03-01",
+    // r11 extension: the other native-kernel families the synthetic
+    // corpus exercises only benignly (r10 verdict item 7).
+    // 10: tokenizer whitespace edges —  (vertical tab) is Java \s
+    // but NOT RE2 \s (the divergence this row found; see
+    // Kernels.isWsChar), NBSP/thin/em/ideographic spaces are \s on
+    // NEITHER engine and glue their neighbors into one token.
+    10L -> ("vt\u000Bglues nbsp\u00A0glues thin\u2009glues" +
+      " em\u2003glues ideo\u3000glues \t\f\r real\n ws"),
+    // 11: langid tie-break ladder — 'la'/'de' hit es+fr / de+fr, 'le'
+    // hits fr only; equal-hit ties must break en > es > de > fr.
+    11L -> "la de la de le les und die the of und ist",
+    // 12: CJK dominance — stopword hits present but a single CJK char
+    // must force 'zh'.
+    12L -> "the of and is to in 漢 but chinese wins",
+    // 13: no stopword hits at all → 'unknown' (not 'en').
+    13L -> "zzz qqq xyzzy plugh flurble",
+    // 14: winnow tie rule — identical repeated 3-grams make every
+    // window's min gram-hash EQUAL, so selection runs entirely on the
+    // rightmost-position tie-break (the paper's robust-winnowing rule).
+    14L -> "a b c a b c a b c a b c a b c",
+    // 15: BPE merge-chain depth — creation-order fragments (the/ther/
+    // tion/ation/ment) plus case folding and a non-merging tail.
+    15L -> "The nation stations mention internationalization and THE weather bcdfg")
 
-  /** tx_pattern_canary: the embedded fixture scrubbed + emoji-counted
-    * on BOTH engines — a per-round cross-engine semantic pin for every
-    * regex family (URL/email/IP/phone application chain, red_fp mask
-    * hash) and the emoji scanner vs RE2. Corpus-independent: the
-    * sfDir argument is unused, the table is the fixture itself. */
+  /** tx_pattern_canary: the embedded fixture pushed through every
+    * cross-engine-sensitive native kernel family on BOTH engines — a
+    * per-round semantic pin for the regex chains (URL/email/IP/phone
+    * application order, red_fp mask hash), the UTS #51 emoji scanner
+    * vs RE2, and (since r11) the walk tokenizer's whitespace set (the
+    * row-10 vertical tab found the Java-\s/RE2-\s divergence this
+    * round), the langid tie-break ladder, the winnowing rightmost-min
+    * tie rule, and the BPE merge chain. Corpus-independent: the sfDir
+    * argument is unused, the table is the fixture itself. */
   def txPatternCanary(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
-    val docs = CanaryRows.toDF("doc_id", "text")
+    val docs = withLangidCols(CanaryRows.toDF("doc_id", "text"))
+      .select(col("doc_id"), col("text"), col("lang_pred"))
     withPiiCols(docs, col("text"))
       .withColumn("n_emoji", emojiCount(col("text")).cast("long"))
-      .select(("doc_id" +: PiiOutCols :+ "n_emoji").map(col): _*)
+      .withColumn("n_tokens", tokenCount(col("text")).cast("long"))
+      .withColumn("n_winnow_fps",
+        size(graft.functions.NativeExpressions.winnowFingerprints(col("text"),
+          Dedup.WinnowK, Dedup.WinnowW, Dedup.WinnowPosBits)).cast("long"))
+      .withColumn("n_bpe_tokens", graft.functions.NativeExpressions
+        .bpeSubwordStats(col("text")).getField("n_tokens"))
+      .select((Seq("doc_id") ++ PiiOutCols ++ Seq("n_emoji", "n_tokens",
+        "lang_pred", "n_winnow_fps", "n_bpe_tokens")).map(col): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -1119,7 +1162,8 @@ object TextOps {
          |SELECT tok, est, exact_tf, CAST(est - exact_tf AS BIGINT) AS overcount
          |FROM e WHERE est >= $HhThreshold ORDER BY est DESC, tok""".stripMargin,
     "tx_pii" -> piiOracleSql,
-    "tx_pattern_canary" -> piiSqlOver(canarySrcSql, withEmoji = true),
+    "tx_pattern_canary" ->
+      piiSqlOver(canarySrcSql, withEmoji = true, canaryExtras = true),
     "tx_vocab_coverage" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
          |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf
@@ -1144,7 +1188,8 @@ object TextOps {
     * identically on both engines). `withEmoji` appends the canary's
     * emoji-sequence count over the ORIGINAL text (the RE2 side of the
     * EmojiKernelSpec chain). */
-  private def piiSqlOver(srcSql: String, withEmoji: Boolean): String = {
+  private def piiSqlOver(srcSql: String, withEmoji: Boolean,
+      canaryExtras: Boolean = false): String = {
     val steps = PiiPatterns.zipWithIndex.map { case ((tag, re), i) =>
       val carry = ("doc_id" +: PiiPatterns.take(i).map(p => s"n_${p._1}"))
         .mkString(", ")
@@ -1158,14 +1203,61 @@ object TextOps {
         s""",
            |  CAST(length(regexp_extract_all(c.text, '${graft.functions.TextFunctions.EmojiClass}')) AS BIGINT) AS n_emoji""".stripMargin
       else ""
+    val extraCols =
+      if (canaryExtras)
+        """,
+          |  xh.n_tokens, xh.lang_pred, xw.n_winnow_fps, xh.n_bpe_tokens""".stripMargin
+      else ""
     val emojiJoin = if (withEmoji) " JOIN src c USING (doc_id)" else ""
+    val extraJoin =
+      if (canaryExtras) " JOIN xh USING (doc_id) JOIN xw USING (doc_id)" else ""
+    val extraCtes = if (canaryExtras) canaryExtraCtes + ",\n" else ""
     s"""WITH src AS ($srcSql),
-       |p0 AS (SELECT doc_id, text AS t FROM src),
+       |${extraCtes}p0 AS (SELECT doc_id, text AS t FROM src),
        |${steps.mkString(",\n")}
        |SELECT p${PiiPatterns.length}.doc_id, ${counts.mkString(", ")},
        |  CAST(${counts.mkString(" + ")} AS BIGINT) AS n_pii,
-       |  CAST(length(t) AS BIGINT) AS red_chars, md5(t) AS red_fp$emojiCol
-       |FROM p${PiiPatterns.length}$emojiJoin ORDER BY doc_id""".stripMargin
+       |  CAST(length(t) AS BIGINT) AS red_chars, md5(t) AS red_fp$emojiCol$extraCols
+       |FROM p${PiiPatterns.length}$emojiJoin$extraJoin ORDER BY doc_id""".stripMargin
+  }
+
+  /** The canary's non-PII kernel-family mirrors: walk tokenizer count,
+    * langid decision (the tx_langid CASE verbatim), winnowing distinct
+    * fingerprint count (the dd_winnow k/f formulation per-row, with
+    * the short-doc guard), and the generated BPE merge chain. */
+  private def canaryExtraCtes: String = {
+    val k = Dedup.WinnowK
+    val w = Dedup.WinnowW
+    val scale = 1L << Dedup.WinnowPosBits
+    val gramHash = graft.functions.TextFunctions.hexLongSql(
+      s"md5(array_to_string(toks[i+1:i+$k], ' '))", 8)
+    val (_, _, nBpe) = graft.functions.Bpe.oracleExprs("text")
+    s"""xt AS (SELECT doc_id, text, $sqlTokens AS toks FROM src),
+       |xk AS (SELECT doc_id, CASE WHEN len(toks) >= $k THEN
+       |    [$gramHash * $scale + (${scale - 1} - i)
+       |      FOR i IN range(0, len(toks) - $k + 1)]
+       |  ELSE CAST([] AS BIGINT[]) END AS keys FROM xt),
+       |xw AS (SELECT doc_id, CAST(CASE WHEN len(keys) > 0 THEN
+       |    len(list_distinct([x // $scale FOR x IN
+       |      [list_min(keys[s+1:s+$w])
+       |        FOR s IN range(0, greatest(len(keys) - $w, 0) + 1)]]))
+       |  ELSE 0 END AS BIGINT) AS n_winnow_fps FROM xk),
+       |xg AS (SELECT doc_id, text, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |    CAST(${sqlTokenHits(EnStops)} AS BIGINT) AS en_hits,
+       |    CAST(${sqlTokenHits(EsStops)} AS BIGINT) AS es_hits,
+       |    CAST(${sqlTokenHits(DeStops)} AS BIGINT) AS de_hits,
+       |    CAST(${sqlTokenHits(FrStops)} AS BIGINT) AS fr_hits
+       |  FROM xt),
+       |xh AS (SELECT doc_id, n_tokens,
+       |  CASE
+       |    WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+       |    WHEN en_hits = 0 AND es_hits = 0 AND de_hits = 0 AND fr_hits = 0 THEN 'unknown'
+       |    WHEN en_hits >= es_hits AND en_hits >= de_hits AND en_hits >= fr_hits THEN 'en'
+       |    WHEN es_hits >= de_hits AND es_hits >= fr_hits THEN 'es'
+       |    WHEN de_hits >= fr_hits THEN 'de'
+       |    ELSE 'fr' END AS lang_pred,
+       |  $nBpe AS n_bpe_tokens
+       |  FROM xg)""".stripMargin
   }
 
   private def piiOracleSql: String =

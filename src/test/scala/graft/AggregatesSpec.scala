@@ -48,13 +48,16 @@ class AggregatesSpec extends SparkSpec {
     def rows() = Dedup.ddMinhashLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     val plain = rows() // default threshold (10 GB) keeps the bloom off
-    assert(!Dedup.ddMinhashLsh(spark, sfDir).queryExecution
+    // Plan-shape assertions run on the PRE-checkpoint core: the cached
+    // gate entry is a localCheckpoint LogicalRDD whose plan string shows
+    // nothing (the presentSorted lesson from PlanAuditSpec).
+    assert(!Dedup.minhashPairsCore(spark, sfDir).queryExecution
       .executedPlan.toString.contains("might_contain"))
     spark.conf.set(Dedup.BloomMinScanBytesKey, "0")
     try {
       // The sketch filter must sit in the plan (and, by construction,
       // below the shingle projection — non-candidates never tokenize).
-      assert(Dedup.ddMinhashLsh(spark, sfDir).queryExecution
+      assert(Dedup.minhashPairsCore(spark, sfDir).queryExecution
         .executedPlan.toString.contains("might_contain"))
       val bloomed = rows()
       assert(bloomed == plain,
