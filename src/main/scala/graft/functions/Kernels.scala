@@ -32,8 +32,13 @@ object Kernels {
     * whitespace). A \x0B therefore stays INSIDE a token on both
     * engines — pinned by TokenizeWalkSpec and the tx_pattern_canary
     * rows. */
+  // Range-check form, not a 5-way chain: the common case (a letter)
+  // must exit in the same 3 compares as the pre-r11 [\t..\r] range —
+  // the chain form measured dd_winnow 2.1x slower at sf0.1 (the ws
+  // test is the innermost branch of every tokenizer walk). Only actual
+  // control-range whitespace pays the \x0B exclusion.
   @inline private def isWsChar(c: Char): Boolean =
-    c == ' ' || c == '\t' || c == '\n' || c == '\f' || c == '\r'
+    c == ' ' || (c >= '\t' && c <= '\r' && c != 0x0B)
 
   /** Manual walk equal to s.split("[ \t\n\f\r]+").filter(_.nonEmpty):
     * maximal runs of non-whitespace chars ([[isWsChar]] — the
@@ -74,8 +79,11 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  // Same range-check shape as isWsChar (letters and UTF-8 lead/
+  // continuation bytes — negative as Java signed bytes — exit in 3
+  // compares; see the isWsChar perf note).
   @inline private def isWsByte(b: Byte): Boolean =
-    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0C || b == 0x0D
+    b == 0x20 || (b >= 0x09 && b <= 0x0D && b != 0x0B)
 
   /** BPE-ish subword count — the native form of
     * regexp_count(c, "[A-Za-z0-9]{1,4}|[^A-Za-z0-9\\s]"): a greedy
@@ -97,8 +105,7 @@ object Kernels {
         n += (run + 3) / 4
         run = 0
         // engine-shared whitespace set (see isWsChar): NOT \x0B
-        val ws = cp == ' ' || cp == '\t' || cp == '\n' ||
-          cp == '\f' || cp == '\r'
+        val ws = cp == ' ' || (cp >= '\t' && cp <= '\r' && cp != 0x0B)
         if (!ws) n += 1
       }
       i += Character.charCount(cp)
