@@ -763,7 +763,7 @@ object Dedup {
 
   def ddComponents(spark: SparkSession, sfDir: String): DataFrame = {
     val groups = fpGroups(spark, sfDir)
-    val labels = repComponents(groups)
+    val labels = repComponents(spark, sfDir)
     groups.select(col("rep_id"), col("n_docs"))
       .join(labels, "rep_id")
       .select(col("rep_id"), col("component"), col("n_docs"))
@@ -781,7 +781,7 @@ object Dedup {
     * their fp group. */
   def ddDecisions(spark: SparkSession, sfDir: String): DataFrame = {
     val groups = fpGroups(spark, sfDir)
-    val labels = repComponents(groups)
+    val labels = repComponents(spark, sfDir)
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
       .join(groups.select(col("fp"), col("rep_id")), "fp")
@@ -791,20 +791,48 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Session cache for the COMPONENT-LABEL machinery shared by
+    * dd_components, dd_decisions and (via ddDecisions) cur_verdict —
+    * same house pattern and lifecycle as [[cachedPairs]], keyed
+    * (session, corpus, stage). Each consumer previously re-ran the
+    * fp-group aggregate, the band self-join and the full label-
+    * propagation loop (the three most expensive first-pass rows in the
+    * dd chain); the fixpoint is deterministic per corpus, so one build
+    * serves them all. Entries are checkpoint-backed on construction. */
+  private val frameCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def cachedFrame(spark: SparkSession, sfDir: String, tag: String)
+      (build: => DataFrame): DataFrame = {
+    frameCache.keySet.removeIf(_._1.sparkContext.isStopped)
+    frameCache.computeIfAbsent((spark, sfDir, tag), _ => build)
+  }
+
   /** (fp, rep_id, n_docs) per distinct simhash fingerprint, eagerly
     * checkpointed: the band self-join downstream has no CSE across its
     * two sides, so without this the simhash scan over the full corpus
-    * runs twice more inside edge-building (and again in final joins). */
+    * runs twice more inside edge-building (and again in final joins).
+    * Session-cached ([[cachedFrame]]): dd_components, dd_decisions and
+    * cur_verdict all start from this table. */
   private def fpGroups(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
-      .groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
-      .localCheckpoint(true)
+    cachedFrame(spark, sfDir, "fpGroups") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
+        .groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+        .localCheckpoint(true)
+    }
 
   /** Iterative min-label propagation over the rep near-dup graph:
-    * (rep_id, component). See [[ddComponents]] for the algorithm notes. */
-  private def repComponents(groups: DataFrame): DataFrame = {
+    * (rep_id, component). See [[ddComponents]] for the algorithm notes.
+    * Session-cached: the converged fixpoint (a select over the last
+    * round's checkpoint) is reused by every consumer. */
+  private def repComponents(spark: SparkSession, sfDir: String): DataFrame =
+    cachedFrame(spark, sfDir, "repComponents") {
+      repComponentsCore(fpGroups(spark, sfDir))
+    }
+
+  private def repComponentsCore(groups: DataFrame): DataFrame = {
     val bandKeys = simhashBandKeys(col("fp"))
     val bands = groups.select(col("fp"), col("rep_id"), explode(bandKeys).as("bk"))
     // localCheckpoint (eager) after every round: without lineage
