@@ -54,9 +54,15 @@ object Bench {
       spark.conf.set(graft.operators.Similarity.MaxCentroidsKey, k)
     }
 
-    def runOnce(name: String): Unit =
+    def runOnce(name: String): Unit = {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
+      // Drop this query's presentation/rank scratch checkpoints NOW —
+      // waiting for the ContextCleaner pinned every output in executor
+      // storage and thrashed eviction at the 100× corpus (see
+      // Sampling.releaseScratch). Session caches are unaffected.
+      graft.operators.Sampling.releaseScratch()
+    }
 
     // Warmup: JIT + codegen machinery + parquet footer caches — one
     // synthetic plan per scan path (lineitem, documents, events,

@@ -71,7 +71,49 @@ object Sampling {
     * projection from the kernel-budget and cross-join assertions). */
   def presentSorted(df: DataFrame, keys: Column*): DataFrame =
     if (df.sparkSession.conf.getOption(PresentationKey).contains("off")) df
-    else df.localCheckpoint(false).orderBy(keys: _*)
+    else trackScratch(df.localCheckpoint(false)).orderBy(keys: _*)
+
+  /** Per-QUERY scratch checkpoints (presentation frames, globalRank's
+    * boundary pins) — distinct from the SESSION caches (pair frames,
+    * component labels, knn edges, centroid tables), which are never
+    * tracked here. Without an explicit release, every query's full
+    * computed output stays pinned in executor storage until the
+    * ContextCleaner's reference-queue GC happens to run — on a 48 GB
+    * heap old-gen collections are rare, so a 100-query sweep at the
+    * 100× corpus filled the store and THRASHED the evict-to-disk path
+    * (dd_corpus_report 353 s vs 76 s in r10's record, serializing
+    * hundreds of 200 MB blocks out and back per query). The mains call
+    * [[releaseScratch]] between queries; a query's scratch is garbage
+    * the moment its action completes (re-runs rebuild fresh frames). */
+  // Weak references: a consumer that never calls releaseScratch (a
+  // library user outside the mains) must not leak pinned frames through
+  // the registry itself — once the Dataset is unreachable the RDD GCs
+  // and the ContextCleaner reclaims it exactly as before this registry
+  // existed; the dead entry is skipped on the next drain.
+  private val scratch = new java.util.concurrent.ConcurrentLinkedQueue[
+    java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]()
+
+  private def trackScratch(df: DataFrame): DataFrame = {
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        scratch.add(new java.lang.ref.WeakReference(lr.rdd))
+      case _ =>
+    }
+    df
+  }
+
+  /** Unpersist every tracked scratch checkpoint. Safe mid-session: the
+    * tracked frames are per-query outputs whose consuming action has
+    * finished; session-cache frames are never tracked. Lazy checkpoints
+    * that were never materialized unpersist as a no-op. */
+  def releaseScratch(): Unit = {
+    var ref = scratch.poll()
+    while (ref != null) {
+      val rdd = ref.get()
+      if (rdd != null) rdd.unpersist(blocking = false)
+      ref = scratch.poll()
+    }
+  }
 
   /** Session knob: "off" disables the presentation checkpoint+sort —
     * the production-sink path. Unset (default) keeps the gated form. */
@@ -156,10 +198,10 @@ object Sampling {
     // session conf accessor, not the raw string: platforms that set the
     // conf to "auto" would throw in a bare .toInt
     val parts = df.sparkSession.sessionState.conf.numShufflePartitions
-    val ranged = df.localCheckpoint(true)
+    val ranged = trackScratch(trackScratch(df.localCheckpoint(true))
       .repartitionByRange(parts, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true) // pin boundaries + __pid — see scaladoc
+      .localCheckpoint(true)) // pin boundaries + __pid — see scaladoc
     val wLocal = Window.partitionBy(col("__pid")).orderBy(sortCols: _*)
     val wOrd = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
     val pre = wOrd.rowsBetween(Window.unboundedPreceding, -1)
