@@ -61,6 +61,10 @@ object Rehearsal {
       val t0 = System.nanoTime()
       body
       val sec = (System.nanoTime() - t0) / 1e9
+      // Per-step scratch release — same rationale as Bench/Verify
+      // (outside the timed span: dropping the PREVIOUS step's pinned
+      // output is bookkeeping, not part of this step's cost).
+      operators.Sampling.releaseScratch()
       System.err.println(f"[rehearsal] $name%-28s $sec%.2f s")
       name -> sec
     }

@@ -195,28 +195,83 @@ object Dedup {
     * size ([[BloomMinScanBytesKey]]) — below the threshold the plain
     * rescans win.
     *
-    * The verified pair frame is session-cached ([[cachedPairs]]): the
-    * corpus dashboard (dd_corpus_report) and the operator's own gate
-    * entry consume the SAME pair set, and at 100 TB the pair build is a
-    * job you run once per corpus version, not once per consumer. */
-  def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame =
-    cachedPairs(spark, sfDir, "minhash")(minhashPairsCore(spark, sfDir))
+    * The verified COMPACT frames are session-cached — the rep-level
+    * pair set and the verified within-group rows, NOT the expanded
+    * doc-level pairs: on a replica-dense corpus the expansion is
+    * quadratic in group size (the r11 100× run measured the
+    * whole-frame cache materializing it at 440 s where streaming the
+    * expansion costs nothing), so every consumer (this gate entry,
+    * dd_corpus_report's count) re-streams the map-only explode from
+    * the cached compact frames instead. At 100 TB the compact frames
+    * are what you persist per corpus version; expanded pairs are a
+    * stream, never an artifact. */
+  def ddMinhashLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val (groups, repPairs, withinGroups) = minhashPieces(spark, sfDir, cache = true)
+    minhashExpand(groups, repPairs, withinGroups)
       .orderBy(col("id_a"), col("id_b"))
+  }
 
   // private[graft]: AggregatesSpec audits the bloom-prune plan shape on
-  // this pre-checkpoint core — the cached gate entry is a LogicalRDD
-  // whose plan string shows nothing (the presentSorted lesson).
+  // this UNCACHED core — the cached gate entry reads LogicalRDDs whose
+  // plan strings show nothing (the presentSorted lesson).
   private[graft] def minhashPairsCore(spark: SparkSession, sfDir: String): DataFrame = {
+    val (groups, repPairs, withinGroups) = minhashPieces(spark, sfDir, cache = false)
+    minhashExpand(groups, repPairs, withinGroups)
+  }
+
+  /** The three compact minhash frames: raw-text identity groups
+    * (rep_id, ids), verified rep-level cross pairs (id_a, id_b, j_ppm)
+    * and verified within-group rows (ids, j_ppm). `cache = true`
+    * session-caches each (checkpoint-backed); the verified two are
+    * built in ONE pass sharing the shingle source and cached as a pair
+    * ([[verifiedPieceCache]] — two separate computeIfAbsent closures
+    * would shingle the corpus twice). */
+  private def minhashPieces(spark: SparkSession, sfDir: String, cache: Boolean)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val groups =
+      if (cache) cachedFrame(spark, sfDir, "minhash.groups")(minhashGroups(spark, sfDir))
+      else minhashGroups(spark, sfDir)
+    val (repPairs, withinGroups) =
+      if (cache) {
+        verifiedPieceCache.keySet.removeIf(_._1.sparkContext.isStopped)
+        verifiedPieceCache.computeIfAbsent(
+          (spark, sfDir, "minhash", spark.conf.getOption(BloomMinScanBytesKey)),
+          _ => minhashVerified(spark, sfDir, groups, materialize = true))
+      } else minhashVerified(spark, sfDir, groups, materialize = false)
+    (groups, repPairs, withinGroups)
+  }
+
+  /** Unpersist a checkpoint-backed frame's blocks (build-time scratch
+    * that outlived its consumers — the shingle/candidate checkpoints
+    * after the verified compact frames materialize). */
+  private def dropCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ =>
+    }
+
+  private val verifiedPieceCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (SparkSession, String, String, Option[String]), (DataFrame, DataFrame)]()
+
+  private def minhashGroups(spark: SparkSession, sfDir: String): DataFrame = {
     // raw-text identity groups (md5 of the text itself — NOT the
     // normalized dd_exact fingerprint: normalization-equal texts can
     // have different shingle sets and must not merge here)
-    val groups = Tables.documents(spark, sfDir)
+    Tables.documents(spark, sfDir)
       .select(col("doc_id"), md5(col("text")).as("h"))
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("rep_id"),
         sort_array(collect_list(col("doc_id"))).as("ids"))
       .select(col("rep_id"), col("ids"))
       .localCheckpoint(true)
+  }
+
+  /** Verified rep-level cross pairs + verified within-group rows, built
+    * in one pass over a shared shingle source (the expensive part). */
+  private def minhashVerified(spark: SparkSession, sfDir: String,
+      groups: DataFrame, materialize: Boolean): (DataFrame, DataFrame) = {
     // rep-id set BROADCASTS into the rescan (a shuffle join here would
     // move every text's bytes); its cardinality is distinct-content
     // count — at the scale where that can't broadcast, the persisted
@@ -238,8 +293,8 @@ object Dedup {
     val sigDf = shCpOpt.getOrElse(shPlain).select(col("doc_id"), col("sh"),
       NativeExpressions.minHashSigs(col("sh"), K, P).as("sigs"))
     val candsPlain = minhashCandidates(sigDf)
-    val (cands, verifySrc) = shCpOpt match {
-      case Some(cp) => (candsPlain, cp)
+    val (cands, verifySrc, candCpOpt) = shCpOpt match {
+      case Some(cp) => (candsPlain, cp, None)
       case None =>
         val cpC = candsPlain.localCheckpoint(true)
         val bloom = Aggregates.bloomFilterBytes(
@@ -248,7 +303,8 @@ object Dedup {
         (cpC, repScan
           .filter(Aggregates.mightContain(bloom, col("doc_id")))
           .select(col("doc_id"),
-            NativeExpressions.wordShingles(col("text"), 3).as("sh")))
+            NativeExpressions.wordShingles(col("text"), 3).as("sh")),
+          Some(cpC))
     }
     val sa = verifySrc.select(col("doc_id").as("id_a"), col("sh").as("sh_a"))
     val sb = verifySrc.select(col("doc_id").as("id_b"), col("sh").as("sh_b"))
@@ -258,53 +314,75 @@ object Dedup {
         expr(s"inter * 1000000L div (size(sh_a) + size(sh_b) - inter)"))
       .filter(col("j_ppm") >= JaccardThresholdPpm)
       .select(col("id_a"), col("id_b"), col("j_ppm"))
-    // cross-group member pairs inherit their rep pair's Jaccard (all
-    // members share their rep's shingle multiset). Broadcast the TINY
-    // side only — the verified rep pairs — never the members table: its
-    // ids arrays sum to every doc_id in the corpus, which on a
-    // replica-heavy crawl exceeds broadcast limits even when the rep-id
-    // set alone would fit. The a-side explodes before the b-side join,
-    // so that join is a plain shuffle join both of whose inputs are
-    // bounded by the final output size (pairs × group members).
-    val members = groups
-    val crossA = members.select(col("rep_id").as("id_a"), col("ids").as("ids_a"))
-      .join(broadcast(repPairs), "id_a")
-      .select(col("id_b"), explode(col("ids_a")).as("da"), col("j_ppm"))
-    val cross = members.select(col("rep_id").as("id_b"), col("ids").as("ids_b"))
-      .join(crossA, "id_b")
-      .select(col("da"), explode(col("ids_b")).as("db"), col("j_ppm"))
-      .select(least(col("da"), col("db")).as("id_a"),
-        greatest(col("da"), col("db")).as("id_b"), col("j_ppm"))
-    // within-group pairs: identical texts always share every band, so
+    // within-group rows: identical texts always share every band, so
     // they are candidates by construction; their Jaccard is the
     // group-level d·10⁶ div (2n − d) (distinct-intersect over raw
     // sizes, same formula as the verify step on two equal multisets —
-    // null for shingle-less texts, exactly like the per-doc form)
-    val multi = members.filter(size(col("ids")) >= 2)
+    // null for shingle-less texts, exactly like the per-doc form).
+    // Kept PRE-explode (ids, j_ppm): the pair expansion is quadratic in
+    // group size and belongs to the consumer's stream, not a cache.
+    val multi = groups.filter(size(col("ids")) >= 2)
     val withinSh = shCpOpt.getOrElse(
       repScan.join(broadcast(multi.select(col("rep_id").as("doc_id"))), "doc_id")
         .select(col("doc_id"),
           NativeExpressions.wordShingles(col("text"), 3).as("sh")))
-    val within = multi
+    val withinGroups = multi
       .join(withinSh.select(col("doc_id").as("rep_id"), col("sh").as("wsh")), "rep_id")
       .withColumn("inter", size(array_distinct(col("wsh"))).cast("long"))
       .withColumn("j_ppm", expr("inter * 1000000L div (2 * size(wsh) - inter)"))
       .filter(col("j_ppm") >= JaccardThresholdPpm)
+      .select(col("ids"), col("j_ppm"))
+    if (!materialize) (repPairs, withinGroups)
+    else {
+      // Eager checkpoints for the session cache; once they hold, the
+      // build-time shingle/candidate checkpoints are garbage — drop
+      // them now rather than pinning shingle arrays in executor
+      // storage until the ContextCleaner notices.
+      val out = (repPairs.localCheckpoint(true), withinGroups.localCheckpoint(true))
+      shCpOpt.foreach(dropCheckpoint)
+      candCpOpt.foreach(dropCheckpoint)
+      out
+    }
+  }
+
+  /** Doc-level pair expansion from the compact frames — map-only
+    * explodes, output-bound, re-streamed per consumer (never cached).
+    *
+    * Cross-group member pairs inherit their rep pair's Jaccard (all
+    * members share their rep's shingle multiset). Broadcast the TINY
+    * side only — the verified rep pairs — never the members table: its
+    * ids arrays sum to every doc_id in the corpus, which on a
+    * replica-heavy crawl exceeds broadcast limits even when the rep-id
+    * set alone would fit. The a-side explodes before the b-side join,
+    * so that join is a plain shuffle join both of whose inputs are
+    * bounded by the final output size (pairs × group members). */
+  private def minhashExpand(groups: DataFrame, repPairs: DataFrame,
+      withinGroups: DataFrame): DataFrame = {
+    val crossA = groups.select(col("rep_id").as("id_a"), col("ids").as("ids_a"))
+      .join(broadcast(repPairs), "id_a")
+      .select(col("id_b"), explode(col("ids_a")).as("da"), col("j_ppm"))
+    val cross = groups.select(col("rep_id").as("id_b"), col("ids").as("ids_b"))
+      .join(crossA, "id_b")
+      .select(col("da"), explode(col("ids_b")).as("db"), col("j_ppm"))
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("j_ppm"))
+    val within = withinGroups
       .select(explode(pairsOf(col("ids"))).as("p"), col("j_ppm"))
       .select(col("p").getField("a").as("id_a"),
         col("p").getField("b").as("id_b"), col("j_ppm"))
     within.unionByName(cross)
   }
 
-  /** Session cache of the heavy verified near-dup PAIR frames (the
-    * expensive build shared by each operator's gate entry and
-    * dd_corpus_report) — the same house pattern as Similarity's
-    * centroid/knn caches: keyed per session (dead sessions evicted on
-    * access), corpus dir, method tag, and the bloom-prune conf (a
-    * pruned build and an unpruned one have identical VALUES, but the
-    * key keeps plan-audit runs honest about which shape they measure).
-    * Eagerly checkpointed; pair frames are id/score longs — far smaller
-    * than the shingle/band fan-in they save. */
+  /** Session cache of a verified near-dup PAIR frame — now used only by
+    * dd_ngram_jaccard, whose pairs come straight off the df-capped
+    * posting index with no member expansion (the df cap already bounds
+    * the output, so the frame is safe to materialize; the
+    * expansion-bearing methods cache COMPACT frames instead — see
+    * [[ddMinhashLsh]] / [[ddSimhash]]). Keyed per session (dead
+    * sessions evicted on access), corpus dir, method tag, and the
+    * bloom-prune conf (a pruned build and an unpruned one have
+    * identical VALUES, but the key keeps plan-audit runs honest about
+    * which shape they measure). */
   private val pairFrameCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String, Option[String]), DataFrame]()
 
@@ -682,30 +760,14 @@ object Dedup {
     * already unique, and the two expansion joins can't duplicate them,
     * so the quadratic output flows through exactly one sort (the gate's
     * ORDER BY) and nothing else. */
-  def ddSimhash(spark: SparkSession, sfDir: String): DataFrame =
-    cachedPairs(spark, sfDir, "simhash")(simhashPairsCore(spark, sfDir))
-      .orderBy(col("id_a"), col("id_b"))
-
-  private def simhashPairsCore(spark: SparkSession, sfDir: String): DataFrame = {
-    // native one-pass fingerprint (one md5 per token; bit-identical to the
-    // 32×filter-count Column form and the DuckDB mirror); checkpointed —
-    // consumed by both expansion joins and the within-fp self-join
-    val fpDf = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
-      .localCheckpoint(true)
-    val distinctFps = fpDf.select(col("fp")).distinct()
-    val bandKeys = simhashBandKeys(col("fp"))
-    val bands = distinctFps.select(col("fp"), explode(bandKeys).as("bk"))
-    // hamming test lives in the join condition: failed candidates die in
-    // the join output instead of flowing downstream; distinct() here is
-    // over fp-level edges (a pair of fps can share several bands), which
-    // is the SMALL relation
-    val fpEdges = bands.as("x").join(bands.as("y"),
-        col("x.bk") === col("y.bk") && col("x.fp") < col("y.fp") &&
-          bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= HammingMax)
-      .select(col("x.fp").as("fp_a"), col("y.fp").as("fp_b"),
-        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
-      .distinct()
+  def ddSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    // Only the COMPACT frames are session-cached (the corpus fp table
+    // and the distinct-fp verified edge set); the doc-level pair
+    // expansion below is quadratic in fp-group size on a replica-dense
+    // corpus and is re-streamed per consumer — caching it materialized
+    // the quadratic output (see ddMinhashLsh's scaladoc).
+    val fpDf = simhashFp(spark, sfDir)
+    val fpEdges = simhashFpEdges(spark, sfDir)
     // cross-fp doc pairs: two streamed equi-joins, output-bound; fp
     // groups are disjoint doc sets, so each unordered pair appears once
     val cross = fpEdges
@@ -719,7 +781,44 @@ object Dedup {
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         lit(0L).as("hamming"))
     within.unionByName(cross)
+      .orderBy(col("id_a"), col("id_b"))
   }
+
+  /** The corpus (doc_id, fp) simhash table — native one-pass
+    * fingerprint (one md5 per token; bit-identical to the
+    * 32×filter-count Column form and the DuckDB mirror).
+    * Session-cached: consumed by dd_simhash's expansion joins and
+    * within-fp self-join, [[fpGroups]] (and through it dd_components /
+    * dd_decisions / cur_verdict) — one fingerprint scan of the corpus
+    * per session total. */
+  private def simhashFp(spark: SparkSession, sfDir: String): DataFrame =
+    cachedFrame(spark, sfDir, "simhash.fp") {
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
+        .localCheckpoint(true)
+    }
+
+  /** Distinct-fp verified near-dup edges (fp_a, fp_b, hamming) —
+    * the band join and hamming verification run over DISTINCT
+    * fingerprints only (identical texts collapse before blocking).
+    * Session-cached; tiny. */
+  private def simhashFpEdges(spark: SparkSession, sfDir: String): DataFrame =
+    cachedFrame(spark, sfDir, "simhash.fpEdges") {
+      val distinctFps = simhashFp(spark, sfDir).select(col("fp")).distinct()
+      val bandKeys = simhashBandKeys(col("fp"))
+      val bands = distinctFps.select(col("fp"), explode(bandKeys).as("bk"))
+      // hamming test lives in the join condition: failed candidates die
+      // in the join output instead of flowing downstream; distinct() is
+      // over fp-level edges (a pair of fps can share several bands),
+      // which is the SMALL relation
+      bands.as("x").join(bands.as("y"),
+          col("x.bk") === col("y.bk") && col("x.fp") < col("y.fp") &&
+            bit_count(col("x.fp").bitwiseXOR(col("y.fp"))) <= HammingMax)
+        .select(col("x.fp").as("fp_a"), col("y.fp").as("fp_b"),
+          bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
+        .distinct()
+        .localCheckpoint(true)
+    }
 
   /** dd_simhash_clusters: the dense-corpus form of dd_simhash — docs with
     * IDENTICAL fingerprints collapse to a keep-min-id representative
@@ -730,10 +829,10 @@ object Dedup {
     * when replica density would make the all-pairs output explode (see
     * BASELINE.md's 20× stress). */
   def ddSimhashClusters(spark: SparkSession, sfDir: String): DataFrame = {
-    val fpDf = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
-    val groups = fpDf.groupBy(col("fp"))
-      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
+    // shares the session-cached fp-group table with dd_components /
+    // dd_decisions (one fingerprint scan + one group aggregate per
+    // session across the whole simhash family)
+    val groups = fpGroups(spark, sfDir)
     val bandKeys = simhashBandKeys(col("fp"))
     val bands = groups.select(col("fp"), col("rep_id"), col("n_docs"),
       explode(bandKeys).as("bk"))
@@ -782,8 +881,7 @@ object Dedup {
   def ddDecisions(spark: SparkSession, sfDir: String): DataFrame = {
     val groups = fpGroups(spark, sfDir)
     val labels = repComponents(spark, sfDir)
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
+    simhashFp(spark, sfDir)
       .join(groups.select(col("fp"), col("rep_id")), "fp")
       .join(labels, "rep_id")
       .select(col("doc_id"), col("component"),
@@ -816,8 +914,7 @@ object Dedup {
     * cur_verdict all start from this table. */
   private def fpGroups(spark: SparkSession, sfDir: String): DataFrame =
     cachedFrame(spark, sfDir, "fpGroups") {
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
+      simhashFp(spark, sfDir)
         .groupBy(col("fp"))
         .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
         .localCheckpoint(true)
