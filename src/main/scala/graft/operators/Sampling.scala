@@ -105,12 +105,19 @@ object Sampling {
   /** Unpersist every tracked scratch checkpoint. Safe mid-session: the
     * tracked frames are per-query outputs whose consuming action has
     * finished; session-cache frames are never tracked. Lazy checkpoints
-    * that were never materialized unpersist as a no-op. */
-  def releaseScratch(): Unit = {
+    * that were never materialized unpersist as a no-op.
+    *
+    * `blocking = true` waits for block removal to finish — the bench
+    * mains use it BETWEEN timed queries so a multi-GB removal storm
+    * from query N's scratch never churns block-manager threads inside
+    * query N+1's measured window (the r11 100× sweep measured
+    * mm_manifest 47 s in-suite vs 16 s standalone from exactly that
+    * async-removal overlap). */
+  def releaseScratch(blocking: Boolean = false): Unit = {
     var ref = scratch.poll()
     while (ref != null) {
       val rdd = ref.get()
-      if (rdd != null) rdd.unpersist(blocking = false)
+      if (rdd != null) rdd.unpersist(blocking)
       ref = scratch.poll()
     }
   }
