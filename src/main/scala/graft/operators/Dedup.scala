@@ -142,9 +142,9 @@ object Dedup {
     * cost one partial per task, never a hot-key window — joins back on
     * the same fp key the groupBy shuffled on. */
   def ddSoftdedup(spark: SparkSession, sfDir: String): DataFrame = {
-    val fp = Tables.documents(spark, sfDir)
+    val fp = Sampling.trackScratch(Tables.documents(spark, sfDir)
       .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val g = fp.groupBy(col("fp"))
       .agg(count(lit(1)).as("dup_count"), min(col("doc_id")).as("canonical_id"))
     fp.join(g, "fp")
@@ -468,9 +468,9 @@ object Dedup {
     // two estimate joins below would otherwise each re-tokenize and
     // re-hash the corpus, which is exactly the repeated text pass this
     // operator exists to avoid.
-    val sigDf = shingleDf(spark, sfDir)
+    val sigDf = Sampling.trackScratch(shingleDf(spark, sfDir)
       .select(col("doc_id"), NativeExpressions.minHashSigs(col("sh"), K, P).as("sigs"))
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val cands = minhashCandidates(sigDf)
     // native positionwise matcher: the zip_with+aggregate HOF ran an
     // interpreted lambda per pair over the K-long arrays — the hot cost
@@ -505,7 +505,7 @@ object Dedup {
     // shingles + signatures checkpointed together; both increment sides
     // derive from the materialized table, so the band join and the two
     // verify joins never re-tokenize.
-    val sig = signatureDf(spark, sfDir).localCheckpoint(true)
+    val sig = Sampling.trackScratch(signatureDf(spark, sfDir).localCheckpoint(true))
     incrementalAgainst(sig.filter(newP),
       sig.filter(!newP).withColumnRenamed("doc_id", "b_id"))
   }
@@ -599,7 +599,7 @@ object Dedup {
     // band join and the verify join both read it); the corpus
     // contributes pre-computed signature columns straight from the scan.
     incrementalAgainst(
-      signatureDf(spark, sfDir).filter(newP).localCheckpoint(true),
+      Sampling.trackScratch(signatureDf(spark, sfDir).filter(newP).localCheckpoint(true)),
       spark.read.parquet(artifactPath).filter(!newP)
         .withColumnRenamed("doc_id", "b_id"))
   }

@@ -93,7 +93,11 @@ object Sampling {
   private val scratch = new java.util.concurrent.ConcurrentLinkedQueue[
     java.lang.ref.WeakReference[org.apache.spark.rdd.RDD[_]]]()
 
-  private def trackScratch(df: DataFrame): DataFrame = {
+  /** Register a checkpoint-backed frame as per-QUERY scratch (released
+    * by the mains between queries). Operators wrap their in-query
+    * eager checkpoints with this; session-cache frames must never be
+    * tracked. */
+  private[graft] def trackScratch(df: DataFrame): DataFrame = {
     df.queryExecution.analyzed.foreach {
       case lr: org.apache.spark.sql.execution.LogicalRDD =>
         scratch.add(new java.lang.ref.WeakReference(lr.rdd))

@@ -512,7 +512,7 @@ object Similarity {
     * documented — variant; both sides implement the same one). */
   private[graft] def pageRank(nodes: DataFrame, edges: DataFrame): DataFrame = {
     val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
-    val flow = edges.join(deg, "src").localCheckpoint(true)
+    val flow = Sampling.trackScratch(edges.join(deg, "src").localCheckpoint(true))
     var ranks = nodes.select(col("vec_id"), lit(1000000L).as("r"))
     for (_ <- 1 to PrIters) {
       val contrib = flow
@@ -548,8 +548,8 @@ object Similarity {
     // re-runs the probe+score build (linear in |edges| per round).
     val edges = knnEdges(spark, sfDir)
       .select(col("q_id").as("src"), col("vec_id").as("dst"))
-    centralityOver(vecs(spark, sfDir).select(col("vec_id")).localCheckpoint(true),
-      edges)
+    centralityOver(Sampling.trackScratch(
+      vecs(spark, sfDir).select(col("vec_id")).localCheckpoint(true)), edges)
   }
 
   /** The rank/degree/ordering tail of [[ssCentrality]] over an arbitrary

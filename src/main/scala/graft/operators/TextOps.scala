@@ -253,9 +253,9 @@ object TextOps {
       .select(col("doc_id"), tokenCount(col("text")).cast("long").as("n_tokens"))
     // Materialized once: the rank pass and the per-partition totals both
     // read it (two lazy branches would re-scan + re-range-sample).
-    val ranged = toks.repartitionByRange(32, col("doc_id"))
+    val ranged = Sampling.trackScratch(toks.repartitionByRange(32, col("doc_id"))
       .withColumn("__pid", spark_partition_id())
-      .localCheckpoint(true)
+      .localCheckpoint(true))
     val wLocal = Window.partitionBy(col("__pid")).orderBy(col("doc_id"))
     val local = ranged.withColumn("__lcum", sum(col("n_tokens")).over(wLocal))
     val wOrd = Window.partitionBy(pmod(col("__pid"), lit(1))).orderBy(col("__pid"))
@@ -363,7 +363,7 @@ object TextOps {
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(col("toks")).cast("long").as("dl"),
         filter(col("toks"), t => t.isin(Bm25Query: _*)).as("qtoks"))
-      .localCheckpoint()
+      .transform(df => Sampling.trackScratch(df.localCheckpoint()))
     val stats = base.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("a_toks"))
     val posting = base
       .select(col("doc_id"), col("dl"), explode(col("qtoks")).as("tok"))
@@ -413,7 +413,7 @@ object TextOps {
     val tf = docsOrdered(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
+      .transform(df => Sampling.trackScratch(df.localCheckpoint()))
     val nDocs = docsOrdered(spark, sfDir).agg(count(lit(1)).as("n_docs"))
     val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(nDocs))
@@ -464,9 +464,10 @@ object TextOps {
     }: _*)
 
   private[graft] def hhCms(docs: DataFrame): DataFrame = {
-    val tf = docs.select(explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+    val tf = Sampling.trackScratch(
+      docs.select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true))
     val hashed = tf.select(col("tok"), col("tf"),
       posexplode(cmsHashes(col("tok"))).as(Seq("row_i", "bucket")))
     val counters = hashed.groupBy(col("row_i"), col("bucket"))
@@ -532,7 +533,7 @@ object TextOps {
       .withColumn("rank", row_number().over(w).cast("long"))
       .withColumn("cum", sum(col("tf")).over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .localCheckpoint(true)
+      .transform(df => Sampling.trackScratch(df.localCheckpoint(true)))
     val total = ranked.agg(max(col("cum")).as("total"))
     val targets = spark.range(VocabTargets.length)
       .select(element_at(
@@ -732,7 +733,7 @@ object TextOps {
     // At artifact-split deployment scale the train half runs separately
     // (writeBoilerplateArtifact), so this single-session checkpoint
     // never holds more than one corpus's blocks.
-    val blocks = blockify(docs).localCheckpoint(true)
+    val blocks = Sampling.trackScratch(blockify(docs).localCheckpoint(true))
     boilerScrub(blocks, boilerHeavy(blocks))
   }
 
