@@ -41,8 +41,14 @@ object CorpusReport {
     val rows = Seq(
       metric("n_docs", count(lit(1)), Tables.documents(spark, sfDir)),
       exactStats,
-      metric("minhash_pairs", count(lit(1)), Dedup.ddMinhashLsh(spark, sfDir)),
-      metric("simhash_pairs", count(lit(1)), Dedup.ddSimhash(spark, sfDir)),
+      // Pair counts by IDENTITY from the compact cached frames
+      // (Σ C(n,2) within + Σ n_a·n_b across verified edges) — the
+      // dashboard never streams the quadratic doc-pair expansion
+      // (PairCountSpec pins the identity against the expanded form).
+      Dedup.minhashPairCount(spark, sfDir)
+        .select(lit("minhash_pairs").as("metric"), col("n_pairs").as("value")),
+      Dedup.simhashPairCount(spark, sfDir)
+        .select(lit("simhash_pairs").as("metric"), col("n_pairs").as("value")),
       metric("ngram_pairs", count(lit(1)), Dedup.ddNgramJaccard(spark, sfDir)),
       metric("novelty_p50_ppm",
         round(graft.functions.Quantiles.pctl(spark, "novelty_ppm", 0.5), 0),

@@ -241,6 +241,40 @@ object Dedup {
     (groups, repPairs, withinGroups)
   }
 
+  /** Exact pair COUNTS by identity from the compact frames — the
+    * dashboard's form (dd_corpus_report): within-group pairs are
+    * Σ C(|ids|,2) over the verified within rows and cross-group pairs
+    * are Σ |ids_a|·|ids_b| over the verified rep pairs, so the count
+    * never streams the quadratic expansion at all (fp groups are
+    * disjoint doc sets — no overlap to correct for). Identical by
+    * construction to count(*) over [[ddMinhashLsh]]; PairCountSpec
+    * pins the identity against the expanded stream. */
+  private[graft] def minhashPairCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val (groups, repPairs, withinGroups) = minhashPieces(spark, sfDir, cache = true)
+    val sizes = groups.select(col("rep_id"), size(col("ids")).cast("long").as("n"))
+    val within = withinGroups
+      .select(size(col("ids")).cast("long").as("n"))
+      .agg(coalesce(sum(expr("n * (n - 1) div 2")), lit(0L)).as("c"))
+    val cross = repPairs
+      .join(sizes.select(col("rep_id").as("id_a"), col("n").as("n_a")), "id_a")
+      .join(sizes.select(col("rep_id").as("id_b"), col("n").as("n_b")), "id_b")
+      .agg(coalesce(sum(col("n_a") * col("n_b")), lit(0L)).as("c"))
+    within.unionByName(cross).agg(sum(col("c")).cast("long").as("n_pairs"))
+  }
+
+  /** [[minhashPairCount]]'s simhash twin: Σ C(n_docs,2) over the fp
+    * groups plus Σ n_a·n_b over the distinct-fp verified edges. */
+  private[graft] def simhashPairCount(spark: SparkSession, sfDir: String): DataFrame = {
+    val sizes = fpGroups(spark, sfDir).select(col("fp"), col("n_docs"))
+    val within = sizes
+      .agg(coalesce(sum(expr("n_docs * (n_docs - 1) div 2")), lit(0L)).as("c"))
+    val cross = simhashFpEdges(spark, sfDir)
+      .join(sizes.select(col("fp").as("fp_a"), col("n_docs").as("n_a")), "fp_a")
+      .join(sizes.select(col("fp").as("fp_b"), col("n_docs").as("n_b")), "fp_b")
+      .agg(coalesce(sum(col("n_a") * col("n_b")), lit(0L)).as("c"))
+    within.unionByName(cross).agg(sum(col("c")).cast("long").as("n_pairs"))
+  }
+
   /** Unpersist a checkpoint-backed frame's blocks (build-time scratch
     * that outlived its consumers — the shingle/candidate checkpoints
     * after the verified compact frames materialize). */
@@ -802,9 +836,14 @@ object Dedup {
     * the band join and hamming verification run over DISTINCT
     * fingerprints only (identical texts collapse before blocking).
     * Session-cached; tiny. */
-  private def simhashFpEdges(spark: SparkSession, sfDir: String): DataFrame =
+  private def simhashFpEdges(spark: SparkSession, sfDir: String): DataFrame = {
+    // Dependency resolved BEFORE entering the cache closure: a nested
+    // computeIfAbsent on the same map throws "Recursive update" when
+    // the two keys collide into one hash bin (observed at sf0.001 but
+    // not sf0.01 — bin assignment depends on the key strings).
+    val fp = simhashFp(spark, sfDir)
     cachedFrame(spark, sfDir, "simhash.fpEdges") {
-      val distinctFps = simhashFp(spark, sfDir).select(col("fp")).distinct()
+      val distinctFps = fp.select(col("fp")).distinct()
       val bandKeys = simhashBandKeys(col("fp"))
       val bands = distinctFps.select(col("fp"), explode(bandKeys).as("bk"))
       // hamming test lives in the join condition: failed candidates die
@@ -819,6 +858,7 @@ object Dedup {
         .distinct()
         .localCheckpoint(true)
     }
+  }
 
   /** dd_simhash_clusters: the dense-corpus form of dd_simhash — docs with
     * IDENTICAL fingerprints collapse to a keep-min-id representative
@@ -912,22 +952,29 @@ object Dedup {
     * runs twice more inside edge-building (and again in final joins).
     * Session-cached ([[cachedFrame]]): dd_components, dd_decisions and
     * cur_verdict all start from this table. */
-  private def fpGroups(spark: SparkSession, sfDir: String): DataFrame =
+  private def fpGroups(spark: SparkSession, sfDir: String): DataFrame = {
+    // dependency OUTSIDE the closure — see simhashFpEdges' note on
+    // nested computeIfAbsent ("Recursive update")
+    val fp = simhashFp(spark, sfDir)
     cachedFrame(spark, sfDir, "fpGroups") {
-      simhashFp(spark, sfDir)
-        .groupBy(col("fp"))
+      fp.groupBy(col("fp"))
         .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("n_docs"))
         .localCheckpoint(true)
     }
+  }
 
   /** Iterative min-label propagation over the rep near-dup graph:
     * (rep_id, component). See [[ddComponents]] for the algorithm notes.
     * Session-cached: the converged fixpoint (a select over the last
     * round's checkpoint) is reused by every consumer. */
-  private def repComponents(spark: SparkSession, sfDir: String): DataFrame =
+  private def repComponents(spark: SparkSession, sfDir: String): DataFrame = {
+    // dependency OUTSIDE the closure — see simhashFpEdges' note on
+    // nested computeIfAbsent ("Recursive update")
+    val groups = fpGroups(spark, sfDir)
     cachedFrame(spark, sfDir, "repComponents") {
-      repComponentsCore(fpGroups(spark, sfDir))
+      repComponentsCore(groups)
     }
+  }
 
   private def repComponentsCore(groups: DataFrame): DataFrame = {
     val bandKeys = simhashBandKeys(col("fp"))
