@@ -436,7 +436,7 @@ object StreamEq {
     val n = results.size
     val nEq = results.values.count(_._3)
     val body = results.map { case (k, (s, b, eq, err)) =>
-      val e = err.map(m => "\"" + m.replace("\\", "\\\\").replace("\"", "\\\"") + "\"").getOrElse("null")
+      val e = err.map(Json.quote).getOrElse("null")
       s""""$k":{"stream_rows":$s,"batch_rows":$b,"equal":$eq,"err":$e}"""
     }.mkString(",")
     val json = s"""{"entries":{$body},"n_entries":$n,"n_equal":$nEq,"sf":"$sfDir"}"""

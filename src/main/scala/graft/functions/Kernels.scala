@@ -1032,9 +1032,11 @@ object Kernels {
           var read = 0
           var write = 0
           while (read < m) {
+            // Under read < m-1, read+1 < m always holds, so the first
+            // span's end is spanBuf(read+1); only the second span can
+            // run to the word end (read+2 == m).
             if (read < m - 1 &&
-                spanEq(bytes, spanBuf(read),
-                  (if (read + 1 < m) spanBuf(read + 1) else we), p) &&
+                spanEq(bytes, spanBuf(read), spanBuf(read + 1), p) &&
                 spanEq(bytes, spanBuf(read + 1),
                   (if (read + 2 < m) spanBuf(read + 2) else we), q)) {
               spanBuf(write) = spanBuf(read)

@@ -111,6 +111,15 @@ object Sampling {
     * finished; session-cache frames are never tracked. Lazy checkpoints
     * that were never materialized unpersist as a no-op.
     *
+    * POISONS retained frames: a tracked frame is backed by a
+    * localCheckpoint RDD whose blocks are unrecoverable once
+    * unpersisted — a caller that kept a reference to an operator's
+    * returned DataFrame across a release and re-triggers an action on
+    * it will fail with missing-block errors, not silently recompute.
+    * Call this only at a point where every previously returned frame
+    * is logically dead (the mains call it between queries); to reuse a
+    * result after a release, re-invoke the operator for a fresh frame.
+    *
     * `blocking = true` waits for block removal to finish — the bench
     * mains use it BETWEEN timed queries so a multi-GB removal storm
     * from query N's scratch never churns block-manager threads inside
