@@ -74,6 +74,96 @@ object Curation {
         col("sym_ppm"), col("fail_mask"), col("keep"))
       .transform(Sampling.presentSorted(_, col("doc_id")))
 
+  // ---- tx_quality_classifier: learned linear quality model ----------
+  //
+  // CCNet/RefinedWeb-style LEARNED quality filter (Wenzek et al. 2019
+  // train a fastText linear classifier between the rule gate and the LM
+  // filter): logit = bias + w·x over a bag-of-words vocabulary table
+  // plus document-statistic features. The embedded-table house pattern
+  // (synonyms, UTS #51, PII shapes, BPE merges): the weight table below
+  // is shared VERBATIM by the Spark plan and the generated DuckDB
+  // mirror, all arithmetic is integer logit-micros (no division of any
+  // possibly-negative quantity, so `div` vs `//` rounding can never
+  // diverge), and the oracle SQL is string-generated from the same
+  // constants. A production deployment swaps in real learned weights
+  // (the plan shape is weight-agnostic); these demonstration weights
+  // are quantized hand priors over the synthetic corpus vocabulary so
+  // both keep and drop populations exist at every SF.
+  //
+  // Scale shape: map-only single pass, one native tokenization shared
+  // by every vocabulary tier via tokenSetCount (the bag-of-words dot
+  // product is K set-membership counters, K = |distinct weights|, not
+  // a per-token join against a weight table — no shuffle, no broadcast,
+  // fully codegen'd). The cheapest learned gate possible at 100 TB.
+
+  /** Intercept, in logit-micros (1e6 micros = logit 1.0). */
+  val ClfBiasMicro = -250000L
+  /** Per-word length reward, capped at [[ClfLenCap]] words. */
+  val ClfWLenMicro = 1500L
+  val ClfLenCap = 200L
+  /** Per-ppm weights on the stop-word / duplicate-line / symbol ratios. */
+  val ClfWStopMicro = 2L
+  val ClfWDupMicro = -3L
+  val ClfWSymMicro = -4L
+  /** Penalty per centi-char of mean-word-length deviation from center. */
+  val ClfWAwlMicro = -800L
+  val ClfAwlCenterCenti = 430L
+
+  /** Bag-of-words vocabulary, grouped by quantized weight (logit-micros
+    * per occurrence). Grouping by weight turns the sparse dot product
+    * into one [[graft.functions.NativeExpressions.tokenSetCount]] per
+    * tier — the fastText trick of hashing to a small weight alphabet. */
+  val ClfWordTiers: Seq[(Long, Seq[String])] = Seq(
+    25000L  -> Seq("data", "query", "table", "column", "vector"),
+    10000L  -> Seq("join", "merge", "group", "sort", "scan"),
+    -20000L -> Seq("slow", "small", "batch"),
+    -60000L -> Seq("dup"))
+
+  /** Appends the classifier columns (n_words, word_micro, stat_micro,
+    * logit_micro, clf_keep) to any relation with a `text` column. Pure
+    * stateless column algebra — streams unchanged, like
+    * [[gopherStats]]. */
+  def classifierStats(df: DataFrame): DataFrame = {
+    val t = col("text")
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > lit(0))
+    df
+      .withColumn("__toks", tokens(t))
+      .withColumn("n_words", size(col("__toks")).cast("long"))
+      // [ \t\n\f\r] spelled out — same Java-\s vs RE2-\s rationale as
+      // gopherStats (the tx_pattern_canary \x0B row pins this seam)
+      .withColumn("__ns", length(regexp_replace(t, "[ \t\n\f\r]", "")).cast("long"))
+      .withColumn("__stops", graft.functions.NativeExpressions
+        .tokenSetCount(col("__toks"), TextOps.EnStops).cast("long"))
+      .withColumn("__sym", regexp_count(t, lit("#|\\.\\.\\.")).cast("long"))
+      .withColumn("__nl", size(lines).cast("long"))
+      .withColumn("__ndl", size(array_distinct(lines)).cast("long"))
+      .withColumn("word_micro", ClfWordTiers.map { case (w, ws) =>
+        lit(w) * graft.functions.NativeExpressions
+          .tokenSetCount(col("__toks"), ws).cast("long")
+      }.reduce(_ + _))
+      .withColumn("stat_micro",
+        lit(ClfWLenMicro) * least(col("n_words"), lit(ClfLenCap)) +
+        lit(ClfWStopMicro) * expr("__stops * 1000000L div greatest(n_words, 1L)") +
+        lit(ClfWDupMicro) * expr("(__nl - __ndl) * 1000000L div greatest(__nl, 1L)") +
+        lit(ClfWSymMicro) * expr("__sym * 1000000L div greatest(n_words, 1L)") +
+        lit(ClfWAwlMicro) * abs(expr("__ns * 100L div greatest(n_words, 1L)") - lit(ClfAwlCenterCenti)))
+      .withColumn("logit_micro", lit(ClfBiasMicro) + col("word_micro") + col("stat_micro"))
+      .withColumn("clf_keep", when(col("logit_micro") > 0L, 1L).otherwise(0L))
+      .drop("__toks", "__ns", "__stops", "__sym", "__nl", "__ndl")
+  }
+
+  /** tx_quality_classifier: the learned linear quality gate — per-doc
+    * bag-of-words + statistic logit in integer micros and the keep
+    * decision. Distinct from tx_quality's fixed composite: the word
+    * tiers let spammy vocabulary sink a document whose length/stop
+    * statistics look fine (QualityClassifierSpec pins a constructed
+    * pair where the two orderings disagree). */
+  def txQualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    classifierStats(docs(spark, sfDir).select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_words"), col("word_micro"),
+        col("stat_micro"), col("logit_micro"), col("clf_keep"))
+      .transform(Sampling.presentSorted(_, col("doc_id")))
+
   /** tx_unigram_lm: unigram-LM document scoring — each document's mean
     * and minimum corpus token frequency (parts-per-billion of all token
     * occurrences). Low mean = unusual/rare-vocabulary text, high mean =
@@ -240,19 +330,36 @@ object Curation {
     val contam = TextOps.txContamination(spark, sfDir)
       .select(col("doc_id")).distinct()
       .withColumn("__contam", lit(1L))
-    dedup.join(gopher, "doc_id")
+    val base = dedup.join(gopher, "doc_id")
       .join(broadcast(contam), Seq("doc_id"), "left")
       .select(col("doc_id"), col("component"), col("dedup_keep"), col("gopher_keep"),
         coalesce(col("__contam"), lit(0L)).as("contaminated"),
         when(col("doc_id") % TextOps.BenchMod === 0, 1L).otherwise(0L).as("is_bench"))
+    val gated =
+      if (!spark.conf.getOption(ClassifierGateKey).contains("on")) base
+      else base.join(
+        txQualityClassifier(spark, sfDir).select(col("doc_id"), col("clf_keep")),
+        "doc_id")
+    gated
       .withColumn("train_keep",
         when(col("dedup_keep") === 1L && col("gopher_keep") === 1L &&
-          col("contaminated") === 0L && col("is_bench") === 0L, 1L).otherwise(0L))
+          col("contaminated") === 0L && col("is_bench") === 0L &&
+          (if (gated.columns.contains("clf_keep")) col("clf_keep") === 1L
+           else lit(true)), 1L).otherwise(0L))
       .orderBy(col("doc_id"))
   }
 
+  /** Session knob: "on" adds the learned-classifier gate
+    * ([[txQualityClassifier]]'s clf_keep) as a fifth conjunct in
+    * [[curVerdict]]'s train_keep AND a clf_keep output column. Default
+    * off — the oracle-gated cur_verdict row is the rule-gate
+    * composition; the classifier is the optional CCNet-style second
+    * stage a production stack toggles per-corpus. */
+  val ClassifierGateKey = "graft.curation.classifier"
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_gopher"     -> (txGopher _),
+    "tx_quality_classifier" -> (txQualityClassifier _),
     "tx_unigram_lm" -> (txUnigramLm _),
     "tx_bigram_lm"  -> (txBigramLm _),
     "tx_repetition" -> (txRepetition _),
@@ -292,8 +399,40 @@ object Curation {
          |    THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM m ORDER BY doc_id""".stripMargin
 
+  // DuckDB mirror GENERATED from the same weight constants — one tier
+  // is one sqlTokenHits counter times its weight, exactly the Spark
+  // plan's tokenSetCount sum.
+  private def clfTierSql: String = ClfWordTiers.map { case (w, ws) =>
+    s"$w * CAST(${TextOps.sqlTokenHits(ws)} AS BIGINT)"
+  }.mkString(" + ")
+
+  private val qualityClassifierSql =
+    s"""WITH q AS (
+       |  SELECT doc_id,
+       |    CAST(length($sqlTokens) AS BIGINT) AS n_words,
+       |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS ns,
+       |    CAST($sqlStopHits AS BIGINT) AS n_stops,
+       |    CAST(length(regexp_extract_all(text, '#|\\.\\.\\.')) AS BIGINT) AS sym,
+       |    CAST(length(list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) != '')) AS BIGINT) AS n_lines,
+       |    CAST(length(list_distinct(list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) != ''))) AS BIGINT) AS n_dlines,
+       |    CAST($clfTierSql AS BIGINT) AS word_micro
+       |  FROM documents),
+       |m AS (
+       |  SELECT doc_id, n_words, word_micro,
+       |    CAST($ClfWLenMicro * LEAST(n_words, $ClfLenCap)
+       |      + $ClfWStopMicro * (n_stops * 1000000 // GREATEST(n_words, 1))
+       |      + ($ClfWDupMicro) * ((n_lines - n_dlines) * 1000000 // GREATEST(n_lines, 1))
+       |      + ($ClfWSymMicro) * (sym * 1000000 // GREATEST(n_words, 1))
+       |      + ($ClfWAwlMicro) * abs(ns * 100 // GREATEST(n_words, 1) - $ClfAwlCenterCenti) AS BIGINT) AS stat_micro
+       |  FROM q)
+       |SELECT doc_id, n_words, word_micro, stat_micro,
+       |  CAST($ClfBiasMicro + word_micro + stat_micro AS BIGINT) AS logit_micro,
+       |  CAST(CASE WHEN $ClfBiasMicro + word_micro + stat_micro > 0 THEN 1 ELSE 0 END AS BIGINT) AS clf_keep
+       |FROM m ORDER BY doc_id""".stripMargin
+
   val oracle: Map[String, String] = Map(
     "tx_gopher" -> gopherSql,
+    "tx_quality_classifier" -> qualityClassifierSql,
     "tx_unigram_lm" ->
       s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS tok FROM documents),
          |tf AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok),
