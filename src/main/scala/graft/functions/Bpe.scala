@@ -88,14 +88,22 @@ object Bpe {
     * `replace`). Used by BpeSpec to pin [[Kernels.bpeSubwordStats]]'s
     * span walk against the oracle's formulation; too slow for the hot
     * path (it re-materializes the bracket string per rule). */
-  private[graft] def tokenCountViaReplaceChain(word: String): Int = {
+  private[graft] def tokenCountViaReplaceChain(word: String): Int =
+    tokenCountViaReplaceChain(word, Merges)
+
+  /** Same replace-chain encoder under an ARBITRARY merge table — the
+    * ground truth BpeTrainSpec applies a LEARNED table through (BpeSpec
+    * pins the kernel equal to this formulation for the embedded table;
+    * the algorithm is table-agnostic by construction). */
+  private[graft] def tokenCountViaReplaceChain(
+      word: String, merges: Seq[(String, String)]): Int = {
     var s = word.map(c => s"[$c]").mkString
-    Merges.foreach { case (p, q) => s = s.replace(s"[$p][$q]", s"[$p$q]") }
+    merges.foreach { case (p, q) => s = s.replace(s"[$p][$q]", s"[$p$q]") }
     s.count(_ == '[')
   }
 
-  private val AsciiUpper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
-  private val AsciiLower = "abcdefghijklmnopqrstuvwxyz"
+  private[graft] val AsciiUpper = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+  private[graft] val AsciiLower = "abcdefghijklmnopqrstuvwxyz"
 
   /** DuckDB expressions over a text column `c`:
     * (n_words, n_alpha_chars, n_bpe_tokens) — the generated mirror of
@@ -113,5 +121,52 @@ object Bpe {
     }
     val nTokens = s"CAST(length($chain) - length(replace($chain, '[', '')) AS BIGINT)"
     (nWords, nChars, nTokens)
+  }
+
+  // ---- merge-table TRAINING (tx_bpe_train) --------------------------
+
+  /** Fixed training rounds: each round learns ONE merge — the classic
+    * BPE procedure (Sennrich et al. 2016) with frequency ties broken
+    * lexicographically on (p, q) so the learned table is deterministic
+    * on both engines. 12 is deliberately small: the oracle is the same
+    * algorithm UNROLLED as one CTE per round (the p21_lloyds pattern)
+    * and must stay parseable; a production run raises it — the per-round
+    * cost is vocabulary-sized, not corpus-sized, either way. */
+  val TrainRounds = 12
+
+  /** DuckDB mirror of the trainer, generated for `rounds` rounds: word
+    * counts once from the corpus, then per round the weighted adjacent
+    * pair counts over the bracket-encoded vocabulary (ALL adjacent
+    * occurrences — "aaa" contributes (a,a) twice, the classic counting),
+    * argmax with the lexicographic tie-break, and one literal `replace`
+    * merge pass (left-to-right non-overlapping, exactly the apply-side
+    * semantics). */
+  def trainOracleSql(rounds: Int): String = {
+    val folded = s"translate(text, '$AsciiUpper', '$AsciiLower')"
+    def pairs(v: String): String =
+      s"""(
+         |      SELECT toks[i] AS p, toks[i+1] AS q, sum(cnt) AS c
+         |      FROM (SELECT string_split(s[2:-2], '][') AS toks, cnt FROM $v) t,
+         |           UNNEST(range(1, len(toks))) AS g(i)
+         |      GROUP BY 1, 2)""".stripMargin
+    val head =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT w, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT unnest(regexp_extract_all($folded, '[a-z]+')) AS w FROM documents)
+         |  GROUP BY w),
+         |v0 AS MATERIALIZED (SELECT regexp_replace(w, '([a-z])', '[\\1]', 'g') AS s, cnt FROM w0)""".stripMargin
+    val roundCtes = (1 to rounds).map { r =>
+      val p = s"(SELECT p FROM m$r)"
+      val q = s"(SELECT q FROM m$r)"
+      s"""m$r AS MATERIALIZED (
+         |  SELECT p, q, c FROM ${pairs(s"v${r - 1}")} ORDER BY c DESC, p, q LIMIT 1),
+         |v$r AS MATERIALIZED (
+         |  SELECT replace(s, '[' || $p || '][' || $q || ']',
+         |                 '[' || $p || $q || ']') AS s, cnt FROM v${r - 1})""".stripMargin
+    }
+    val union = (1 to rounds).map { r =>
+      s"SELECT CAST($r AS BIGINT) AS rank, p, q, p || q AS merged, c AS pair_count FROM m$r"
+    }.mkString("\nUNION ALL ")
+    (head +: roundCtes).mkString("WITH ", ",\n", "\n") + union + "\nORDER BY rank"
   }
 }

@@ -66,6 +66,68 @@ object TextOps {
           expr("__b.n_chars * 1000000 div __b.n_tokens")).as("cpt_ppm"))
       .transform(Sampling.presentSorted(_, col("doc_id")))
 
+  /** tx_bpe_train: distributed BPE merge-table TRAINING — learns the
+    * table tx_bpe applies. [[graft.functions.Bpe.TrainRounds]] rounds of
+    * most-frequent-adjacent-pair (Sennrich et al. 2016), frequency ties
+    * broken lexicographically on (p, q) so the result is deterministic;
+    * emits the (rank, p, q, merged, pair_count) table. The DuckDB mirror
+    * is the same algorithm unrolled one-CTE-per-round, GENERATED from
+    * the same constants ([[graft.functions.Bpe.trainOracleSql]]).
+    *
+    * Scale shape: the corpus is touched ONCE — the word-frequency
+    * aggregate (map-side combine, shuffle ∝ vocabulary, the tx_unigram_lm
+    * lesson). Every round then runs over the VOCABULARY table: one
+    * adjacent-pair count (weighted by word frequency, map-side
+    * combinable), one 1-row argmax collect (the Lloyd's-centroid
+    * pattern), one literal-replace merge pass, lineage cut per round by
+    * a tracked localCheckpoint. At 100 TB the corpus pass dominates and
+    * runs exactly once; rounds cost |vocab|, not |corpus|. */
+  def txBpeTrain(spark: SparkSession, sfDir: String): DataFrame =
+    bpeTrain(spark, sfDir, graft.functions.Bpe.TrainRounds)
+
+  /** [[txBpeTrain]] under an arbitrary round count — BpeTrainSpec's
+    * entry point for small fixtures whose vocabularies exhaust before
+    * [[graft.functions.Bpe.TrainRounds]]. */
+  private[graft] def bpeTrain(
+      spark: SparkSession, sfDir: String, rounds: Int): DataFrame = {
+    import spark.implicits._
+    import graft.functions.Bpe
+    // Words = maximal [a-z]+ runs after the fixed ASCII fold — the
+    // apply-side tokenization (Bpe.oracleExprs), NOT locale lower().
+    var vocab = Sampling.trackScratch(docsOrdered(spark, sfDir)
+      .select(explode(expr(
+        s"regexp_extract_all(translate(text, '${Bpe.AsciiUpper}', '${Bpe.AsciiLower}'), '([a-z]+)', 1)")).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(regexp_replace(col("w"), "([a-z])", "[$1]").as("s"), col("cnt"))
+      .localCheckpoint(true))
+    val merges = Seq.newBuilder[(Long, String, String, String, Long)]
+    for (r <- 1 to rounds) {
+      // ALL adjacent token pairs of the bracket encoding, weighted by
+      // word frequency ("aaa" → (a,a) twice — classic BPE counting).
+      val toks = split(expr("substring(s, 2, length(s) - 2)"), "\\]\\[")
+      val n = size(toks)
+      val win = vocab
+        .select(col("cnt"), explode(zip_with(
+          slice(toks, lit(1), n - lit(1)), slice(toks, lit(2), n - lit(1)),
+          (a, b) => concat_ws(" ", a, b))).as("pq"))
+        .select(col("cnt"),
+          element_at(split(col("pq"), " "), 1).as("p"),
+          element_at(split(col("pq"), " "), 2).as("q"))
+        .groupBy(col("p"), col("q")).agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("p"), col("q"))
+        .as[(String, String, Long)].take(1)
+      require(win.nonEmpty,
+        s"tx_bpe_train: vocabulary exhausted before round $r — lower Bpe.TrainRounds for this corpus")
+      val (p, q, c) = win(0)
+      merges += ((r.toLong, p, q, p + q, c))
+      vocab = Sampling.trackScratch(vocab
+        .select(expr(s"replace(s, '[$p][$q]', '[$p$q]')").as("s"), col("cnt"))
+        .localCheckpoint(true))
+    }
+    merges.result().toDF("rank", "p", "q", "merged", "pair_count")
+      .orderBy(col("rank"))
+  }
+
   /** Appends `en_hits..fr_hits` + `lang_pred` over a (…, text) frame —
     * ONE definition shared by tx_langid and tx_pattern_canary (the
     * shared-projection lesson: a heuristic edit that doesn't propagate
@@ -902,6 +964,7 @@ object TextOps {
     "tx_pattern_canary" -> (txPatternCanary _),
     "tx_tokens"       -> (txTokens _),
     "tx_bpe"          -> (txBpe _),
+    "tx_bpe_train"    -> (txBpeTrain _),
     "tx_langid"       -> (txLangid _),
     "tx_quality"      -> (txQuality _),
     "tx_quality_dist" -> (txQualityDist _),
@@ -1028,6 +1091,8 @@ object TextOps {
          |       THEN n_alpha_chars * 1000000 // n_bpe_tokens END AS cpt_ppm
          |FROM b ORDER BY doc_id""".stripMargin
     },
+    "tx_bpe_train" ->
+      graft.functions.Bpe.trainOracleSql(graft.functions.Bpe.TrainRounds),
     "tx_langid" ->
       s"""WITH h AS (
          |  SELECT doc_id, text,
