@@ -77,6 +77,42 @@ object MediaDecoder {
     }
   }
 
+  /** A REAL audio decoder over the JDK's built-in WAV reader
+    * (javax.sound.sampled ships a RIFF/WAVE PCM parser with every JRE —
+    * zero added dependencies, the audio twin of [[imageIo]]): width is
+    * the actual sample rate in Hz, height the channel count, n_frames
+    * the PCM frame count from the decoded header. Payloads AudioSystem
+    * can't parse (this repo's text stand-ins, truncated RIFF, compressed
+    * codecs) fall back to the arithmetic stub — the same
+    * salvage-don't-fail contract as the image path. */
+  val wavPcm: Factory = () => new MediaDecoder {
+    private val md = java.security.MessageDigest.getInstance("MD5")
+    def decode(a: MediaAsset): MediaFeatures = {
+      val in =
+        try javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(a.payload))
+        catch {
+          case _: javax.sound.sampled.UnsupportedAudioFileException |
+               _: java.io.IOException => null
+        }
+      if (in == null) Manifest.decodeStub(a, md)
+      else {
+        val fmt = in.getFormat
+        val frameLen = in.getFrameLength
+        try in.close() catch { case _: java.io.IOException => }
+        md.reset()
+        MediaFeatures(
+          media_id = a.media_id,
+          media_type = a.media_type,
+          n_bytes = a.payload.length.toLong,
+          width = fmt.getSampleRate.toLong,
+          height = fmt.getChannels.toLong,
+          n_frames = frameLen,
+          checksum = md.digest(a.payload).map("%02x".format(_)).mkString)
+      }
+    }
+  }
+
   val byteHistogram: Factory = () => new MediaDecoder {
     private val md = java.security.MessageDigest.getInstance("MD5")
     private val hist = new Array[Long](256)
@@ -216,6 +252,71 @@ object Manifest {
         expr("least(duration_ms - win_idx * 1000L, 1000L)").as("win_ms"),
         expr("(n_bytes * 11L + win_idx * 17L) % 1000L").as("energy"))
       .orderBy(col("media_id"), col("win_idx"))
+
+  /** One REAL analysis window of decoded audio: fixed 1-second windows
+    * (ragged final), RMS energy in raw 16-bit sample units. */
+  case class AudioWindow(media_id: Long, win_idx: Long, win_ms: Long, energy: Long)
+
+  /** Decodes a WAV payload to 16-bit PCM and emits per-1-second-window
+    * RMS energy — the REAL feature [[mmAudioWindows]]' arithmetic stub
+    * stands in for. Returns empty for payloads AudioSystem can't parse
+    * or non-16-bit encodings (a real pipeline filters, not fails).
+    * Deterministic per payload: integer sums, one IEEE sqrt floored. */
+  private[multimodal] def wavWindows(a: MediaAsset): Seq[AudioWindow] = {
+    val in =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(a.payload))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => null
+      }
+    if (in == null) return Seq.empty
+    val fmt = in.getFormat
+    if (fmt.getSampleSizeInBits != 16 ||
+        fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED)
+      return Seq.empty
+    val bytes = in.readAllBytes()
+    in.close()
+    val ch = fmt.getChannels
+    val sr = fmt.getSampleRate.toInt // PCM frames per second = window size
+    val bytesPerFrame = fmt.getFrameSize
+    val nFrames = bytes.length / bytesPerFrame
+    val big = fmt.isBigEndian
+    @inline def sample(frame: Int, c: Int): Long = {
+      val o = frame * bytesPerFrame + c * 2
+      val s =
+        if (big) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+        else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+      s.toLong
+    }
+    (0 until (nFrames + sr - 1) / sr).map { w =>
+      val from = w * sr
+      val until = math.min(from + sr, nFrames)
+      var sumSq = 0L
+      var f = from
+      while (f < until) {
+        var c = 0
+        while (c < ch) { val s = sample(f, c); sumSq += s * s; c += 1 }
+        f += 1
+      }
+      val n = (until - from).toLong * ch
+      AudioWindow(a.media_id, w.toLong,
+        (until - from).toLong * 1000L / sr,
+        if (n == 0) 0L else math.sqrt(sumSq.toDouble / n).toLong)
+    }
+  }
+
+  /** [[mmAudioWindows]] over REAL WAV payloads: same output shape
+    * (media_id, win_idx, win_ms, energy), energy computed from decoded
+    * PCM instead of the byte-count stub. Same shuffle-free scale shape —
+    * mapPartitions flat-map, payloads never shuffle; the decode is
+    * per-partition batched exactly like [[decodeAssets]]. */
+  def audioWindowsWav(spark: SparkSession,
+      assets: org.apache.spark.sql.Dataset[MediaAsset]): DataFrame = {
+    import spark.implicits._
+    assets.mapPartitions(_.flatMap(wavWindows)).toDF()
+      .orderBy(col("media_id"), col("win_idx"))
+  }
 
   /** mm_dedup: exact multimodal dedup — identical payload BYTES collapse
     * on the decode checksum (content-addressable dedup, the first pass
