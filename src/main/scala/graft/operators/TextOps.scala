@@ -932,7 +932,20 @@ object TextOps {
     14L -> "a b c a b c a b c a b c a b c",
     // 15: BPE merge-chain depth — creation-order fragments (the/ther/
     // tion/ation/ment) plus case folding and a non-merging tail.
-    15L -> "The nation stations mention internationalization and THE weather bcdfg")
+    15L -> "The nation stations mention internationalization and THE weather bcdfg",
+    // r12 extension (r11 verdict item 7): the seams the table didn't
+    // yet pin.
+    // 16: synonym md5-gate edges — the gate hashes lower(token)#slot,
+    // so every case variant of one synonym key must gate IDENTICALLY
+    // (all replaced or all kept, per slot); punctuated keys ("small,")
+    // and replacement-side words ("large") miss the table; the double
+    // space pins the empty-segment round-trip of split(' ')/join(' ').
+    16L -> "Big BIG bIg big small, large fast  fast slow good zz",
+    // 17: BPE span-buffer growth — a word longer than the kernel's
+    // 32-slot initial span buffer (34 letters) plus a long merge-dense
+    // run; the per-word walk must grow its buffer, not truncate.
+    17L -> ("supercalifragilisticexpialidocious " +
+      "thethethethethethethethethethethethethe mentionment"))
 
   /** tx_pattern_canary: the embedded fixture pushed through every
     * cross-engine-sensitive native kernel family on BOTH engines — a
@@ -955,8 +968,12 @@ object TextOps {
           Dedup.WinnowK, Dedup.WinnowW, Dedup.WinnowPosBits)).cast("long"))
       .withColumn("n_bpe_tokens", graft.functions.NativeExpressions
         .bpeSubwordStats(col("text")).getField("n_tokens"))
+      // r12: the synonym-aug kernel family (md5 gate + case fold +
+      // split(' ') round-trip) at a fixed slot — row 16's edges.
+      .withColumn("aug_text", graft.functions.NativeExpressions
+        .synonymAug(col("text"), lit(0L), Synonyms.pairs))
       .select((Seq("doc_id") ++ PiiOutCols ++ Seq("n_emoji", "n_tokens",
-        "lang_pred", "n_winnow_fps", "n_bpe_tokens")).map(col): _*)
+        "lang_pred", "n_winnow_fps", "n_bpe_tokens", "aug_text")).map(col): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -1271,8 +1288,9 @@ object TextOps {
       else ""
     val extraCols =
       if (canaryExtras)
-        """,
-          |  xh.n_tokens, xh.lang_pred, xw.n_winnow_fps, xh.n_bpe_tokens""".stripMargin
+        s""",
+           |  xh.n_tokens, xh.lang_pred, xw.n_winnow_fps, xh.n_bpe_tokens,
+           |  ${Synonyms.duckAug("c.text", "0")} AS aug_text""".stripMargin
       else ""
     val emojiJoin = if (withEmoji) " JOIN src c USING (doc_id)" else ""
     val extraJoin =
