@@ -164,6 +164,41 @@ object Curation {
         col("stat_micro"), col("logit_micro"), col("clf_keep"))
       .transform(Sampling.presentSorted(_, col("doc_id")))
 
+  /** Noise floor for learned token weights: tokens with fewer total
+    * occurrences than this carry no usable signal and are dropped. */
+  val TrainMinTf = 5L
+
+  /** tx_quality_train: learn the quality classifier's WORD WEIGHTS from
+    * weak labels — the CCNet move (Wenzek et al. 2019 train the cheap
+    * linear filter to imitate an expensive reference signal). Labels =
+    * the Gopher rule gate's keep flag ([[gopherStats]], zero extra
+    * passes to produce); per token the occurrence-weighted keep rate
+    * minus the corpus keep prior, in integer ppm:
+    * weight = tf_keep·10⁶ div tf − total_keep·10⁶ div total. Positive =
+    * the token co-occurs with rule-passing text. A production run feeds
+    * the top/bottom of this table back as [[ClfWordTiers]] (quantize by
+    * weight, the fastText trick); the embedded demonstration tiers keep
+    * the APPLY side hash-gated and deterministic.
+    *
+    * All divisions are of non-negative integers (the subtraction happens
+    * AFTER both divisions), so Spark `div` and DuckDB `//` cannot
+    * diverge. Scale shape: one corpus pass (map-only label algebra +
+    * tokenize), one map-side-combinable shuffle on the token key
+    * (shuffle ∝ vocabulary — the tx_unigram_lm lesson), one broadcast
+    * single-row total. The cheapest possible distributed trainer. */
+  def txQualityTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val posting = gopherStats(docs(spark, sfDir).select(col("doc_id"), col("text")))
+      .select(explode(tokens(col("text"))).as("tok"), col("keep"))
+    val tf = posting.groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"), sum(col("keep")).as("tf_keep"))
+    val tot = tf.agg(sum(col("tf")).as("__t"), sum(col("tf_keep")).as("__tk"))
+    tf.crossJoin(broadcast(tot))
+      .filter(col("tf") >= TrainMinTf)
+      .selectExpr("tok", "tf", "tf_keep",
+        "tf_keep * 1000000L div tf - __tk * 1000000L div __t AS weight_micro")
+      .orderBy(col("weight_micro").desc, col("tok"))
+  }
+
   /** tx_unigram_lm: unigram-LM document scoring — each document's mean
     * and minimum corpus token frequency (parts-per-billion of all token
     * occurrences). Low mean = unusual/rare-vocabulary text, high mean =
@@ -360,6 +395,7 @@ object Curation {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "tx_gopher"     -> (txGopher _),
     "tx_quality_classifier" -> (txQualityClassifier _),
+    "tx_quality_train" -> (txQualityTrain _),
     "tx_unigram_lm" -> (txUnigramLm _),
     "tx_bigram_lm"  -> (txBigramLm _),
     "tx_repetition" -> (txRepetition _),
@@ -433,6 +469,19 @@ object Curation {
   val oracle: Map[String, String] = Map(
     "tx_gopher" -> gopherSql,
     "tx_quality_classifier" -> qualityClassifierSql,
+    "tx_quality_train" ->
+      s"""WITH l AS (
+         |  SELECT d.text, g.keep
+         |  FROM documents d JOIN ($gopherSql) g USING (doc_id)),
+         |t AS (SELECT unnest($sqlTokens) AS tok, keep FROM l),
+         |tf AS (SELECT tok, CAST(count(*) AS BIGINT) AS tf,
+         |    CAST(sum(keep) AS BIGINT) AS tf_keep
+         |  FROM t GROUP BY tok),
+         |tot AS (SELECT sum(tf) AS t, sum(tf_keep) AS tk FROM tf)
+         |SELECT tok, tf, tf_keep,
+         |  CAST(tf_keep * 1000000 // tf - tk * 1000000 // t AS BIGINT) AS weight_micro
+         |FROM tf CROSS JOIN tot WHERE tf >= $TrainMinTf
+         |ORDER BY weight_micro DESC, tok""".stripMargin,
     "tx_unigram_lm" ->
       s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS tok FROM documents),
          |tf AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok),

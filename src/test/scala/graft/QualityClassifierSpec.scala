@@ -94,6 +94,42 @@ class QualityClassifierSpec extends SparkSpec {
     } finally spark.conf.unset(Curation.ClassifierGateKey)
   }
 
+  test("tx_quality_train: exact weights on a corpus with engineered labels") {
+    // keep doc: 32 words, mean word length in [3,5], 2 stops, no symbols
+    // -> passes every Gopher rule; drop doc: 10 words -> fails the word
+    // floor. "goodtok" occurs only in keep docs, "badtok" only in drop.
+    val keepDoc = ("the a " + Seq.fill(6)("goodtok").mkString(" ") + " " +
+      Seq.fill(24)("word").mkString(" "))
+    val dropDoc = Seq.fill(5)("badtok").mkString(" ") + " tiny tiny tiny tiny doc"
+    val dir = java.nio.file.Files.createTempDirectory("qtrain").toString
+    Seq((1L, keepDoc), (2L, keepDoc), (3L, dropDoc))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w = Curation.txQualityTrain(spark, dir)
+      .select("tok", "tf", "tf_keep", "weight_micro")
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // totals: keep docs contribute 2*32=64 occurrences, drop 10 -> 74
+    val prior = 64L * 1000000L / 74L
+    assert(w("goodtok") == ((12L, 12L, 1000000L - prior)))
+    assert(w("badtok") == ((5L, 0L, 0L - prior)))
+    // "tiny" occurs 4 times — under the tf floor, must be dropped
+    assert(!w.contains("tiny"))
+    assert(w("word") == ((48L, 48L, 1000000L - prior)))
+  }
+
+  test("tx_quality_train: both signs and the tf floor on the real corpus") {
+    val rows = Curation.txQualityTrain(spark, sfDir)
+      .select("tf", "weight_micro").as[(Long, Long)].collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._1 >= Curation.TrainMinTf))
+    assert(rows.exists(_._2 > 0) && rows.exists(_._2 < 0),
+      "a non-degenerate label split must produce both positive and negative weights")
+    assert(rows.forall { case (_, w) => w >= -1000000L && w <= 1000000L })
+  }
+
   test("both classes populated on the real corpus") {
     val counts = Curation.txQualityClassifier(spark, sfDir)
       .groupBy("clf_keep").count().as[(Long, Long)].collect().toMap
