@@ -168,6 +168,39 @@ object Curation {
     * occurrences than this carry no usable signal and are dropped. */
   val TrainMinTf = 5L
 
+  /** (__toks, keep) over a text frame — the SAME Gopher rules as
+    * [[gopherStats]] (same constants, GopherRuleDriftSpec-pinned equal
+    * on the real corpus), but shaped so the trainer's downstream explode
+    * reuses the ONE staged tokenization: the middle projection
+    * references __toks three times, which blocks CollapseProject from
+    * inlining word_tokens per consumer (gopherStats' withColumn chain
+    * collapses to 4 evaluations under an added explode — the
+    * PlanAuditSpec kernel budget caught exactly that). */
+  private def gopherKeepWithToks(
+      df: DataFrame, carry: Seq[String] = Nil): DataFrame = {
+    val t = col("text")
+    val c = carry.map(col)
+    df.select(c :+ t :+ tokens(t).as("__toks"): _*)
+      .select(c ++ Seq(col("__toks"),
+        size(col("__toks")).cast("long").as("n_words"),
+        graft.functions.NativeExpressions
+          .tokenSetCount(col("__toks"), TextOps.EnStops).cast("long").as("n_stops"),
+        length(regexp_replace(t, "[ \t\n\f\r]", "")).cast("long").as("__ns"),
+        regexp_count(t, lit("#|\\.\\.\\.")).cast("long").as("__sym")): _*)
+      .select(c ++ Seq(col("__toks"), expr(
+        s"""CASE WHEN n_words >= $GopherMinWords AND n_words <= $GopherMaxWords
+           | AND __ns * 100L div greatest(n_words, 1L) >= $GopherMinAwlCenti
+           | AND __ns * 100L div greatest(n_words, 1L) <= $GopherMaxAwlCenti
+           | AND n_stops >= $GopherMinStops
+           | AND __sym * 1000000L div greatest(n_words, 1L) <= $GopherMaxSymPpm
+           | THEN 1L ELSE 0L END""".stripMargin).as("keep")): _*)
+  }
+
+  /** Spec-only window into [[gopherKeepWithToks]]' label: (doc_id, keep)
+    * for the GopherRule-drift pin in QualityClassifierSpec. */
+  private[graft] def gopherKeepForSpec(df: DataFrame): DataFrame =
+    gopherKeepWithToks(df, Seq("doc_id")).select(col("doc_id"), col("keep"))
+
   /** tx_quality_train: learn the quality classifier's WORD WEIGHTS from
     * weak labels — the CCNet move (Wenzek et al. 2019 train the cheap
     * linear filter to imitate an expensive reference signal). Labels =
@@ -187,10 +220,23 @@ object Curation {
     * (shuffle ∝ vocabulary — the tx_unigram_lm lesson), one broadcast
     * single-row total. The cheapest possible distributed trainer. */
   def txQualityTrain(spark: SparkSession, sfDir: String): DataFrame = {
-    val posting = gopherStats(docs(spark, sfDir).select(col("doc_id"), col("text")))
-      .select(explode(tokens(col("text"))).as("tok"), col("keep"))
-    val tf = posting.groupBy(col("tok"))
+    // explode_outer, NOT explode: InferFiltersFromGenerate turns a plain
+    // explode into a size(word_tokens(text)) > 0 scan filter — two extra
+    // tokenizer evaluations per corpus row (PlanAuditSpec kernel budget).
+    // The outer form infers nothing; the null row an empty doc yields is
+    // dropped on the cheap exploded attribute instead.
+    val posting = gopherKeepWithToks(docs(spark, sfDir).select(col("text")))
+      .select(explode_outer(col("__toks")).as("tok"), col("keep"))
+      .filter(col("tok").isNotNull)
+    // Eager vocab-table checkpoint: the totals branch would otherwise
+    // re-run the corpus pass — column pruning narrows its copy of the
+    // token aggregate (no `tok` in the output), so the two exchanges
+    // never canonicalize equal and ReuseExchange cannot fire (the
+    // tx_corpus_novelty lesson, solved here the dd_incremental way:
+    // materialize the vocabulary-sized frame once, derive both sides).
+    val tf = Sampling.trackScratch(posting.groupBy(col("tok"))
       .agg(count(lit(1)).as("tf"), sum(col("keep")).as("tf_keep"))
+      .localCheckpoint(true))
     val tot = tf.agg(sum(col("tf")).as("__t"), sum(col("tf_keep")).as("__tk"))
     tf.crossJoin(broadcast(tot))
       .filter(col("tf") >= TrainMinTf)

@@ -120,6 +120,21 @@ class QualityClassifierSpec extends SparkSpec {
     assert(w("word") == ((48L, 48L, 1000000L - prior)))
   }
 
+  test("tx_quality_train's label projection equals gopherStats' keep (rule-drift pin)") {
+    // The trainer restates the Gopher rules in a CollapseProject-safe
+    // shape (one staged tokenization under the explode); this pin keeps
+    // the restatement from ever drifting from the gate's definition.
+    val docsDf = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"))
+    val viaGate = graft.operators.Curation
+      .gopherStats(docsDf).select("doc_id", "keep")
+      .as[(Long, Long)].collect().toMap
+    val viaTrainer = graft.operators.Curation
+      .gopherKeepForSpec(docsDf).select(col("doc_id"), col("keep"))
+      .as[(Long, Long)].collect().toMap
+    assert(viaTrainer == viaGate)
+  }
+
   test("tx_quality_train: both signs and the tf floor on the real corpus") {
     val rows = Curation.txQualityTrain(spark, sfDir)
       .select("tf", "weight_micro").as[(Long, Long)].collect()
