@@ -268,6 +268,19 @@ object StreamEq {
       (got.size.toLong, batch.size.toLong, got == batch)
     }
 
+    // 8b. qualityClassifierGate vs batch tx_quality_classifier (one
+    // shared column definition — the learned-filter twin of 8).
+    check("qualityClassifierGate") {
+      val batch = graft.operators.Curation.txQualityClassifier(spark, sfDir)
+        .select(col("doc_id"), col("logit_micro"), col("clf_keep"))
+        .as[(Long, Long, Long)].collect().toSet
+      val got = drain(docEvents, "eq_qcg", OutputMode.Append())(in =>
+          EventStreams.qualityClassifierGate(in.toDS().toDF()))
+        .select(col("doc_id"), col("logit_micro"), col("clf_keep"))
+        .as[(Long, Long, Long)].collect().toSet
+      (got.size.toLong, batch.size.toLong, got == batch)
+    }
+
     // 9. contaminationGate vs the identical stateless algebra batch-driven
     // (benchmark side = the same every-25th-doc frame tx_contamination
     // blocks against).

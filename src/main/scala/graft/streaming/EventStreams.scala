@@ -273,6 +273,16 @@ object EventStreams {
   def qualityGate(docs: DataFrame): DataFrame =
     graft.operators.Curation.gopherStats(docs)
 
+  /** Streaming learned-quality gate at INGEST — the stateless streaming
+    * form of batch tx_quality_classifier: the SAME shared column algebra
+    * ([[graft.operators.Curation.classifierStats]] — embedded weight
+    * tiers, integer logit-micros), so batch and stream cannot drift.
+    * Stateless map — no watermark, no state store, no shuffle; runs
+    * after [[qualityGate]] in an ingest chain exactly as the batch
+    * curation chain orders rule gate then learned filter. */
+  def qualityClassifierGate(docs: DataFrame): DataFrame =
+    graft.operators.Curation.classifierStats(docs)
+
   /** Streaming constraint parse at INGEST — the stateless streaming form
     * of batch rw_prompt_parse: each arriving prompt is regex-parsed into
     * the constraint fields the reward loop reads, via the SAME shared

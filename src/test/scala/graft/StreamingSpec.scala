@@ -444,6 +444,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming qualityClassifierGate matches batch tx_quality_classifier") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocEvent
+    val batch = graft.operators.Curation.txQualityClassifier(spark, sfDir)
+      .select("doc_id", "logit_micro", "clf_keep")
+      .as[(Long, Long, Long)].collect().toSet
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), lit(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")).as("ts"),
+        col("text"))
+      .as[DocEvent].collect()
+    val in = MemoryStream[DocEvent]
+    val q = EventStreams.qualityClassifierGate(in.toDS().toDF())
+      .writeStream.format("memory").queryName("qclf_gate")
+      .outputMode(OutputMode.Append).start()
+    try {
+      in.addData(docs.toIndexedSeq)
+      q.processAllAvailable()
+      val streamed = spark.table("qclf_gate")
+        .select("doc_id", "logit_micro", "clf_keep")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("streaming promptConstraintGate matches batch rw_prompt_parse on the real prompts") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions._
