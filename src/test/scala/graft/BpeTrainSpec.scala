@@ -74,6 +74,27 @@ class BpeTrainSpec extends SparkSpec {
     assert(rows == Seq((1L, "a", "a", "aa", 2L), (2L, "aa", "a", "aaa", 1L)))
   }
 
+  test("learned tables satisfy the creation-order invariant on the real corpus") {
+    // Bpe's in-order fast encoder is equivalent to lowest-rank-first
+    // ONLY for tables where each rule's sides are single chars or
+    // products of strictly earlier rules — true of any table the BPE
+    // procedure actually learns. Pin that the trainer's output has the
+    // property, so a learned table can always be fed to the tx_bpe
+    // kernel.
+    val learned = TextOps.txBpeTrain(spark, sfDir)
+      .select("rank", "p", "q").as[(Long, String, String)].collect()
+      .sortBy(_._1)
+    val products = scala.collection.mutable.Set[String]()
+    learned.foreach { case (rank, p, q) =>
+      assert(p.length == 1 || products.contains(p),
+        s"rank $rank left side '$p' is neither a char nor an earlier product")
+      assert(q.length == 1 || products.contains(q),
+        s"rank $rank right side '$q' is neither a char nor an earlier product")
+      products += (p + q)
+    }
+    assert(learned.length == Bpe.TrainRounds)
+  }
+
   test("word frequencies weight the pair counts across documents") {
     // "ab" appears in 3 docs, "cd" in 1 -> (a,b) must win round 1
     val dir = writeDocs(
