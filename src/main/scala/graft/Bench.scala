@@ -155,7 +155,7 @@ object Bench {
     // line) and ms-rounded values keep the whole line well inside the
     // driver's capture window — the r6 record lost 15/85 rows to the cap.
     val json =
-      s"""{"queries":${obj(results)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":"$sfDir"$bestExtra$errExtra}"""
+      s"""{"queries":${obj(results)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":${Json.quote(sfDir)}$bestExtra$errExtra}"""
     // The driver tail-caps captured stdout, which truncated the r5 record
     // mid-JSON. The metrics object is therefore ALSO written to a dedicated
     // file (self-contained artifact). stdout's one-line contract comes

@@ -158,7 +158,7 @@ object Rehearsal {
       s"""{"build":${obj(build)},"use":${obj(use)},"curation":${obj(curation)},""" +
         s""""insession":${obj(fused)},"build_total":${fmt(build.map(_._2).sum)},""" +
         s""""use_total":${fmt(use.map(_._2).sum)},"insession_total":${fmt(fused.map(_._2).sum)},""" +
-        s""""sf":"$sfDir"}"""
+        s""""sf":${Json.quote(sfDir)}}"""
     println(json)
     spark.stop()
   }

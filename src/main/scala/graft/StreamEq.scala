@@ -500,19 +500,28 @@ object StreamEq {
     // on a larger corpus with peak state-store rows recorded — the
     // file-verifiable evidence for the bounded-state claims (watermark
     // eviction, per-group top-k caps, banded-fp state).
+    var stressOk = true
     val stressJson = sys.env.get("SPARK_GRAFT_STRESS_SF_DIR").map { sd =>
       val stateful = Set("sessionize", "topkLeaderboard", "nearDupPairs",
         "annTopk", "incrementalVerdicts", "dedupEvents", "attributionJoin")
       val sr = runAll(sd, stateful)
       val sEq = sr.values.count(_._3)
+      // Gate the exit status on the stress section too: every entry
+      // must be equal, except nearDupPairs may be capped-unequal ONLY
+      // with its subset=true note (the designed recall trade) — a
+      // stress regression must not exit 0.
+      stressOk = sr.forall { case (name, (_, _, eq, _, msg)) =>
+        eq || (name == "nearDupPairs" &&
+          msg.exists(_.startsWith("subset=true")))
+      }
       s""","stress":{"sf_dir":${Json.quote(sd)},"n_entries":${sr.size},"n_equal":$sEq,"entries":{${entriesJson(sr)}}}"""
     }.getOrElse("")
 
-    val json = s"""{"entries":{${entriesJson(results)}},"n_entries":$n,"n_equal":$nEq,"sf":"$sfDir"$stressJson}"""
+    val json = s"""{"entries":{${entriesJson(results)}},"n_entries":$n,"n_equal":$nEq,"sf":${Json.quote(sfDir)}$stressJson}"""
     java.nio.file.Files.write(java.nio.file.Paths.get(out),
       json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     println(json)
     spark.stop()
-    if (nEq != n) sys.exit(1)
+    if (nEq != n || !stressOk) sys.exit(1)
   }
 }

@@ -165,8 +165,21 @@ object Bpe {
          |                 '[' || $p || $q || ']') AS s, cnt FROM v${r - 1})""".stripMargin
     }
     val union = (1 to rounds).map { r =>
-      s"SELECT CAST($r AS BIGINT) AS rank, p, q, p || q AS merged, c AS pair_count FROM m$r"
+      s"SELECT CAST($r AS BIGINT) AS rank, p, q, p || q AS merged, CAST(c AS BIGINT) AS pair_count FROM m$r"
     }.mkString("\nUNION ALL ")
-    (head +: roundCtes).mkString("WITH ", ",\n", "\n") + union + "\nORDER BY rank"
+    // Mirror the Spark trainer's loud vocabulary-exhaustion failure: an
+    // empty m_r would otherwise NULL-poison every later round's replace
+    // and silently TRUNCATE the table (ranks >= r just vanish from the
+    // union) — one engine erroring while the other under-reports. CASE
+    // guarantees error() is only evaluated on the empty branch.
+    val guard = s"(SELECT CASE WHEN (SELECT count(*) FROM m$rounds) = 0" +
+      " THEN error('bpe train oracle: vocabulary exhausted before round " +
+      s"$rounds') ELSE 1 END AS __ok)"
+    // The WHERE reference to __ok is what makes the guard load-bearing:
+    // an unreferenced cross-joined column gets pruned and its error()
+    // never evaluates (verified against DuckDB).
+    (head +: roundCtes).mkString("WITH ", ",\n", "\n") +
+      s"SELECT rank, p, q, merged, pair_count FROM ($union\n) u CROSS JOIN $guard g" +
+      "\nWHERE g.__ok = 1 ORDER BY rank"
   }
 }

@@ -279,6 +279,10 @@ object Manifest {
     in.close()
     val ch = fmt.getChannels
     val sr = fmt.getSampleRate.toInt // PCM frames per second = window size
+    // AudioSystem's WAV reader validates channels/bits but NOT the
+    // declared sample rate — a corrupt header with rate 0 would reach
+    // the window division below; salvage, don't fail.
+    if (sr <= 0) return Seq.empty
     val bytesPerFrame = fmt.getFrameSize
     val nFrames = bytes.length / bytesPerFrame
     val big = fmt.isBigEndian

@@ -238,10 +238,16 @@ object Curation {
       .agg(count(lit(1)).as("tf"), sum(col("keep")).as("tf_keep"))
       .localCheckpoint(true))
     val tot = tf.agg(sum(col("tf")).as("__t"), sum(col("tf_keep")).as("__tk"))
+    // The ×10⁶ ppm scaling runs in DECIMAL(38,0): at real corpus scale
+    // (~10¹³ token occurrences) __tk * 1000000 overflows BIGINT, which
+    // Spark wraps silently while DuckDB's HUGEINT sum stays exact —
+    // the one place the two engines COULD diverge. DECIMAL keeps the
+    // Spark side exact too (div on decimals is still integral).
     tf.crossJoin(broadcast(tot))
       .filter(col("tf") >= TrainMinTf)
       .selectExpr("tok", "tf", "tf_keep",
-        "tf_keep * 1000000L div tf - __tk * 1000000L div __t AS weight_micro")
+        "CAST(CAST(tf_keep AS DECIMAL(38,0)) * 1000000 div tf" +
+          " - CAST(__tk AS DECIMAL(38,0)) * 1000000 div __t AS BIGINT) AS weight_micro")
       .orderBy(col("weight_micro").desc, col("tok"))
   }
 
@@ -416,8 +422,9 @@ object Curation {
       .select(col("doc_id"), col("component"), col("dedup_keep"), col("gopher_keep"),
         coalesce(col("__contam"), lit(0L)).as("contaminated"),
         when(col("doc_id") % TextOps.BenchMod === 0, 1L).otherwise(0L).as("is_bench"))
+    val gateOn = spark.conf.getOption(ClassifierGateKey).contains("on")
     val gated =
-      if (!spark.conf.getOption(ClassifierGateKey).contains("on")) base
+      if (!gateOn) base
       else base.join(
         txQualityClassifier(spark, sfDir).select(col("doc_id"), col("clf_keep")),
         "doc_id")
@@ -425,8 +432,7 @@ object Curation {
       .withColumn("train_keep",
         when(col("dedup_keep") === 1L && col("gopher_keep") === 1L &&
           col("contaminated") === 0L && col("is_bench") === 0L &&
-          (if (gated.columns.contains("clf_keep")) col("clf_keep") === 1L
-           else lit(true)), 1L).otherwise(0L))
+          (if (gateOn) col("clf_keep") === 1L else lit(true)), 1L).otherwise(0L))
       .orderBy(col("doc_id"))
   }
 
@@ -525,7 +531,8 @@ object Curation {
          |  FROM t GROUP BY tok),
          |tot AS (SELECT sum(tf) AS t, sum(tf_keep) AS tk FROM tf)
          |SELECT tok, tf, tf_keep,
-         |  CAST(tf_keep * 1000000 // tf - tk * 1000000 // t AS BIGINT) AS weight_micro
+         |  CAST(CAST(tf_keep AS HUGEINT) * 1000000 // tf
+         |    - CAST(tk AS HUGEINT) * 1000000 // t AS BIGINT) AS weight_micro
          |FROM tf CROSS JOIN tot WHERE tf >= $TrainMinTf
          |ORDER BY weight_micro DESC, tok""".stripMargin,
     "tx_unigram_lm" ->
