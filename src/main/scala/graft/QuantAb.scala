@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Exact-vs-approx quantile A/B at stress scale — the measured record
+  * behind [[graft.functions.Quantiles.ApproxKey]]'s 100 TB claim.
+  *
+  * Runs the three percentile-bearing operators (p01_engagement,
+  * tx_quality_dist, rw_report) twice on SPARK_GRAFT_SF_DIR — exact
+  * `percentile` and `approx_percentile` — and emits one JSON line with
+  * per-query wall times for both modes plus the accuracy band:
+  * p01 tier-agreement ppm (computed distributed — never collects the
+  * corpus), max |Δ| ppm across tx_quality_dist's per-source
+  * p25/p50/p75/p95 grid, and max |Δ| ppm across rw_report's medians.
+  * QuantilesSpec pins the same band in CI at gate scale; this main is
+  * the at-scale speed/accuracy evidence (BASELINE.md).
+  */
+object QuantAb {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.codegen.hugeMethodLimit", "8000")
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        SessionTuning.objectAggFallbackThreshold(cpus.toInt,
+          sys.env.get("SPARK_EXECUTOR_MEMORY")).toString)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    import graft.functions.Quantiles
+    import graft.operators.{DocPipeline, Rewards, TextOps}
+
+    def noop(df: DataFrame): Unit =
+      df.write.format("noop").mode("overwrite").save()
+    def timed(name: String)(body: => Unit): (String, Double) = {
+      val t0 = System.nanoTime()
+      body
+      val sec = (System.nanoTime() - t0) / 1e9
+      operators.Sampling.releaseScratch(blocking = true)
+      System.err.println(f"[quantab] $name%-28s $sec%.2f s")
+      name -> sec
+    }
+
+    // Warmup: one documents-scan plan (all three queries read documents).
+    noop(Tables.documents(spark, sfDir).select(sum(length(col("text"))).as("c")))
+
+    def queries = Seq(
+      "p01_engagement"  -> (() => DocPipeline.p01Engagement(spark, sfDir)),
+      "tx_quality_dist" -> (() => TextOps.txQualityDist(spark, sfDir)),
+      "rw_report"       -> (() => Rewards.rwReport(spark, sfDir)))
+
+    def runMode(mode: String): Seq[(String, Double)] =
+      queries.map { case (n, q) => timed(s"${mode}_$n")(noop(q())) }
+
+    val exactTimes = runMode("exact")
+    spark.conf.set(Quantiles.ApproxKey, "true")
+    val approxTimes = runMode("approx")
+
+    // ---- Accuracy band (approx session still active for the "a" side).
+    // p01 tier agreement, distributed: join exact vs approx on doc_id.
+    spark.conf.unset(Quantiles.ApproxKey)
+    val p01e = DocPipeline.p01Engagement(spark, sfDir)
+      .select(col("doc_id"), col("tier").as("tier_e"))
+    spark.conf.set(Quantiles.ApproxKey, "true")
+    val p01a = DocPipeline.p01Engagement(spark, sfDir)
+      .select(col("doc_id"), col("tier").as("tier_a"))
+    val agg = p01e.join(p01a, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("tier_e") === col("tier_a"), 1L).otherwise(0L)).as("same"))
+      .head()
+    val (nDocs, nSame) = (agg.getLong(0), agg.getLong(1))
+    val tierAgreePpm = if (nDocs == 0) 1000000L else nSame * 1000000L / nDocs
+
+    def distMap(df: DataFrame): Map[String, (Long, Long, Long, Long)] =
+      df.select("source", "p25", "p50", "p75", "p95").collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    spark.conf.unset(Quantiles.ApproxKey)
+    val qdE = distMap(TextOps.txQualityDist(spark, sfDir))
+    spark.conf.set(Quantiles.ApproxKey, "true")
+    val qdA = distMap(TextOps.txQualityDist(spark, sfDir))
+    val qdMaxDelta = qdE.map { case (s, (a, b, c, d)) =>
+      val (a2, b2, c2, d2) = qdA(s)
+      Seq(a - a2, b - b2, c - c2, d - d2).map(math.abs).max
+    }.foldLeft(0L)(math.max)
+
+    def medMap(df: DataFrame): Map[String, Long] =
+      df.select("reward", "p50_ppm").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    spark.conf.unset(Quantiles.ApproxKey)
+    val rwE = medMap(Rewards.rwReport(spark, sfDir))
+    spark.conf.set(Quantiles.ApproxKey, "true")
+    val rwA = medMap(Rewards.rwReport(spark, sfDir))
+    val rwMaxDelta = rwE.map { case (k, v) => math.abs(rwA(k) - v) }
+      .foldLeft(0L)(math.max)
+
+    def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def obj(rs: Seq[(String, Double)]) =
+      rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val json =
+      s"""{"exact":${obj(exactTimes)},"approx":${obj(approxTimes)},""" +
+        s""""exact_total":${fmt(exactTimes.map(_._2).sum)},""" +
+        s""""approx_total":${fmt(approxTimes.map(_._2).sum)},""" +
+        s""""p01_tier_agree_ppm":$tierAgreePpm,"p01_docs":$nDocs,""" +
+        s""""quality_dist_max_delta_ppm":$qdMaxDelta,""" +
+        s""""rw_report_max_delta_ppm":$rwMaxDelta,""" +
+        s""""accuracy":${Quantiles.ApproxAccuracy},"sf":${Json.quote(sfDir)}}"""
+    println(json)
+    spark.stop()
+  }
+}

@@ -111,6 +111,9 @@ object Rehearsal {
       timed("use_ann_topk") {
         noop(Similarity.ssPqFromArtifact(spark, sfDir, s"$workDir/pq"))
       },
+      timed("use_semantic_dedup") {
+        noop(Similarity.semanticFromArtifact(spark, sfDir, s"$workDir/centroids"))
+      },
       timed("use_centrality") {
         noop(Similarity.ssCentralityFromArtifact(spark, sfDir, s"$workDir/knn"))
       },
@@ -143,6 +146,9 @@ object Rehearsal {
       },
       timed("insession_ann_topk") {
         noop(SparkEntry.queries("ss_ivf_pq")(spark, sfDir))
+      },
+      timed("insession_semantic") {
+        noop(SparkEntry.queries("dd_semantic")(spark, sfDir))
       },
       timed("insession_centrality") {
         noop(SparkEntry.queries("ss_centrality")(spark, sfDir))

@@ -27,6 +27,15 @@ import graft.streaming._
   */
 object StreamEq {
 
+  /** Minimum stream-vs-batch recall (ppm) the nearDupPairs stress
+    * exemption tolerates: a capped-unequal result passes the gate only
+    * as a subset AND at/above this floor, so a BucketCap/state
+    * regression that collapses recall fails loudly instead of being
+    * quietly recorded (r12 ADVICE). The default cap is sized from the
+    * recorded cap-vs-recall curve to clear this with margin. */
+  val NdpRecallFloorPpm: Long =
+    sys.env.get("SPARK_GRAFT_NDP_RECALL_FLOOR").map(_.toLong).getOrElse(950000L)
+
   private def t(s: String) = Timestamp.valueOf(s)
 
   def main(args: Array[String]): Unit = {
@@ -389,6 +398,21 @@ object StreamEq {
       (got.size.toLong, batch.size.toLong, got == batch)
     }
 
+    // 14b. packSequences vs batch tx_pack: ordered ingest across 3
+    // micro-batches — the single-long carry-over state packs across
+    // batch boundaries into exactly the batch operator's sequences.
+    check("packSequences") {
+      val batch = graft.operators.TextOps.txPack(spark, sfDir)
+        .select(col("doc_id"), col("n_tokens"), col("seq_id"))
+        .as[(Long, Long, Long)].collect().toSet
+      val ordered = docEvents.sortBy(_.doc_id)
+      val got = drain(ordered, "eq_pack", OutputMode.Append(), nBatches = 3)(in =>
+          EventStreams.packSequences(in.toDS()).toDF())
+        .select(col("doc_id"), col("n_tokens"), col("seq_id"))
+        .as[(Long, Long, Long)].collect().toSet
+      (got.size.toLong, batch.size.toLong, got == batch)
+    }
+
     // 15. annTopk over the persisted PQ index vs batch ss_ivf_pq.
     check("annTopk") {
       val path = java.nio.file.Files.createTempDirectory("streameq_pq").toString + "/pq"
@@ -503,18 +527,64 @@ object StreamEq {
     var stressOk = true
     val stressJson = sys.env.get("SPARK_GRAFT_STRESS_SF_DIR").map { sd =>
       val stateful = Set("sessionize", "topkLeaderboard", "nearDupPairs",
-        "annTopk", "incrementalVerdicts", "dedupEvents", "attributionJoin")
+        "annTopk", "incrementalVerdicts", "dedupEvents", "attributionJoin",
+        "packSequences")
       val sr = runAll(sd, stateful)
       val sEq = sr.values.count(_._3)
       // Gate the exit status on the stress section too: every entry
       // must be equal, except nearDupPairs may be capped-unequal ONLY
-      // with its subset=true note (the designed recall trade) — a
-      // stress regression must not exit 0.
+      // with subset=true AND recall at/above the floor (r12 ADVICE: a
+      // bare subset exemption lets a cap/state regression that collapses
+      // recall to near zero still exit 0) — a stress regression must not
+      // exit 0.
       stressOk = sr.forall { case (name, (_, _, eq, _, msg)) =>
-        eq || (name == "nearDupPairs" &&
-          msg.exists(_.startsWith("subset=true")))
+        eq || (name == "nearDupPairs" && msg.exists { m =>
+          m.startsWith("subset=true") &&
+            "recall_ppm=(\\d+)".r.findFirstMatchIn(m)
+              .exists(_.group(1).toLong >= NdpRecallFloorPpm)
+        })
       }
-      s""","stress":{"sf_dir":${Json.quote(sd)},"n_entries":${sr.size},"n_equal":$sEq,"entries":{${entriesJson(sr)}}}"""
+
+      // Cap-vs-recall/state curve (r12 verdict item 2): nearDupPairs
+      // re-run at a sweep of BucketCap values against the stress
+      // corpus's batch dd_simhash pair set — the measured basis for the
+      // default cap. max_state_rows is the bucket count (cap-invariant);
+      // state_bytes is the axis the cap actually moves.
+      val docEventsS = Tables.documents(spark, sd).select(col("doc_id"), col("text"))
+        .select(col("doc_id"), lit(t("2026-01-01 10:00:00")).as("ts"), col("text"))
+        .as[DocEvent].collect().toIndexedSeq
+      val batchPairs = graft.operators.Dedup.ddSimhash(spark, sd)
+        .select(col("id_a"), col("id_b"), col("hamming"))
+        .as[(Long, Long, Long)].collect().toSet
+      val curve = Seq(128, 256, 512, 1024, 2048).map { cap =>
+        val in = MemoryStream[DocEvent]
+        val q = EventStreams.nearDupPairs(in.toDS(), cap).toDF()
+          .writeStream.format("memory").queryName(s"ndp_cap_$cap")
+          .outputMode(OutputMode.Append()).start()
+        var peakRows = -1L; var peakBytes = -1L
+        try {
+          in.addData(docEventsS); q.processAllAvailable()
+          peakRows = peakStateRows(q)
+          peakBytes = q.recentProgress.iterator
+            .flatMap(_.stateOperators.map(_.memoryUsedBytes))
+            .foldLeft(-1L)(math.max)
+        } finally q.stop()
+        val got = spark.table(s"ndp_cap_$cap")
+          .select(col("id_a"), col("id_b"), col("hamming"))
+          .as[(Long, Long, Long)].collect().toSet
+        val recall = (got & batchPairs).size.toLong * 1000000L /
+          math.max(batchPairs.size, 1)
+        System.err.println(s"[streameq] ndp_curve cap=$cap pairs=${got.size} " +
+          s"recall_ppm=$recall subset=${got.subsetOf(batchPairs)} state_bytes=$peakBytes")
+        s"""{"cap":$cap,"pairs":${got.size},"recall_ppm":$recall,""" +
+          s""""subset":${got.subsetOf(batchPairs)},"max_state_rows":$peakRows,""" +
+          s""""state_bytes":$peakBytes}"""
+      }.mkString("[", ",", "]")
+
+      s""","stress":{"sf_dir":${Json.quote(sd)},"n_entries":${sr.size},"n_equal":$sEq,""" +
+        s""""ndp_default_cap":${EventStreams.BucketCap},""" +
+        s""""ndp_recall_floor_ppm":$NdpRecallFloorPpm,""" +
+        s""""ndp_curve":$curve,"entries":{${entriesJson(sr)}}}"""
     }.getOrElse("")
 
     val json = s"""{"entries":{${entriesJson(results)}},"n_entries":$n,"n_equal":$nEq,"sf":${Json.quote(sfDir)}$stressJson}"""

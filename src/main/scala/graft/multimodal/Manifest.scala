@@ -100,15 +100,25 @@ object MediaDecoder {
         val fmt = in.getFormat
         val frameLen = in.getFrameLength
         try in.close() catch { case _: java.io.IOException => }
-        md.reset()
-        MediaFeatures(
-          media_id = a.media_id,
-          media_type = a.media_type,
-          n_bytes = a.payload.length.toLong,
-          width = fmt.getSampleRate.toLong,
-          height = fmt.getChannels.toLong,
-          n_frames = frameLen,
-          checksum = md.digest(a.payload).map("%02x".format(_)).mkString)
+        val rate = fmt.getSampleRate
+        // AudioSystem returns NOT_SPECIFIED (-1) for parseable streams
+        // of unknown length / rate, and exotic formats may carry a
+        // fractional sample rate that .toLong would silently truncate —
+        // both take the documented salvage path instead of emitting
+        // n_frames=-1 or a lying width.
+        if (frameLen < 0L || rate <= 0f || rate != math.floor(rate.toDouble).toFloat)
+          Manifest.decodeStub(a, md)
+        else {
+          md.reset()
+          MediaFeatures(
+            media_id = a.media_id,
+            media_type = a.media_type,
+            n_bytes = a.payload.length.toLong,
+            width = rate.toLong,
+            height = fmt.getChannels.toLong,
+            n_frames = frameLen,
+            checksum = md.digest(a.payload).map("%02x".format(_)).mkString)
+        }
       }
     }
   }

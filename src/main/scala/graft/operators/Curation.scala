@@ -425,8 +425,13 @@ object Curation {
     val gateOn = spark.conf.getOption(ClassifierGateKey).contains("on")
     val gated =
       if (!gateOn) base
+      // classifierStats directly, NOT txQualityClassifier: the query
+      // entry's presentation checkpoint+sort (Sampling.presentSorted)
+      // would be destroyed by this join anyway — joining the raw
+      // column algebra skips a tracked localCheckpoint and a sort.
       else base.join(
-        txQualityClassifier(spark, sfDir).select(col("doc_id"), col("clf_keep")),
+        classifierStats(docs(spark, sfDir).select(col("doc_id"), col("text")))
+          .select(col("doc_id"), col("clf_keep")),
         "doc_id")
     gated
       .withColumn("train_keep",

@@ -391,19 +391,19 @@ object Dedup {
     * so that join is a plain shuffle join both of whose inputs are
     * bounded by the final output size (pairs × group members). */
   private def minhashExpand(groups: DataFrame, repPairs: DataFrame,
-      withinGroups: DataFrame): DataFrame = {
+      withinGroups: DataFrame, valueCol: String = "j_ppm"): DataFrame = {
     val crossA = groups.select(col("rep_id").as("id_a"), col("ids").as("ids_a"))
       .join(broadcast(repPairs), "id_a")
-      .select(col("id_b"), explode(col("ids_a")).as("da"), col("j_ppm"))
+      .select(col("id_b"), explode(col("ids_a")).as("da"), col(valueCol))
     val cross = groups.select(col("rep_id").as("id_b"), col("ids").as("ids_b"))
       .join(crossA, "id_b")
-      .select(col("da"), explode(col("ids_b")).as("db"), col("j_ppm"))
+      .select(col("da"), explode(col("ids_b")).as("db"), col(valueCol))
       .select(least(col("da"), col("db")).as("id_a"),
-        greatest(col("da"), col("db")).as("id_b"), col("j_ppm"))
+        greatest(col("da"), col("db")).as("id_b"), col(valueCol))
     val within = withinGroups
-      .select(explode(pairsOf(col("ids"))).as("p"), col("j_ppm"))
+      .select(explode(pairsOf(col("ids"))).as("p"), col(valueCol))
       .select(col("p").getField("a").as("id_a"),
-        col("p").getField("b").as("id_b"), col("j_ppm"))
+        col("p").getField("b").as("id_b"), col(valueCol))
     within.unionByName(cross)
   }
 
@@ -497,23 +497,35 @@ object Dedup {
   }
 
   def ddMinhashEstimate(spark: SparkSession, sfDir: String): DataFrame = {
-    // The signature table is materialized ONCE (K longs per doc — this is
-    // the table a production run persists): the band self-join and the
-    // two estimate joins below would otherwise each re-tokenize and
-    // re-hash the corpus, which is exactly the repeated text pass this
-    // operator exists to avoid.
-    val sigDf = Sampling.trackScratch(shingleDf(spark, sfDir)
-      .select(col("doc_id"), NativeExpressions.minHashSigs(col("sh"), K, P).as("sigs"))
+    // Identical texts collapse BEFORE signing (r12 verdict item 3 — the
+    // last corpus-sized signature frame in the suite; the same defense
+    // as ddMinhashLsh/ddSimhash): a signature is a function of the raw
+    // text, so each DISTINCT text is shingled, signed, and banded once
+    // over the session-shared identity groups, and member pairs expand
+    // afterwards — within-group pairs match on all K positions by
+    // identity (est = 10⁶ exactly), cross-group pairs inherit their rep
+    // pair's count. Output identical to the per-doc form
+    // (ReplicaCollapseSpec differential); the signature checkpoint is
+    // distinct-content-sized instead of corpus-sized, which also stops
+    // this row leaning on executor storage the session caches share.
+    val groups = cachedFrame(spark, sfDir, "minhash.groups")(minhashGroups(spark, sfDir))
+    val repSig = Sampling.trackScratch(Tables.documents(spark, sfDir)
+      .join(broadcast(groups.select(col("rep_id").as("doc_id"))), "doc_id")
+      .select(col("doc_id"), NativeExpressions.minHashSigs(
+        NativeExpressions.wordShingles(col("text"), 3), K, P).as("sigs"))
       .localCheckpoint(true))
-    val cands = minhashCandidates(sigDf)
+    val cands = minhashCandidates(repSig)
     // native positionwise matcher: the zip_with+aggregate HOF ran an
     // interpreted lambda per pair over the K-long arrays — the hot cost
     // of this operator's pair-quadratic output at replica densities
     val matches = NativeExpressions.sigMatches(col("sa"), col("sb"))
-    cands
-      .join(sigDf.select(col("doc_id").as("id_a"), col("sigs").as("sa")), "id_a")
-      .join(sigDf.select(col("doc_id").as("id_b"), col("sigs").as("sb")), "id_b")
+    val repPairs = cands
+      .join(repSig.select(col("doc_id").as("id_a"), col("sigs").as("sa")), "id_a")
+      .join(repSig.select(col("doc_id").as("id_b"), col("sigs").as("sb")), "id_b")
       .select(col("id_a"), col("id_b"), matches.as("matching_sigs"))
+    val within = groups.filter(size(col("ids")) >= 2)
+      .select(col("ids"), lit(K.toLong).as("matching_sigs"))
+    minhashExpand(groups, repPairs, within, "matching_sigs")
       .withColumn("est_j_ppm", expr(s"matching_sigs * 1000000L div $K"))
       .orderBy(col("id_a"), col("id_b"))
   }

@@ -1284,13 +1284,29 @@ object Similarity {
     * ([[assignFromArtifact]]) instead of retraining. */
   def ddSemantic(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.NativeExpressions.argminL2
-    // Checkpointed: asg feeds both self-join sides AND the final verdict
-    // join — without it the broadcast-argmin pass runs 3x per query.
-    val asg = lloydsVm(spark, sfDir)
-      .crossJoin(broadcast(lloydsCentArr(spark, sfDir)))
-      .select(col("vec_id"),
-        argminL2(col("v"), col("cents")).getField("c_id").as("cluster"))
-      .localCheckpoint()
+    semanticFromAssignment(spark, sfDir,
+      lloydsVm(spark, sfDir)
+        .crossJoin(broadcast(lloydsCentArr(spark, sfDir)))
+        .select(col("vec_id"),
+          argminL2(col("v"), col("cents")).getField("c_id").as("cluster")))
+  }
+
+  /** Index USE: [[ddSemantic]] with the assignment read from a persisted
+    * centroid artifact ([[writeCentroidArtifact]]) — no Lloyd's training
+    * in the plan, the 100 TB shape the scaladoc above promises
+    * (PipelineSpec pins artifact-path ≡ in-session output). */
+  def semanticFromArtifact(spark: SparkSession, sfDir: String, path: String): DataFrame =
+    semanticFromAssignment(spark, sfDir, assignFromArtifact(spark, sfDir, path))
+
+  /** The SemDeDup core over any (vec_id, cluster) assignment. */
+  private def semanticFromAssignment(spark: SparkSession, sfDir: String,
+      asgIn: DataFrame): DataFrame = {
+    // Checkpointed + tracked: asg feeds both self-join sides AND the
+    // final verdict join — without the checkpoint the broadcast-argmin
+    // pass runs 3x per query; without tracking the eager blocks pin
+    // executor storage until a rare old-gen GC (the r11 lifecycle rule).
+    val asg = Sampling.trackScratch(
+      asgIn.select(col("vec_id"), col("cluster")).localCheckpoint(true))
     val e = vecs(spark, sfDir).join(asg, "vec_id")
     val pairs = e.as("x").join(e.as("y"),
         col("x.cluster") === col("y.cluster") && col("x.vec_id") < col("y.vec_id"))
@@ -1338,12 +1354,24 @@ object Similarity {
   // chains mirrored below; p21_pca via the deterministic squaring fit.
   // IvfRecallSpec / KmeansQualitySpec keep the quality pins on top. ----
 
-  private val eCte = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
-  private val qCte = "q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10)"
-  private val cCte = "c AS (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 50 = 0)"
+  // All three base CTEs pinned MATERIALIZED (r12 verdict audit): each
+  // is referenced 2–4× per query and DuckDB re-evaluates plain CTEs per
+  // reference — e's 64-double cast scan and c's filter are cheap each,
+  // but under the unrolled 64-term L2² consumers every re-plan costs
+  // allocator mappings (the vm.max_map_count incident) and memory-window
+  // headroom. The temps are |e|, |q|=10, |e|/50 rows — trivially small.
+  private val eCte = "e AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+  private val qCte = "q AS MATERIALIZED (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10)"
+  private val cCte = "c AS MATERIALIZED (SELECT vec_id AS c_id, v AS cv FROM e WHERE vec_id % 50 = 0)"
 
+  // MATERIALIZED (r12 verdict item 1): DuckDB re-evaluates plain CTEs
+  // per reference, and even single-reference consumers re-plan the
+  // e×c cross-join window under their own joins — under a tight
+  // memory window the un-pinned chain OOM'd the oracle runner on
+  // ss_ivf_topk (32 KB bad_alloc, the p21_optimize_k/ss_centrality
+  // lesson once more). Pinning costs one |e|-row temp — always cheap.
   private val asgCte =
-    s"""asg AS (
+    s"""asg AS MATERIALIZED (
        |  SELECT vec_id, v, c_id AS cluster, d AS dist2 FROM (
        |    SELECT e.vec_id, e.v, c.c_id, ${l2SqSql("e.v", "c.cv")} AS d,
        |      row_number() OVER (PARTITION BY e.vec_id
@@ -1581,8 +1609,7 @@ object Similarity {
     "ss_knn_graph" ->
       // ss_ivf_topk's mirror with the CORPUS as the query set: probes
       // rank every vector's NProbe nearest centroids (same l2² + c_id
-      // tie-break), candidates join buckets, top-K per vector. asg is
-      // referenced once, so no MATERIALIZED pin is needed.
+      // tie-break), candidates join buckets, top-K per vector.
       s"""WITH $eCte, $cCte,
          |$asgCte,
          |probes AS (
@@ -1870,9 +1897,15 @@ object Similarity {
     * chain statement (the [[lloydsVm]] mirror; a scale/rounding edit
     * that reaches only one copy silently desynchronizes the p21
     * oracles from each other). A def, not a val: the `oracle` map's
-    * initializer runs before later vals would be assigned. */
+    * initializer runs before later vals would be assigned.
+    * MATERIALIZED (r12 verdict CTE audit): referenced 5–15× per chain
+    * statement (optimize_k's sweep worst), bounded at |embeddings| rows
+    * of 64 micro-ints — the cheap-to-pin/expensive-to-replan profile
+    * that OOM'd ss_ivf_topk's asg. Corpus-sized posting/shingle CTEs
+    * stay plain deliberately: materializing THOSE raises DuckDB's peak
+    * memory, the opposite failure. */
   private def vmCteSql: String =
-    "vm AS (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*1000000)) AS v FROM embeddings)"
+    "vm AS MATERIALIZED (SELECT vec_id, label, list_transform(CAST(embedding AS DOUBLE[]), x -> round(x*1000000)) AS v FROM embeddings)"
 
   /** The chain minus the shared `vm` CTE — for multi-chain statements.
     * `mat` = emit `AS MATERIALIZED`: DuckDB re-EVALUATES a plain CTE at

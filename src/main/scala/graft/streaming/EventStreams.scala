@@ -59,6 +59,14 @@ case class BucketState(docs: List[(Long, Long)], lastTs: Long)
 /** One streaming near-dup hit: id_a < id_b, verified Hamming distance. */
 case class NearDupPair(id_a: Long, id_b: Long, hamming: Long, ts: Timestamp)
 
+/** One packed-sequence assignment row — identical shape to batch
+  * tx_pack's output. */
+case class PackedDoc(doc_id: Long, n_tokens: Long, seq_id: Long)
+
+/** Carry-over state of a packing shard: tokens emitted so far — one
+  * long, however much has streamed through. */
+case class PackState(cumTokens: Long)
+
 /** One arriving ANN query (the streaming projection of the query set —
   * qv in the corpus's double space). */
 case class AnnQuery(q_id: Long, ts: Timestamp, qv: Seq[Double])
@@ -376,7 +384,8 @@ object EventStreams {
     * (groups cannot see each other's state); exact-once pair output is
     * one batch `distinct`/dedup-upsert downstream —
     * [[graft.sources.Sinks.dedupUpsertParquet]] keyed on (id_a, id_b). */
-  def nearDupPairs(docs: Dataset[DocEvent]): Dataset[NearDupPair] = {
+  def nearDupPairs(docs: Dataset[DocEvent],
+      bucketCap: Int = BucketCap): Dataset[NearDupPair] = {
     import docs.sparkSession.implicits._
     import graft.functions.NativeExpressions.simHash32
     docs
@@ -388,10 +397,11 @@ object EventStreams {
         explode(graft.operators.Dedup.simhashBandKeys(col("fp"))).as("bk"))
       .as[(Long, Timestamp, Long, String)]
       .groupByKey(_._4)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateNearDups)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(updateNearDups(bucketCap))
   }
 
-  private[streaming] def updateNearDups(
+  private[streaming] def updateNearDups(bucketCap: Int)(
       bucket: String,
       rows: Iterator[(Long, Timestamp, Long, String)],
       state: GroupState[BucketState]): Iterator[NearDupPair] =
@@ -411,7 +421,7 @@ object EventStreams {
             .foreach { case (oid, ofp) =>
               out += NearDupPair(math.min(id, oid), math.max(id, oid),
                 java.lang.Long.bitCount(fp ^ ofp).toLong, ts) }
-          docs = ((id, fp) :: docs).take(BucketCap)
+          docs = ((id, fp) :: docs).take(bucketCap)
           lastTs = math.max(lastTs, ts.getTime)
         }
       if (docs.nonEmpty) {
@@ -420,6 +430,52 @@ object EventStreams {
       }
       out.result().iterator
     }
+
+  /** Streaming sequence packing — the streaming form of tx_pack, the
+    * emit stage that completes the ingest-to-training-sequence chain
+    * (gates → dedup → scrub → PACK): documents arriving on an ORDERED
+    * ingest log are assigned to fixed-token-budget training sequences
+    * with the batch operator's concat-then-chunk semantics
+    * (`seq_id = tokens-before-this-doc div budget`). Token counting is
+    * the same native-kernel map-side pass as batch tx_pack
+    * ([[graft.functions.TextFunctions.tokenCount]]); the stateful fold
+    * never touches text.
+    *
+    * Scale/order contract: packing is inherently sequential, so the
+    * operator keys everything onto ONE packer group whose entire state
+    * is a single long — the carry-over token count, the streaming analog
+    * of tx_pack's 32-row cross-partition offset table. At 100 TB run one
+    * packer per corpus SHARD (key = shard id, sequence ids namespaced
+    * per shard); this is that operator at shards = 1, the form the batch
+    * twin can pin exactly. Within a micro-batch arrivals sort by doc_id
+    * (the batch concat order); ACROSS batches the contract is ordered
+    * delivery (an ingest log, not a shuffle) — a doc delivered after a
+    * later doc's batch packs after it, exactly as if appended to the
+    * log in that order. */
+  def packSequences(docs: Dataset[DocEvent],
+      budget: Long = graft.operators.TextOps.PackBudget): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+    docs
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.tokenCount(col("text")).cast("long").as("n_tokens"))
+      .as[(Long, Long)]
+      .groupByKey(_ => 0)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(packFold(budget))
+  }
+
+  private[streaming] def packFold(budget: Long)(
+      shard: Int,
+      rows: Iterator[(Long, Long)],
+      state: GroupState[PackState]): Iterator[PackedDoc] = {
+    var cum = state.getOption.map(_.cumTokens).getOrElse(0L)
+    val out = rows.toArray.sortBy(_._1).map { case (id, n) =>
+      val seq = cum / budget
+      cum += n
+      PackedDoc(id, n, seq)
+    }
+    state.update(PackState(cum))
+    out.iterator
+  }
 
   /** Streaming incremental dedup — the streaming form of dd_incremental's
     * exact/near/new verdicts: base (corpus) documents fold their

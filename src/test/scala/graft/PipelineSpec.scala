@@ -67,6 +67,16 @@ class PipelineSpec extends SparkSpec {
         .filter(col("vec_id") % 50 === 0).count())
   }
 
+  test("centroid artifact round-trips: semantic dedup from parquet == in-session") {
+    val path = Files.createTempDirectory("graft_cents_sem").toString + "/cents"
+    graft.operators.Similarity.writeCentroidArtifact(spark, sfDir, path)
+    val fromArtifact =
+      graft.operators.Similarity.semanticFromArtifact(spark, sfDir, path)
+    val inSession = graft.operators.Similarity.ddSemantic(spark, sfDir)
+    assert(fromArtifact.except(inSession).isEmpty && inSession.except(fromArtifact).isEmpty,
+      "artifact-path semantic dedup diverges from the in-session operator")
+  }
+
   test("signature artifact round-trips: incremental verdicts from parquet == in-session") {
     val path = Files.createTempDirectory("graft_sigs").toString + "/sigs"
     graft.operators.Dedup.writeSignatureArtifact(spark, sfDir, path)

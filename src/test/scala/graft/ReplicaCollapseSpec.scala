@@ -64,6 +64,26 @@ class ReplicaCollapseSpec extends SparkSpec {
       "exact-replica (within-fp) pairs missing")
   }
 
+  test("dd_minhash_estimate equals the naive per-doc band join + sig match") {
+    val sigsOf = Tables.documents(spark, dir)
+      .select(col("doc_id"), NativeExpressions.minHashSigs(
+        NativeExpressions.wordShingles(col("text"), 3), Dedup.K, Dedup.P).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val naive = (for {
+      (ia, _, _, _, ma) <- rows; (ib, _, _, _, mb) <- rows
+      if ia < ib && ma.exists(mb.contains)
+      m = sigsOf(ia).zip(sigsOf(ib)).count { case (x, y) => x == y }.toLong
+    } yield (ia, ib, m, m * 1000000L / Dedup.K)).toSet
+    val got = Dedup.ddMinhashEstimate(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(naive.nonEmpty && got == naive,
+      s"estimate pairs drifted: got ${got.toSeq.sorted}, naive ${naive.toSeq.sorted}")
+    // within-group expansion fired for the exact 3-clique at est = 10⁶
+    assert(Seq((1L, 2L), (1L, 3L), (2L, 3L)).forall(p =>
+      got.contains((p._1, p._2, Dedup.K.toLong, 1000000L))),
+      "exact-replica clique estimate pairs missing")
+  }
+
   test("dd_minhash_lsh equals the naive per-doc band join + verify") {
     val naive = (for {
       (ia, _, _, sa, ma) <- rows; (ib, _, _, sb, mb) <- rows

@@ -356,6 +356,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming packSequences matches batch tx_pack across micro-batches") {
+    implicit val sql = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    import graft.streaming.DocEvent
+
+    val batch = graft.operators.TextOps.txPack(spark, sfDir)
+      .select("doc_id", "n_tokens", "seq_id")
+      .as[(Long, Long, Long)].collect().toSet
+
+    // Ordered ingest log (the operator's delivery contract), split into
+    // 3 micro-batches so the carry-over state crosses batch boundaries.
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), lit(java.sql.Timestamp.valueOf("2026-01-01 10:00:00")).as("ts"),
+        col("text"))
+      .as[DocEvent].collect().sortBy(_.doc_id).toIndexedSeq
+    val in = MemoryStream[DocEvent]
+    val q = EventStreams.packSequences(in.toDS())
+      .writeStream.format("memory").queryName("pack_eq")
+      .outputMode(OutputMode.Append).start()
+    try {
+      docs.grouped(math.max(1, docs.length / 3)).foreach { g =>
+        in.addData(g); q.processAllAvailable()
+      }
+      val streamed = spark.table("pack_eq")
+        .select("doc_id", "n_tokens", "seq_id")
+        .as[(Long, Long, Long)].collect().toSet
+      assert(streamed == batch,
+        s"streamed ${streamed.size} pack rows vs batch ${batch.size}")
+    } finally q.stop()
+  }
+
   test("streaming ANN over the persisted PQ index matches batch ss_ivf_pq") {
     implicit val sql = spark.sqlContext
     import org.apache.spark.sql.functions._

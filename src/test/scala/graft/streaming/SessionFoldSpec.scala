@@ -112,10 +112,31 @@ class SessionFoldSpec extends AnyFunSuite {
     val rows = (1 to EventStreams.BucketCap + 50).map { i =>
       (i.toLong, new Timestamp(i * 1000L), i.toLong << 4, "0:0")
     }
-    EventStreams.updateNearDups("0:0", rows.iterator, st).length
+    EventStreams.updateNearDups(EventStreams.BucketCap)("0:0", rows.iterator, st).length
     assert(st.get.docs.length == EventStreams.BucketCap)
     // Newest entries survive (recency window, not drop-the-key).
     assert(st.get.docs.head._1 == (EventStreams.BucketCap + 50).toLong)
+  }
+
+  test("packSequences fold: budget boundaries, straddling docs, carry-over") {
+    import graft.streaming.PackState
+    val st = TestGroupState.create[PackState](
+      Optional.empty[PackState](), GroupStateTimeout.NoTimeout,
+      0L, Optional.empty[Long](), false)
+    // budget 10: doc1 (4 toks) -> seq 0; doc2 (8) starts at cum=4 -> seq 0
+    // (straddles the boundary, stays in the sequence its first token
+    // lands in); doc3 (2) starts at cum=12 -> seq 1. Unsorted arrival
+    // order must not matter within a batch.
+    val out1 = EventStreams.packFold(10L)(0,
+      Iterator((3L, 2L), (1L, 4L), (2L, 8L)), st).toSeq
+    assert(out1.map(p => (p.doc_id, p.seq_id)) == Seq((1L, 0L), (2L, 0L), (3L, 1L)))
+    assert(st.get.cumTokens == 14L)
+    // Next micro-batch resumes from the carried count: doc4 (1) at
+    // cum=14 -> seq 1; doc5 (9) at cum=15 -> seq 1; doc6 at cum=24 -> seq 2.
+    val out2 = EventStreams.packFold(10L)(0,
+      Iterator((4L, 1L), (5L, 9L), (6L, 3L)), st).toSeq
+    assert(out2.map(p => (p.doc_id, p.seq_id)) == Seq((4L, 1L), (5L, 1L), (6L, 2L)))
+    assert(st.get.cumTokens == 27L)
   }
 
   test("nearDupPairs timeout evicts the idle bucket") {
@@ -123,7 +144,7 @@ class SessionFoldSpec extends AnyFunSuite {
       Optional.of(BucketState(List((1L, 0L)), 0L)),
       GroupStateTimeout.EventTimeTimeout,
       0L, Optional.of(java.lang.Long.valueOf(0L)), true)
-    assert(EventStreams.updateNearDups("0:0", Iterator.empty, st).isEmpty)
+    assert(EventStreams.updateNearDups(EventStreams.BucketCap)("0:0", Iterator.empty, st).isEmpty)
     assert(!st.exists)
   }
 }
