@@ -930,14 +930,47 @@ object Dedup {
     * every near-duplicate in one pass. Same iterative machinery as
     * dd_components; one extra map-only simhash pass re-keys docs to
     * their fp group. */
-  def ddDecisions(spark: SparkSession, sfDir: String): DataFrame = {
-    val groups = fpGroups(spark, sfDir)
-    val labels = repComponents(spark, sfDir)
-    simhashFp(spark, sfDir)
-      .join(groups.select(col("fp"), col("rep_id")), "fp")
-      .join(labels, "rep_id")
+  def ddDecisions(spark: SparkSession, sfDir: String): DataFrame =
+    componentAssign(spark, sfDir)
       .select(col("doc_id"), col("component"),
         when(col("doc_id") === col("component"), 1L).otherwise(0L).as("is_kept"))
+      .orderBy(col("doc_id"))
+
+  /** (doc_id, component) over the session-cached fixpoint — the shared
+    * assignment [[ddDecisions]] and [[ddKeepBest]] label docs with. */
+  private def componentAssign(spark: SparkSession, sfDir: String): DataFrame =
+    simhashFp(spark, sfDir)
+      .join(fpGroups(spark, sfDir).select(col("fp"), col("rep_id")), "fp")
+      .join(repComponents(spark, sfDir), "rep_id")
+      .select(col("doc_id"), col("component"))
+
+  /** dd_keep_best: quality-aware dedup retention — per near-dup
+    * component keep the HIGHEST-QUALITY member (tx_quality's composite
+    * score; ties break to the smallest doc_id) instead of
+    * [[ddDecisions]]' keep-min-id rule. This is the retention rule
+    * production curation actually ships (keep the best-scoring
+    * representative of a duplicate cluster, not an arbitrary one): the
+    * component structure is identical, only the drop-list changes —
+    * KeepBestSpec pins the constructed case where a higher-quality
+    * member with a LARGER id wins over the min-id rule.
+    *
+    * Scale shape: the (doc_id, component) assignment is the shared
+    * session-cached fixpoint (one build per session, exactly
+    * dd_decisions' cost); quality joins on doc_id (both sides 2
+    * columns, AQE-splittable); the keeper choice is one map-side-
+    * combinable max-of-struct aggregate on the component key — one
+    * (quality, id) struct of state per component, never a corpus-wide
+    * window — joined back by component. */
+  def ddKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = componentAssign(spark, sfDir)
+      .join(TextOps.qualityScores(spark, sfDir), "doc_id")
+    // max of (quality_ppm, -doc_id): highest score, then smallest id
+    val best = scored.groupBy(col("component"))
+      .agg(max(struct(col("quality_ppm"), (-col("doc_id")).as("neg_id"))).as("b"))
+      .select(col("component"), (-col("b.neg_id")).as("keep_id"))
+    scored.join(best, "component")
+      .select(col("doc_id"), col("component"), col("quality_ppm"),
+        when(col("doc_id") === col("keep_id"), 1L).otherwise(0L).as("is_kept"))
       .orderBy(col("doc_id"))
   }
 
@@ -1079,6 +1112,7 @@ object Dedup {
     "dd_simhash_clusters" -> (ddSimhashClusters _),
     "dd_components"    -> (ddComponents _),
     "dd_decisions"     -> (ddDecisions _),
+    "dd_keep_best"     -> (ddKeepBest _),
     "dd_embedding"     -> (ddEmbedding _))
 
   // ---- DuckDB oracle ----
@@ -1348,6 +1382,42 @@ object Dedup {
          |  CAST(CASE WHEN f.doc_id = r.component THEN 1 ELSE 0 END AS BIGINT) AS is_kept
          |FROM f JOIN g USING (fp) JOIN r USING (rep_id)
          |ORDER BY f.doc_id""".stripMargin,
+    "dd_keep_best" ->
+      // dd_decisions' component fixpoint + tx_quality's composite score
+      // (both CTE chains verbatim from their gated siblings), keeper =
+      // rank-1 under (quality DESC, doc_id) per component — mirroring
+      // the Spark side's max-of-(quality, -id) struct aggregate.
+      s"""WITH RECURSIVE $simhashFpCte,
+         |g AS (SELECT fp, min(doc_id) AS rep_id FROM f GROUP BY fp),
+         |bd AS (SELECT fp, rep_id, unnest($simhashBandsSql) AS bk FROM g),
+         |ed AS (SELECT DISTINCT x.rep_id AS a, y.rep_id AS b
+         |  FROM bd x JOIN bd y ON x.bk = y.bk AND x.rep_id < y.rep_id
+         |    AND bit_count(xor(x.fp, y.fp)) <= $HammingMax),
+         |bidir AS (SELECT a, b FROM ed UNION ALL SELECT b, a FROM ed),
+         |reach(src, dst) AS (
+         |  SELECT rep_id, rep_id FROM g
+         |  UNION
+         |  SELECT reach.src, bidir.b FROM reach JOIN bidir ON reach.dst = bidir.a),
+         |r AS (SELECT src AS rep_id, MIN(dst) AS component
+         |  FROM reach GROUP BY src),
+         |qb AS (SELECT doc_id,
+         |    CAST(length(${TextOps.sqlTokens}) AS BIGINT) AS n_tokens,
+         |    CAST(${TextOps.sqlTokenHits(TextOps.EnStops)} AS BIGINT) AS n_stops,
+         |    CAST(length(list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) != '')) AS BIGINT) AS n_lines,
+         |    CAST(length(list_distinct(list_filter(regexp_split_to_array(text, '\\n'), l -> trim(l) != ''))) AS BIGINT) AS n_dlines
+         |  FROM documents),
+         |q AS (SELECT doc_id,
+         |    CAST(LEAST(1000000, n_tokens * 20000) // 2
+         |      + (n_stops * 1000000 // GREATEST(n_tokens, 1)) // 4
+         |      + (1000000 - (n_lines - n_dlines) * 1000000 // GREATEST(n_lines, 1)) // 4
+         |      AS BIGINT) AS quality_ppm
+         |  FROM qb),
+         |s AS (SELECT f.doc_id, r.component, q.quality_ppm
+         |  FROM f JOIN g USING (fp) JOIN r USING (rep_id) JOIN q ON q.doc_id = f.doc_id)
+         |SELECT doc_id, component, quality_ppm,
+         |  CAST(CASE WHEN row_number() OVER (PARTITION BY component
+         |    ORDER BY quality_ppm DESC, doc_id) = 1 THEN 1 ELSE 0 END AS BIGINT) AS is_kept
+         |FROM s ORDER BY doc_id""".stripMargin,
     "dd_embedding" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
          |b AS (SELECT vec_id, v, $embSignBucketSql AS bkt FROM e)

@@ -195,6 +195,12 @@ object TextOps {
         expr("least(1000000L, n_tokens * 20000L) div 2 + stop_ppm div 4 + (1000000L - dup_line_ppm) div 4"))
   }
 
+  /** (doc_id, quality_ppm) — the composite score alone, for consumers
+    * that join quality into another plan (dd_keep_best): the raw column
+    * algebra, no presentation checkpoint/sort (the cur_verdict lesson). */
+  private[graft] def qualityScores(spark: SparkSession, sfDir: String): DataFrame =
+    qualityBase(spark, sfDir).select(col("doc_id"), col("quality_ppm"))
+
   /** tx_quality: length/punctuation/stopword/dup-line ratios + an
     * integer-exact composite score. */
   def txQuality(spark: SparkSession, sfDir: String): DataFrame =

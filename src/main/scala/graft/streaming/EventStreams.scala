@@ -366,8 +366,17 @@ object EventStreams {
   /** Streaming near-dup state bounds: per-bucket candidate cap (recency
     * window — a hot boilerplate bucket keeps only its newest [[BucketCap]]
     * docs, trading recall on stale entries for bounded state, the right
-    * trade for a dedup stream) and the idle-bucket retention horizon. */
-  val BucketCap = 256
+    * trade for a dedup stream) and the idle-bucket retention horizon.
+    *
+    * The default is sized from the measured cap-vs-recall/state curve at
+    * the sf0.1 replica-dense stress density (STREAMEQ r13 `ndp_curve`):
+    * 256 → 81.1% recall, 512 → 95.2%, 1024 → 99.96%, 2048 → 100%, while
+    * total state bytes barely move (700 KB → 820 KB — only the few hot
+    * exact-replica buckets ever bind the cap). 1024 clears StreamEq's
+    * ≥95% recall floor with margin at ~17% more state than the old 256;
+    * worst-case per-bucket state stays bounded at 16 KB. Callers pass
+    * [[nearDupPairs]]'s `bucketCap` parameter to retune per corpus. */
+  val BucketCap = 1024
   val DupHorizonMs: Long = 60L * 60 * 1000
 
   /** Streaming near-duplicate DETECTION — the streaming form of
