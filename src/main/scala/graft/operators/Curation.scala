@@ -267,7 +267,12 @@ object Curation {
     * (no hot-token skew task, the round-4 posting-list lesson). The text
     * is tokenized twice (frequency branch + scoring branch) — two
     * map-only scans beat shuffling every token posting to share one. */
-  def txUnigramLm(spark: SparkSession, sfDir: String): DataFrame = {
+  def txUnigramLm(spark: SparkSession, sfDir: String): DataFrame =
+    unigramScoreCore(spark, sfDir).orderBy(col("doc_id"))
+
+  /** [[txUnigramLm]] minus the presentation sort — the join-input form
+    * [[txCcnetBucket]] consumes (a sort under a join is dead work). */
+  private def unigramScoreCore(spark: SparkSession, sfDir: String): DataFrame = {
     val posting = docs(spark, sfDir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val tf = posting.groupBy(col("tok")).agg(count(lit(1)).as("tf"))
@@ -280,6 +285,39 @@ object Curation {
         sum(col("ppb")).as("__sum"), min(col("ppb")).as("min_tok_ppb"))
       .selectExpr("doc_id", "n_tokens",
         "__sum div n_tokens AS avg_tok_ppb", "min_tok_ppb")
+  }
+
+  /** tx_ccnet_bucket: CCNet's head/middle/tail quality binning (Wenzek
+    * et al. 2019 §4.3 — the step that actually SHIPS the LM score):
+    * per-SOURCE tercile cutoffs over each document's unigram-LM score
+    * ([[txUnigramLm]]'s avg_tok_ppb — high = common/fluent language,
+    * the monotone stand-in for low KenLM perplexity), bucket = head
+    * (top tercile) / middle / tail. Per-source cutoffs are the CCNet
+    * design point: a rare-language or niche source is binned against
+    * itself, not the majority domain.
+    *
+    * Scale shape: the score is the unigram-LM plan unchanged (vocab-
+    * keyed tf aggregate, corpus never shuffles on the token key); the
+    * cutoffs are one groupBy(source) percentile — |sources|×2 doubles —
+    * broadcast back onto the scored stream. Exact percentile buffers a
+    * source's scores at gate scale; at 100 TB set
+    * [[graft.functions.Quantiles.ApproxKey]] and the same call site
+    * emits approx_percentile (bounded sketch state per source), exactly
+    * like p01's cutoffs. */
+  def txCcnetBucket(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = unigramScoreCore(spark, sfDir)
+      .select(col("doc_id"), col("avg_tok_ppb"))
+      .join(docs(spark, sfDir).select(col("doc_id"), col("source")), "doc_id")
+    val cuts = scored.groupBy(col("source"))
+      .agg(graft.functions.Quantiles.pctls(spark, "avg_tok_ppb",
+        Seq(1.0 / 3, 2.0 / 3)).as("cs"))
+      .select(col("source"),
+        element_at(col("cs"), 1).as("t1"), element_at(col("cs"), 2).as("t2"))
+    scored.join(broadcast(cuts), "source")
+      .select(col("doc_id"), col("source"), col("avg_tok_ppb"),
+        when(col("avg_tok_ppb") >= col("t2"), "head")
+          .when(col("avg_tok_ppb") >= col("t1"), "middle")
+          .otherwise("tail").as("bucket"))
       .orderBy(col("doc_id"))
   }
 
@@ -454,6 +492,7 @@ object Curation {
     "tx_quality_classifier" -> (txQualityClassifier _),
     "tx_quality_train" -> (txQualityTrain _),
     "tx_unigram_lm" -> (txUnigramLm _),
+    "tx_ccnet_bucket" -> (txCcnetBucket _),
     "tx_bigram_lm"  -> (txBigramLm _),
     "tx_repetition" -> (txRepetition _),
     "tx_mix"        -> (txMix _),
@@ -551,6 +590,29 @@ object Curation {
          |  CAST(min(ppb) AS BIGINT) AS min_tok_ppb
          |FROM t JOIN f USING (tok)
          |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "tx_ccnet_bucket" ->
+      // tx_unigram_lm's score chain verbatim, then per-source tercile
+      // cutoffs: quantile_cont == Spark exact percentile (linear
+      // interpolation, the p01 equivalence), and the fraction literals
+      // are generated from the SAME Scala doubles the Spark side uses.
+      s"""WITH t AS (SELECT doc_id, unnest($sqlTokens) AS tok FROM documents),
+         |tf AS (SELECT tok, count(*) AS tf FROM t GROUP BY tok),
+         |tot AS (SELECT sum(tf) AS total FROM tf),
+         |f AS (SELECT tok, CAST(tf * 1000000000 // total AS BIGINT) AS ppb
+         |  FROM tf CROSS JOIN tot),
+         |u AS (SELECT doc_id, CAST(sum(ppb) // count(*) AS BIGINT) AS avg_tok_ppb
+         |  FROM t JOIN f USING (tok) GROUP BY doc_id),
+         |s AS (SELECT u.doc_id, d.source, u.avg_tok_ppb
+         |  FROM u JOIN documents d USING (doc_id)),
+         |c AS (SELECT source,
+         |    quantile_cont(avg_tok_ppb, ${1.0 / 3}) AS t1,
+         |    quantile_cont(avg_tok_ppb, ${2.0 / 3}) AS t2
+         |  FROM s GROUP BY source)
+         |SELECT s.doc_id, s.source, s.avg_tok_ppb,
+         |  CASE WHEN s.avg_tok_ppb >= c.t2 THEN 'head'
+         |       WHEN s.avg_tok_ppb >= c.t1 THEN 'middle'
+         |       ELSE 'tail' END AS bucket
+         |FROM s JOIN c USING (source) ORDER BY s.doc_id""".stripMargin,
     "tx_repetition" ->
       s"""WITH t AS (SELECT doc_id, $sqlTokens AS toks FROM documents),
          |b2 AS (SELECT doc_id,

@@ -50,6 +50,33 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("tx_ccnet_bucket terciles: per-source thirds, monotone in score, knob rides") {
+    import graft.operators.Curation
+    val rows = Curation.txCcnetBucket(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    assert(rows.nonEmpty && rows.map(_._4).toSet.subsetOf(Set("head", "middle", "tail")))
+    rows.groupBy(_._2).foreach { case (src, ms) =>
+      // buckets are each about a third of the source (interpolated
+      // cutoffs and score ties can shift boundary docs)
+      val n = ms.length
+      val counts = ms.groupBy(_._4).view.mapValues(_.length).toMap
+      Seq("head", "middle", "tail").foreach { b =>
+        assert(math.abs(counts.getOrElse(b, 0) - n / 3.0) <= math.max(2, n * 0.1),
+          s"$src bucket $b count ${counts.getOrElse(b, 0)} far from n/3 of $n")
+      }
+      // monotone: every head score >= every middle score >= every tail
+      def scores(b: String) = ms.filter(_._4 == b).map(_._3)
+      val (h, m, t) = (scores("head"), scores("middle"), scores("tail"))
+      assert(h.isEmpty || m.isEmpty || h.min >= m.max)
+      assert(m.isEmpty || t.isEmpty || m.min >= t.max)
+    }
+    // the cutoffs ride the approx knob like p01's
+    val plan = withApprox {
+      Curation.txCcnetBucket(spark, sfDir).queryExecution.optimizedPlan.toString
+    }
+    assert(plan.contains("approx_percentile"))
+  }
+
   test("approx p01 tiering agrees with exact on almost every document") {
     val exact = DocPipeline.p01Engagement(spark, sfDir)
       .select("doc_id", "tier").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
