@@ -305,9 +305,15 @@ object Curation {
     * emits approx_percentile (bounded sketch state per source), exactly
     * like p01's cutoffs. */
   def txCcnetBucket(spark: SparkSession, sfDir: String): DataFrame = {
-    val scored = unigramScoreCore(spark, sfDir)
+    // Checkpointed + tracked: the cutoffs aggregate AND the final join
+    // both consume the scored frame — left lazy, each re-runs the
+    // unigram chain's two tokenize passes (PlanAuditSpec's kernel
+    // budget caught word_tokens at 6×/plan; the dd_incremental pattern
+    // pins it at 2).
+    val scored = Sampling.trackScratch(unigramScoreCore(spark, sfDir)
       .select(col("doc_id"), col("avg_tok_ppb"))
       .join(docs(spark, sfDir).select(col("doc_id"), col("source")), "doc_id")
+      .localCheckpoint(true))
     val cuts = scored.groupBy(col("source"))
       .agg(graft.functions.Quantiles.pctls(spark, "avg_tok_ppb",
         Seq(1.0 / 3, 2.0 / 3)).as("cs"))
