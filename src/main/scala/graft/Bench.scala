@@ -82,7 +82,18 @@ object Bench {
     // Optional subset (comma-separated names) for stress/spot runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val selected = SparkEntry.queries.keys.toSeq.sorted
+    // Build-before-consume ordering: ss_knn_graph OWNS the session knn
+    // edge cache's probe+score build (the one inherently super-linear
+    // step in the suite); alphabetical order ran ss_centrality first,
+    // so the CONSUMER row silently carried the one-time graph build
+    // (178.8 s vs ~5 s of actual rank rounds at the 100x corpus). The
+    // sort key files ss_centrality directly after ss_knn_graph, so the
+    // build cost lands on the BUILD row — the same attribution the
+    // dd_components/dd_decisions family gets for free alphabetically,
+    // and the cost split REHEARSAL_100X measures across sessions.
+    def runOrder(n: String): String =
+      if (n == "ss_centrality") "ss_knn_graph+consume" else n
+    val selected = SparkEntry.queries.keys.toSeq.sortBy(runOrder)
       .filter(n => only.forall(_.contains(n)))
 
     // SPARK_GRAFT_RUNS=N repeats the whole suite N times in ONE JVM —

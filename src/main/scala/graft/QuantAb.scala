@@ -59,9 +59,23 @@ object QuantAb {
     def runMode(mode: String): Seq[(String, Double)] =
       queries.map { case (n, q) => timed(s"${mode}_$n")(noop(q())) }
 
-    val exactTimes = runMode("exact")
+    // Two interleaved passes per mode (exact, approx, exact, approx) and
+    // report the per-query MIN: a single exact-first ordering gave the
+    // approx pass warmed page cache + JIT'd kernels, so the headline
+    // ratio was systematically biased in approx's favor (r13 advice).
+    // The min-of-2 on BOTH sides puts the two modes in the same thermal/
+    // cache state the way Bench's best-of-2 policy does.
+    def minByName(a: Seq[(String, Double)], b: Seq[(String, Double)]) = {
+      val bm = b.toMap
+      a.map { case (n, v) => n -> math.min(v, bm(n)) }
+    }
+    val exact1 = runMode("exact")
     spark.conf.set(Quantiles.ApproxKey, "true")
-    val approxTimes = runMode("approx")
+    val approx1 = runMode("approx")
+    spark.conf.unset(Quantiles.ApproxKey)
+    val exactTimes = minByName(exact1, runMode("exact"))
+    spark.conf.set(Quantiles.ApproxKey, "true")
+    val approxTimes = minByName(approx1, runMode("approx"))
 
     // ---- Accuracy band (approx session still active for the "a" side).
     // p01 tier agreement, distributed: join exact vs approx on doc_id.

@@ -20,13 +20,14 @@ object SparkEntry {
     analyticsQueries ++ DocPipeline.queries ++ TextOps.queries ++ Dedup.queries ++ Similarity.queries ++ Annotations.queries ++
       Style.queries ++ Rewards.queries ++ Balance.queries ++ Datasets.queries ++
       Correlation.queries ++ graft.multimodal.Manifest.queries ++ CorpusReport.queries ++
-      Curation.queries
+      Curation.queries ++ Entities.queries ++ Validation.queries
 
   def oracleSql: Map[String, String] =
     analyticsOracle ++ DocPipeline.oracle ++ TextOps.oracle ++ Dedup.oracle ++
       Similarity.oracle ++ Annotations.oracle ++ Style.oracle ++ Rewards.oracle ++
       Balance.oracle ++ Datasets.oracle ++ Correlation.oracle ++
-      graft.multimodal.Manifest.oracle ++ CorpusReport.oracle ++ Curation.oracle
+      graft.multimodal.Manifest.oracle ++ CorpusReport.oracle ++ Curation.oracle ++
+      Entities.oracle ++ Validation.oracle
 
   private val analyticsQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_pricing"      -> (Analytics.q1Pricing _),

@@ -34,7 +34,16 @@ object StreamEq {
     * quietly recorded (r12 ADVICE). The default cap is sized from the
     * recorded cap-vs-recall curve to clear this with margin. */
   val NdpRecallFloorPpm: Long =
-    sys.env.get("SPARK_GRAFT_NDP_RECALL_FLOOR").map(_.toLong).getOrElse(950000L)
+    sys.env.get("SPARK_GRAFT_NDP_RECALL_FLOOR").flatMap { s =>
+      // Guarded parse: this val initializes at object load, so an
+      // unguarded .toLong on a malformed env var would abort the whole
+      // harness before any check ran (r13 advice). Degrade to the
+      // default loudly instead.
+      val v = scala.util.Try(s.trim.toLong).toOption
+      if (v.isEmpty) System.err.println(
+        s"[streameq] ignoring malformed SPARK_GRAFT_NDP_RECALL_FLOOR '$s'")
+      v
+    }.getOrElse(950000L)
 
   private def t(s: String) = Timestamp.valueOf(s)
 

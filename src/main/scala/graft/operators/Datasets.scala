@@ -129,7 +129,8 @@ object Datasets {
   }
 
   /** Names pool from utils/violations.py:violate_names. */
-  private val Names = Seq("John Doe", "Jane Smith", "Alex Johnson", "Chris Lee")
+  private[graft] val Names =
+    Seq("John Doe", "Jane Smith", "Alex Johnson", "Chris Lee")
 
   /** Emoji pool (subset of utils/violations.py:EMOJI). */
   private val NegEmoji = Seq("😀", "😃", "😄",
@@ -143,6 +144,13 @@ object Datasets {
     * truncation for "between" prompts). Random picks (URL chars, names,
     * emoji) are md5-derived. Shuffle-free single-pass projection. */
   def p24Negatives(spark: SparkSession, sfDir: String): DataFrame =
+    negativesFrame(spark, sfDir)
+      .transform(Sampling.presentSorted(_, col("doc_id")))
+
+  /** [[p24Negatives]] without the presentation checkpoint+sort — the form
+    * downstream composers (rw_entities' detection pass) build on. */
+  private[operators] def negativesFrame(
+      spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), t, emojiCount(t).cast("long").as("__ne"))
       .select(col("doc_id"), t,
@@ -175,7 +183,6 @@ object Datasets {
           "repeat(' Lorem ipsum dolor sit amet.', greatest(1, length(__s4) div 120))")))
         .otherwise(expr("substring(__s4, 1, greatest(1, length(__s4) div 2))")))
       .select(col("doc_id"), t.as("chosen"), col("rejected"))
-      .transform(Sampling.presentSorted(_, col("doc_id")))
 
   /** p24_dpo_ready: the reference pipeline's final artifact
     * (24-dpo-ready) — the DPO split of the assembled dataset with

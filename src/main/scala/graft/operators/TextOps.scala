@@ -951,7 +951,20 @@ object TextOps {
     // 32-slot initial span buffer (34 letters) plus a long merge-dense
     // run; the per-word walk must grow its buffer, not truncate.
     17L -> ("supercalifragilisticexpialidocious " +
-      "thethethethethethethethethethethethethe mentionment"))
+      "thethethethethethethethethethethethethe mentionment"),
+    // r14 extension: the entity-detection kernel family (rw_entities —
+    // adjacent-cap pairs, honorific/org-suffix tables, the outer-
+    // punctuation strip).
+    // 18: honorific periods ("Dr." strips to "dr"), a 3-token cap run
+    // (Bob Stone overlaps Mr Bob), org suffixes with and without a
+    // period; "Mr"/"Dr" are themselves cap tokens so they also open
+    // person pairs (the reference heuristic's behavior).
+    18L -> "Dr. Alice met Mr. Bob Stone at Acme Corp. and Beta LLC yesterday",
+    // 19: sentence-start false positive (The Sky — flagged by design of
+    // the reference heuristic), single-letter caps (I, X, Y, A, B fail
+    // len>1), an all-punctuation token ("—" strips to empty and must
+    // fail the cap test, not match '^[A-Z].' vacuously).
+    19L -> "The Sky is blue. I Saw X Y and A. B. Cd today — Really!")
 
   /** tx_pattern_canary: the embedded fixture pushed through every
     * cross-engine-sensitive native kernel family on BOTH engines — a
@@ -978,8 +991,13 @@ object TextOps {
       // split(' ') round-trip) at a fixed slot — row 16's edges.
       .withColumn("aug_text", graft.functions.NativeExpressions
         .synonymAug(col("text"), lit(0L), Synonyms.pairs))
+      // r14: the entity-detection family (rw_entities) — cap-pair person
+      // candidates, honorific/org-suffix table hits, punctuation strip.
+      .transform(Entities.withEntityCols(_, col("text")))
       .select((Seq("doc_id") ++ PiiOutCols ++ Seq("n_emoji", "n_tokens",
-        "lang_pred", "n_winnow_fps", "n_bpe_tokens", "aug_text")).map(col): _*)
+        "lang_pred", "n_winnow_fps", "n_bpe_tokens", "aug_text",
+        "n_person", "person_first", "n_honorific", "n_org", "org_first"))
+        .map(col): _*)
       .orderBy(col("doc_id"))
   }
 
@@ -1296,11 +1314,15 @@ object TextOps {
       if (canaryExtras)
         s""",
            |  xh.n_tokens, xh.lang_pred, xw.n_winnow_fps, xh.n_bpe_tokens,
-           |  ${Synonyms.duckAug("c.text", "0")} AS aug_text""".stripMargin
+           |  ${Synonyms.duckAug("c.text", "0")} AS aug_text,
+           |  xen.n_person, xen.person_first, xen.n_honorific, xen.n_org,
+           |  xen.org_first""".stripMargin
       else ""
     val emojiJoin = if (withEmoji) " JOIN src c USING (doc_id)" else ""
     val extraJoin =
-      if (canaryExtras) " JOIN xh USING (doc_id) JOIN xw USING (doc_id)" else ""
+      if (canaryExtras)
+        " JOIN xh USING (doc_id) JOIN xw USING (doc_id) JOIN xen USING (doc_id)"
+      else ""
     val extraCtes = if (canaryExtras) canaryExtraCtes + ",\n" else ""
     s"""WITH src AS ($srcSql),
        |${extraCtes}p0 AS (SELECT doc_id, text AS t FROM src),
@@ -1347,7 +1369,14 @@ object TextOps {
        |    WHEN de_hits >= fr_hits THEN 'de'
        |    ELSE 'fr' END AS lang_pred,
        |  $nBpe AS n_bpe_tokens
-       |  FROM xg)""".stripMargin
+       |  FROM xg),
+       |xe AS (SELECT doc_id, ${Entities.sqlCleanToks("text")} AS ct FROM src),
+       |xen AS (SELECT doc_id, CAST(len(persons) AS BIGINT) AS n_person,
+       |    coalesce(persons[1], '') AS person_first,
+       |    CAST(len(honor) AS BIGINT) AS n_honorific,
+       |    CAST(len(orgs) AS BIGINT) AS n_org,
+       |    coalesce(orgs[1], '') AS org_first
+       |  FROM (SELECT doc_id, ${Entities.sqlCandidates("ct")} FROM xe))""".stripMargin
   }
 
   private def piiOracleSql: String =

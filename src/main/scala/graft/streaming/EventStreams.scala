@@ -460,7 +460,16 @@ object EventStreams {
     * (the batch concat order); ACROSS batches the contract is ordered
     * delivery (an ingest log, not a shuffle) — a doc delivered after a
     * later doc's batch packs after it, exactly as if appended to the
-    * log in that order. */
+    * log in that order.
+    *
+    * MEMORY contract (r13 advice): the fold materializes and sorts one
+    * micro-batch's (id, n_tokens) rows in the single packer task — 16
+    * bytes/doc, so a 10M-doc catch-up replay is ~160 MB in one
+    * executor's heap. Callers replaying a large backlog must bound the
+    * micro-batch (maxOffsetsPerTrigger / maxFilesPerTrigger on the
+    * source); at shards > 1 the bound applies per shard. The steady-
+    * state micro-batch is ingest-rate-sized and nowhere near the
+    * bound. */
   def packSequences(docs: Dataset[DocEvent],
       budget: Long = graft.operators.TextOps.PackBudget): Dataset[PackedDoc] = {
     import docs.sparkSession.implicits._
