@@ -6,13 +6,16 @@ import org.apache.spark.sql.functions._
 /** Exact-vs-approx quantile A/B at stress scale — the measured record
   * behind [[graft.functions.Quantiles.ApproxKey]]'s 100 TB claim.
   *
-  * Runs the three percentile-bearing operators (p01_engagement,
-  * tx_quality_dist, rw_report) twice on SPARK_GRAFT_SF_DIR — exact
-  * `percentile` and `approx_percentile` — and emits one JSON line with
+  * Runs the four percentile-bearing operators (p01_engagement,
+  * tx_quality_dist, rw_report, tx_ccnet_bucket) twice on
+  * SPARK_GRAFT_SF_DIR — exact `percentile` and `approx_percentile`,
+  * interleaved min-of-2 per mode — and emits one JSON line with
   * per-query wall times for both modes plus the accuracy band:
   * p01 tier-agreement ppm (computed distributed — never collects the
   * corpus), max |Δ| ppm across tx_quality_dist's per-source
-  * p25/p50/p75/p95 grid, and max |Δ| ppm across rw_report's medians.
+  * p25/p50/p75/p95 grid, max |Δ| ppm across rw_report's medians, and
+  * tx_ccnet_bucket's head/middle/tail agreement ppm under per-source
+  * approx tercile cutoffs.
   * QuantilesSpec pins the same band in CI at gate scale; this main is
   * the at-scale speed/accuracy evidence (BASELINE.md).
   */
@@ -35,7 +38,7 @@ object QuantAb {
     spark.sparkContext.setLogLevel("WARN")
 
     import graft.functions.Quantiles
-    import graft.operators.{DocPipeline, Rewards, TextOps}
+    import graft.operators.{Curation, DocPipeline, Rewards, TextOps}
 
     def noop(df: DataFrame): Unit =
       df.write.format("noop").mode("overwrite").save()
@@ -54,7 +57,10 @@ object QuantAb {
     def queries = Seq(
       "p01_engagement"  -> (() => DocPipeline.p01Engagement(spark, sfDir)),
       "tx_quality_dist" -> (() => TextOps.txQualityDist(spark, sfDir)),
-      "rw_report"       -> (() => Rewards.rwReport(spark, sfDir)))
+      "rw_report"       -> (() => Rewards.rwReport(spark, sfDir)),
+      // r14: the per-SOURCE tercile knob (CCNet binning) — grouped
+      // percentiles, not a global pair like p01's cutoffs.
+      "tx_ccnet_bucket" -> (() => Curation.txCcnetBucket(spark, sfDir)))
 
     def runMode(mode: String): Seq[(String, Double)] =
       queries.map { case (n, q) => timed(s"${mode}_$n")(noop(q())) }
@@ -115,6 +121,23 @@ object QuantAb {
     val rwMaxDelta = rwE.map { case (k, v) => math.abs(rwA(k) - v) }
       .foldLeft(0L)(math.max)
 
+    // tx_ccnet_bucket: head/middle/tail agreement under the per-source
+    // approx-percentile cutoffs (the knob's consumer-visible effect —
+    // a doc near a tercile boundary may swap bucket).
+    spark.conf.unset(Quantiles.ApproxKey)
+    val ccE = Curation.txCcnetBucket(spark, sfDir)
+      .select(col("doc_id"), col("bucket").as("b_e"))
+    spark.conf.set(Quantiles.ApproxKey, "true")
+    val ccA = Curation.txCcnetBucket(spark, sfDir)
+      .select(col("doc_id"), col("bucket").as("b_a"))
+    val ccAgg = ccE.join(ccA, "doc_id")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("b_e") === col("b_a"), 1L).otherwise(0L)).as("same"))
+      .head()
+    val ccAgreePpm =
+      if (ccAgg.getLong(0) == 0) 1000000L
+      else ccAgg.getLong(1) * 1000000L / ccAgg.getLong(0)
+
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def obj(rs: Seq[(String, Double)]) =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
@@ -125,6 +148,7 @@ object QuantAb {
         s""""p01_tier_agree_ppm":$tierAgreePpm,"p01_docs":$nDocs,""" +
         s""""quality_dist_max_delta_ppm":$qdMaxDelta,""" +
         s""""rw_report_max_delta_ppm":$rwMaxDelta,""" +
+        s""""ccnet_bucket_agree_ppm":$ccAgreePpm,""" +
         s""""accuracy":${Quantiles.ApproxAccuracy},"sf":${Json.quote(sfDir)}}"""
     println(json)
     spark.stop()

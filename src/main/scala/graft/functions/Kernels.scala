@@ -734,6 +734,100 @@ object Kernels {
     acc
   }
 
+  /** Per-CLUSTER SemDeDup verdicts — the dd_semantic pair scan as one
+    * native pass over a cluster's collected members instead of a
+    * 426M-row self-join (measured at the 100× corpus: the SortMergeJoin
+    * machinery — copying two vector payloads into a joined row per
+    * candidate pair — cost ~2.3 µs/pair·core, 30+ s/pass, while the
+    * same cosines in this tight loop are ~2 s; a scaled-sq8 prescreen
+    * variant was measured SLOWER than the float loop it screened,
+    * because the join row traffic, not the arithmetic, was the floor).
+    *
+    * `members` is ARRAY<STRUCT<vec_id BIGINT, v ARRAY<FLOAT|DOUBLE>>>;
+    * output is one STRUCT<vec_id, n_dups, min_other> per member, where
+    * a pair is a duplicate iff cos·10⁶ ≥ `minCosX1e6` — callers pass
+    * thresholdPpm − 0.5, which is EXACTLY the decision round(cos·10⁶)
+    * ≥ thresholdPpm makes (round-half-up via shortest-decimal BigDecimal
+    * is order-preserving against the representable bound), so verdicts
+    * are bit-identical to the join+round+filter form the DuckDB oracle
+    * still computes. min_other = Long.MaxValue when a member has no
+    * duplicate partner.
+    *
+    * Arithmetic parity with [[cosine]]: dot and each norm² accumulate
+    * in index order (interleaving in one loop vs separate loops cannot
+    * change an IEEE sum over the same index order), final expression
+    * dot/(√nx·√ny) identical. NaN cosine (zero or corrupt vector)
+    * compares false and is NOT a duplicate — the defined semantics of
+    * the `>=` filter (the join form crashed on ANSI NaN→long instead;
+    * SemanticScreenSpec pins the new contract).
+    *
+    * State/skew: per-group memory is |cluster|·(8 + 8·dim) bytes and
+    * work is the SemDeDup contract's Σ|cluster|² cosines concentrated
+    * in that group's task — bounded because cluster count grows with
+    * the corpus (seed density 1/[[graft.operators.Similarity
+    * .LloydsSeedMod]]) keeping expected occupancy constant; a skewed
+    * bucket was equally one SMJ key before. */
+  def semanticVerdicts(members: ArrayData, minCosX1e6: Double,
+      vFloat: Boolean): ArrayData = {
+    val m = members.numElements()
+    val ids = new Array[Long](m)
+    val vs = new Array[Array[Double]](m)
+    val norm = new Array[Double](m)
+    var i = 0
+    while (i < m) {
+      val s = members.getStruct(i, 2)
+      ids(i) = s.getLong(0)
+      val arr = s.getArray(1)
+      val n = arr.numElements()
+      val v = new Array[Double](n)
+      var nx = 0.0
+      var k = 0
+      while (k < n) {
+        val x = at(arr, k, vFloat)
+        v(k) = x
+        nx += x * x
+        k += 1
+      }
+      vs(i) = v
+      norm(i) = math.sqrt(nx)
+      i += 1
+    }
+    val nDups = new Array[Long](m)
+    val minOther = Array.fill(m)(Long.MaxValue)
+    i = 0
+    while (i < m) {
+      val va = vs(i)
+      var j = i + 1
+      while (j < m) {
+        val vb = vs(j)
+        require(va.length == vb.length,
+          s"vector dimension mismatch: ${va.length} vs ${vb.length}")
+        var dot = 0.0
+        var k = 0
+        while (k < va.length) {
+          dot += va(k) * vb(k)
+          k += 1
+        }
+        val c = dot / (norm(i) * norm(j))
+        if (c * 1000000.0 >= minCosX1e6) {
+          nDups(i) += 1
+          nDups(j) += 1
+          if (ids(j) < minOther(i)) minOther(i) = ids(j)
+          if (ids(i) < minOther(j)) minOther(j) = ids(i)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val out = new Array[Any](m)
+    i = 0
+    while (i < m) {
+      out(i) = new GenericInternalRow(Array[Any](ids(i), nDups(i), minOther(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** ALL word n-gram occurrences in order (space-joined adjacent tokens)
     * — the native form of the zip_with(slice, slice, concat) chain, whose
     * lambda evaluates interpreted per element. Distinct-shingle callers

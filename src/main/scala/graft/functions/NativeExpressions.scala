@@ -429,6 +429,42 @@ object NativeExpressions {
         s"$K.cosine($a, $b, ${isFloatArr(left)}, ${isFloatArr(right)})")
   }
 
+  /** Per-cluster SemDeDup verdicts — see [[Kernels.semanticVerdicts]]:
+    * ARRAY<STRUCT<vec_id, v>> → ARRAY<STRUCT<vec_id, n_dups,
+    * min_other>>, the dd_semantic within-cluster pair scan as one
+    * native pass over the collected members (no pair self-join). */
+  case class SemanticVerdicts(child: Expression, minCosX1e6: Double)
+      extends UnaryExpression {
+    private def isVecStructArr(t: DataType): Boolean = t match {
+      case ArrayType(StructType(Array(f0, f1)), _) =>
+        f0.dataType == LongType && (f1.dataType match {
+          case ArrayType(FloatType | DoubleType, _) => true
+          case _ => false
+        })
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult =
+      expectType(prettyName, "only", child.dataType,
+        isVecStructArr(child.dataType),
+        "ARRAY<STRUCT<BIGINT, ARRAY<FLOAT|DOUBLE>>>")
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("n_dups", LongType, nullable = false),
+      StructField("min_other", LongType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "semantic_verdicts"
+    override protected def withNewChildInternal(newChild: Expression): SemanticVerdicts =
+      copy(child = newChild)
+    private def vFloat: Boolean =
+      child.dataType.asInstanceOf[ArrayType].elementType
+        .asInstanceOf[StructType].fields(1).dataType
+        .asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(input: Any): Any =
+      Kernels.semanticVerdicts(input.asInstanceOf[ArrayData], minCosX1e6, vFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.semanticVerdicts($c, $minCosX1e6, $vFloat)")
+  }
+
   /** int8 scalar-quantized dot product — see [[Kernels.sq8Dot]]. Exact
     * integer result (LONG), so downstream ranking/hashing is
     * order-insensitive. */
@@ -721,6 +757,9 @@ object NativeExpressions {
 
   def sq8Dot(a: Column, b: Column): Column =
     ColumnBridge.column(Sq8Dot(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def semanticVerdicts(members: Column, minCosX1e6: Double): Column =
+    ColumnBridge.column(SemanticVerdicts(ColumnBridge.expression(members), minCosX1e6))
 
   def ngramRepetition(c: Column, n: Int): Column =
     ColumnBridge.column(NgramRepetition(ColumnBridge.expression(c), n))
