@@ -667,7 +667,17 @@ object Dedup {
     * 3-gram Jaccard at 20% can't see. One shingle pass, one bounded
     * aggregation, map-side pair explode — same scale shape as the other
     * blockers, never a posting self-join. */
-  def ddSubstring(spark: SparkSession, sfDir: String): DataFrame = {
+  def ddSubstring(spark: SparkSession, sfDir: String): DataFrame =
+    ddSubstringPairs(spark, sfDir, MaxSpanDf)
+
+  /** [[ddSubstring]] at an arbitrary span-df cap — the seam
+    * [[graft.SpanCapCurve]] sweeps to measure the cap-vs-recall curve
+    * behind the [[MaxSpanDf]] default (SPANCAP record in BASELINE.md).
+    * A pair (a, b) is found iff SOME shared span has df ≤ cap, so a
+    * larger cap finds a strict superset of pairs — recall against the
+    * converged-cap truth is a plain count ratio. */
+  private[graft] def ddSubstringPairs(spark: SparkSession, sfDir: String,
+      cap: Int): DataFrame = {
     val posting = Tables.documents(spark, sfDir)
       // wordShingles' short-text fallback emits the WHOLE document as one
       // shingle — fine for Jaccard set overlap, but here it would report
@@ -677,7 +687,7 @@ object Dedup {
       .filter(size(NativeExpressions.wordTokens(col("text"))) >= SubstringL)
       .select(explode(NativeExpressions.wordShingles(col("text"), SubstringL)).as("s"),
         struct(col("doc_id")).as("post"))
-    boundedPairs(posting, MaxSpanDf)
+    boundedPairs(posting, cap)
       .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
       .agg(count(lit(1)).as("n_spans"))
       .orderBy(col("id_a"), col("id_b"))
