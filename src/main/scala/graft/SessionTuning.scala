@@ -4,6 +4,32 @@ package graft
   */
 object SessionTuning {
 
+  /** The engine's session-knob registry — every `spark.conf` key the
+    * library reads, with its deployment meaning. README.md's "Cluster
+    * deployment" section documents each (KnobRegistrySpec pins the two
+    * lists and the code constants together so a new knob cannot ship
+    * undocumented). */
+  val Knobs: Map[String, String] = Map(
+    graft.operators.Sampling.PresentationKey ->
+      ("\"off\" disables the presentation checkpoint+ORDER BY on every " +
+        "operator output — REQUIRED on a real cluster run feeding a " +
+        "partitioned sink; the global sort exists only for the oracle gate"),
+    graft.functions.Quantiles.ApproxKey ->
+      ("\"true\" switches every percentile call site (p01 tiers, " +
+        "tx_quality_dist, rw_report medians, tx_ccnet_bucket terciles) " +
+        "to approx_percentile with bounded sketch state — the 100 TB " +
+        "form; QUANTAB records the measured speed/accuracy band"),
+    graft.operators.Similarity.MaxCentroidsKey ->
+      ("caps the IVF/Lloyd's seed set at K centroids (deterministic " +
+        "prefix) — production guidance nlist ≈ √N; unset keeps the " +
+        "SQL-mirrorable fixture seed rule the oracle gate verifies"),
+    graft.operators.Curation.ClassifierGateKey ->
+      ("\"on\" adds the learned quality classifier as a fifth conjunct " +
+        "in cur_verdict (the CCNet-style second stage)"),
+    graft.operators.Dedup.BloomMinScanBytesKey ->
+      ("minimum scan size before dd_incremental builds its corpus-side " +
+        "Bloom prune; smaller corpora skip the extra pass"))
+
   /** Heap-aware `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`.
     *
     * The suite raises the 128-key default because every object
