@@ -92,7 +92,9 @@ object SparkEntry {
     "q_topk_window" ->
       """WITH per_part AS (
         |  SELECT l_suppkey, l_partkey,
-        |    CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS revenue
+        |    CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+        |             * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) // 100
+        |      AS BIGINT) AS revenue
         |  FROM lineitem GROUP BY l_suppkey, l_partkey),
         |ranked AS (
         |  SELECT *, row_number() OVER (PARTITION BY l_suppkey

@@ -97,8 +97,19 @@ object Analytics {
     * supplier before the full sort. */
   def topkWindow(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
+    // Integer-exact revenue: price/discount carry 2 decimals, so
+    // round(·100) per ROW is exact, the ×10⁴-scale sum is a LONG sum
+    // (order-independent), and ONE integer division scales back to
+    // cents. The float form — round(sum(p·(1−d))·100) — summed doubles
+    // whose last ulp depends on accumulation order: at 10× group sizes
+    // the sf1 gate caught 3/3000 rows one cent apart between engines
+    // (CORRECTNESS_SF1 r14). Same output meaning (revenue in cents),
+    // now a pure function of the row SET at any scale.
     val perPart = li.groupBy(col("l_suppkey"), col("l_partkey"))
-      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .agg(expr(
+        """sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+          |    * (100L - CAST(round(l_discount * 100, 0) AS BIGINT)))
+          |  div 100L""".stripMargin).as("revenue"))
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("revenue").desc, col("l_partkey"))
     perPart.withColumn("rank", row_number().over(w))
