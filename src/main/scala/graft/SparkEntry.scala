@@ -49,15 +49,28 @@ object SparkEntry {
   )
 
   private val analyticsOracle: Map[String, String] = Map(
+    // Integer-exact value columns since r15 (the sf1 r14 bug class):
+    // per-row round(x·100) is exact on 2-decimal money, integer sums are
+    // order-independent (DuckDB's sum(BIGINT) is HUGEINT = the Spark
+    // side's DECIMAL(38,0) accumulator), and averages divide the exact
+    // sum by the count in one deterministic double op.
     "q1_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |  CAST(round(sum(l_quantity)*100, 0) AS BIGINT) AS sum_qty,
-        |  CAST(round(sum(l_extendedprice)*100, 0) AS BIGINT) AS sum_base_price,
-        |  CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS sum_disc_price,
-        |  CAST(round(sum(l_extendedprice*(1-l_discount)*(1+l_tax))*100, 0) AS BIGINT) AS sum_charge,
-        |  CAST(round(avg(l_quantity)*100, 0) AS BIGINT) AS avg_qty,
-        |  CAST(round(avg(l_extendedprice)*100, 0) AS BIGINT) AS avg_price,
-        |  CAST(round(avg(l_discount)*10000, 0) AS BIGINT) AS avg_disc,
+        |  CAST(sum(CAST(round(l_quantity*100, 0) AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS BIGINT) AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+        |           * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) // 100
+        |    AS BIGINT) AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+        |           * (100 - CAST(round(l_discount*100, 0) AS BIGINT))
+        |           * (100 + CAST(round(l_tax*100, 0) AS BIGINT))) // 10000
+        |    AS BIGINT) AS sum_charge,
+        |  CAST(round(CAST(sum(CAST(round(l_quantity*100, 0) AS BIGINT)) AS DOUBLE)
+        |             / count(*), 0) AS BIGINT) AS avg_qty,
+        |  CAST(round(CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)) AS DOUBLE)
+        |             / count(*), 0) AS BIGINT) AS avg_price,
+        |  CAST(round(CAST(sum(CAST(round(l_discount*10000, 0) AS BIGINT)) AS DOUBLE)
+        |             / count(*), 0) AS BIGINT) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -65,7 +78,9 @@ object SparkEntry {
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |  CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+        |           * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) // 100
+        |    AS BIGINT) AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -77,7 +92,9 @@ object SparkEntry {
         |LIMIT 10""".stripMargin,
     "q5_local" ->
       """SELECT n_name,
-        |  CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+        |           * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) // 100
+        |    AS BIGINT) AS revenue
         |FROM lineitem
         |JOIN supplier ON l_suppkey = s_suppkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -106,7 +123,7 @@ object SparkEntry {
     "q_events_funnel" ->
       """SELECT event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users,
-        |  CAST(round(sum(value)*100, 0) AS BIGINT) AS total_value
+        |  CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS total_value
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_funnel_steps" ->
       s"""WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts FROM events),
@@ -141,7 +158,7 @@ object SparkEntry {
         |  FROM gaps)
         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq, count(*) AS n_events,
         |  epoch_us(max(ts)) - epoch_us(min(ts)) AS duration_us,
-        |  CAST(round(sum(value)*100, 0) AS BIGINT) AS session_value
+        |  CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS session_value
         |FROM sid GROUP BY user_id, session_seq
         |ORDER BY user_id, session_seq""".stripMargin,
     "q_asof_join" ->
@@ -177,7 +194,8 @@ object SparkEntry {
         |  FROM events),
         |o AS (
         |  SELECT o_custkey % 15 AS k, o_orderdate AS ot,
-        |    count(*) AS n, CAST(round(sum(o_totalprice)*100, 0) AS BIGINT) AS pc
+        |    count(*) AS n,
+        |    CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS pc
         |  FROM orders GROUP BY 1, 2)
         |SELECT e.event_id,
         |  CAST(coalesce(sum(o.n), 0) AS BIGINT) AS n_orders,
@@ -200,13 +218,15 @@ object SparkEntry {
         |ORDER BY cohort, day_offset""".stripMargin,
     "q_events_window" ->
       """SELECT date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour, event_type, count(*) AS n,
-        |  CAST(round(sum(value)*100, 0) AS BIGINT) AS v
+        |  CAST(sum(CAST(round(value*100, 0) AS BIGINT)) AS BIGINT) AS v
         |FROM events GROUP BY 1, 2 ORDER BY hour, event_type""".stripMargin,
     "q_rollup" ->
       """SELECT o_orderpriority, l_returnflag,
         |  CAST(GROUPING(o_orderpriority, l_returnflag) AS BIGINT) AS gid,
         |  count(*) AS n,
-        |  CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+        |           * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) // 100
+        |    AS BIGINT) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY ROLLUP (o_orderpriority, l_returnflag)
         |ORDER BY gid, o_orderpriority, l_returnflag""".stripMargin,
@@ -214,13 +234,16 @@ object SparkEntry {
       """SELECT o_orderpriority, l_returnflag,
         |  CAST(GROUPING(o_orderpriority, l_returnflag) AS BIGINT) AS gid,
         |  count(*) AS n,
-        |  CAST(round(sum(l_extendedprice*(1-l_discount))*100, 0) AS BIGINT) AS revenue
+        |  CAST(sum(CAST(round(l_extendedprice*100, 0) AS BIGINT)
+        |           * (100 - CAST(round(l_discount*100, 0) AS BIGINT))) // 100
+        |    AS BIGINT) AS revenue
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY CUBE (o_orderpriority, l_returnflag)
         |ORDER BY gid, o_orderpriority, l_returnflag""".stripMargin,
     "q_decile" ->
       """WITH spend AS (
-        |  SELECT o_custkey, CAST(round(sum(o_totalprice)*100, 0) AS BIGINT) AS spend_cents
+        |  SELECT o_custkey,
+        |    CAST(sum(CAST(round(o_totalprice*100, 0) AS BIGINT)) AS BIGINT) AS spend_cents
         |  FROM orders GROUP BY o_custkey),
         |d AS (
         |  SELECT spend_cents,

@@ -18,23 +18,74 @@ import graft.Tables
   */
 object Analytics {
 
+  /** Per-row rounding to cents — ONLY for scalar (non-aggregated) money
+    * values, where one round of one double is already order-independent. */
   private def cents(c: org.apache.spark.sql.Column, scale: Int = 100) =
     round(c * scale, 0).cast("long")
 
-  /** TPC-H Q1-style pricing summary: one full scan, 4-group agg. */
+  /** Per-row exact cents for SUMMED money columns. Every money column
+    * carries 2 decimals, so round(x·100) per ROW is exact; a LONG sum of
+    * these is an order-independent pure function of the row set. The
+    * round-AFTER-sum form — round(sum(double)·100) — sums doubles whose
+    * last ulp depends on accumulation order: the sf1 gate caught
+    * q_topk_window 3/3000 rows one cent apart between engines (r14), and
+    * larger groups only widen the window. Family-wide rule since r15:
+    * never round an aggregated double; aggregate rounded integers. */
+  private def c100(c: org.apache.spark.sql.Column) =
+    round(c * 100, 0).cast("long")
+
+  /** Exact lineitem revenue Σ p·(1−d) in cents with a LONG accumulator:
+    * per-row p100·(100−d100) ≤ 10⁹, so the sum wraps only past ~10¹⁰
+    * rows per GROUP — fine wherever the group key's cardinality scales
+    * with the fact table (per-order, per-(supp,part), …). */
+  private val revenueSumLong =
+    """sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |    * (100L - CAST(round(l_discount * 100, 0) AS BIGINT)))
+      |  div 100L""".stripMargin
+
+  /** Same revenue sum with a DECIMAL(38,0) accumulator — for constant-
+    * cardinality groups (per-flag, per-nation, rollup/cube grand totals)
+    * whose size IS the corpus: a LONG sum of 10⁹-scale products wraps
+    * near 10¹⁰ rows/group, within reach of a 100 TB grand total. The
+    * tx_bm25 pattern; DuckDB mirrors it for free (sum(BIGINT)→HUGEINT). */
+  private val revenueSumDec =
+    """sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+      |         * (100L - CAST(round(l_discount * 100, 0) AS BIGINT))
+      |    AS DECIMAL(38,0)))
+      |  div 100""".stripMargin
+
+  /** TPC-H Q1-style pricing summary: one full scan, 4-group agg.
+    *
+    * All value columns are integer-exact: per-row cents/basis-point
+    * LONGs summed (DECIMAL(38,0) accumulators for the 10⁴–10⁶-scale
+    * products — the groups here are corpus-sized), averages derived
+    * from (exact sum, count) by one double division + round, which is
+    * deterministic for exact-integer inputs in any accumulation order. */
   def q1Pricing(spark: SparkSession, sfDir: String): DataFrame = {
     val li = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+    def avgOf(sumCol: String) =
+      round(col(sumCol).cast("double") / col("count_order"), 0).cast("long")
     li.groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        cents(sum(col("l_quantity"))).as("sum_qty"),
-        cents(sum(col("l_extendedprice"))).as("sum_base_price"),
-        cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("sum_disc_price"),
-        cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax")))).as("sum_charge"),
-        cents(avg(col("l_quantity"))).as("avg_qty"),
-        cents(avg(col("l_extendedprice"))).as("avg_price"),
-        round(avg(col("l_discount")) * 10000, 0).cast("long").as("avg_disc"),
+        sum(c100(col("l_quantity"))).as("sum_qty"),
+        sum(c100(col("l_extendedprice"))).as("sum_base_price"),
+        expr(revenueSumDec).as("sum_disc_price"),
+        expr(
+          """sum(CAST(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
+            |         * (100L - CAST(round(l_discount * 100, 0) AS BIGINT))
+            |         * (100L + CAST(round(l_tax * 100, 0) AS BIGINT))
+            |    AS DECIMAL(38,0)))
+            |  div 10000""".stripMargin).as("sum_charge"),
+        sum(round(col("l_discount") * 10000, 0).cast("long")).as("sum_disc_bp"),
         count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sum_qty"), col("sum_base_price"),
+        col("sum_disc_price"), col("sum_charge"),
+        avgOf("sum_qty").as("avg_qty"),
+        avgOf("sum_base_price").as("avg_price"),
+        avgOf("sum_disc_bp").as("avg_disc"),
+        col("count_order"))
       .orderBy(col("l_returnflag"), col("l_linestatus"))
   }
 
@@ -55,7 +106,7 @@ object Analytics {
     li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
-      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .agg(expr(revenueSumLong).as("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
   }
@@ -80,7 +131,7 @@ object Analytics {
       .join(broadcast(nation), cust("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("n_name"))
-      .agg(cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+      .agg(expr(revenueSumDec).as("revenue"))
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
@@ -106,10 +157,7 @@ object Analytics {
     // (CORRECTNESS_SF1 r14). Same output meaning (revenue in cents),
     // now a pure function of the row SET at any scale.
     val perPart = li.groupBy(col("l_suppkey"), col("l_partkey"))
-      .agg(expr(
-        """sum(CAST(round(l_extendedprice * 100, 0) AS BIGINT)
-          |    * (100L - CAST(round(l_discount * 100, 0) AS BIGINT)))
-          |  div 100L""".stripMargin).as("revenue"))
+      .agg(expr(revenueSumLong).as("revenue"))
     val w = Window.partitionBy(col("l_suppkey"))
       .orderBy(col("revenue").desc, col("l_partkey"))
     perPart.withColumn("rank", row_number().over(w))
@@ -130,7 +178,7 @@ object Analytics {
       .rollup(col("o_orderpriority"), col("l_returnflag"))
       .agg(grouping_id().cast("long").as("gid"),
         count(lit(1)).as("n"),
-        cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        expr(revenueSumDec).as("revenue"))
       .orderBy(col("gid"), col("o_orderpriority"), col("l_returnflag"))
   }
 
@@ -148,7 +196,7 @@ object Analytics {
       .cube(col("o_orderpriority"), col("l_returnflag"))
       .agg(grouping_id().cast("long").as("gid"),
         count(lit(1)).as("n"),
-        cents(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("revenue"))
+        expr(revenueSumDec).as("revenue"))
       .orderBy(col("gid"), col("o_orderpriority"), col("l_returnflag"))
   }
 
@@ -163,7 +211,7 @@ object Analytics {
     val k = 10
     val spend = Tables.orders(spark, sfDir)
       .groupBy(col("o_custkey"))
-      .agg(cents(sum(col("o_totalprice"))).as("spend_cents"))
+      .agg(sum(c100(col("o_totalprice"))).as("spend_cents"))
     // Materialized once: the rank pass and the per-partition count table
     // BOTH read this; as two lazy branches each would re-scan orders,
     // re-aggregate spend, and re-run the range partitioning (no exchange
@@ -232,7 +280,7 @@ object Analytics {
       .agg(
         count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        cents(sum(col("value"))).as("total_value"))
+        sum(c100(col("value"))).as("total_value"))
       .orderBy(col("event_type"))
 
   /** Funnel completion window: later steps must land within this many
@@ -287,7 +335,7 @@ object Analytics {
       .agg(
         count(lit(1)).as("n_events"),
         (unix_micros(max(col("ts"))) - unix_micros(min(col("ts")))).as("duration_us"),
-        cents(sum(col("value"))).as("session_value"))
+        sum(c100(col("value"))).as("session_value"))
       .orderBy(col("user_id"), col("session_seq"))
   }
 
@@ -398,7 +446,7 @@ object Analytics {
         col("o_orderdate").as("ot"),
         col("o_totalprice"))
       .groupBy(col("k"), col("ot"))
-      .agg(count(lit(1)).as("n"), cents(sum(col("o_totalprice"))).as("pc"))
+      .agg(count(lit(1)).as("n"), sum(c100(col("o_totalprice"))).as("pc"))
       .withColumn("w", chunkOf(col("ot")))
       .as("o")
     ev.join(ord,
@@ -436,7 +484,7 @@ object Analytics {
   def eventsWindowed(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(date_trunc("hour", col("ts")).as("hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), cents(sum(col("value"))).as("v"))
+      .agg(count(lit(1)).as("n"), sum(c100(col("value"))).as("v"))
       .orderBy(col("hour"), col("event_type"))
 
   /** [[approxDistinct]]'s sketch size: k smallest hashes kept per group

@@ -76,6 +76,18 @@ def main():
     con = connect(sf_dir)
     sq8_nan_probe(con)
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+    # Honor the same subset knob Verify/Bench take, so a subset Verify run
+    # compares only what it produced instead of reporting missing-parquet
+    # FAILs for every unselected query (r14 verdict: subset evidence was
+    # needlessly noisy). Unset = full-suite, the driver's mode.
+    only = {n.strip() for n in os.environ.get("SPARK_GRAFT_ONLY", "").split(",")
+            if n.strip()}
+    if only:
+        unknown = only - set(oracle)
+        if unknown:
+            print(f"WARN SPARK_GRAFT_ONLY names not in oracle_sql.json: "
+                  f"{sorted(unknown)}")
+        oracle = {n: s for n, s in oracle.items() if n in only}
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         # One OOM retry on a FRESH connection (r12: a transient
