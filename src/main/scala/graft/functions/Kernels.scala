@@ -1150,6 +1150,127 @@ object Kernels {
     new GenericInternalRow(Array[Any](nWords, nChars, nTokens))
   }
 
+  // ---- Entity-candidate detection (rw_entities / tx_pattern_canary) ----
+
+  /** Outer-punctuation strip — the walk form of
+    * regexp_replace(x, "^[^A-Za-z0-9]+|[^A-Za-z0-9]+$", ""): the leading
+    * and trailing runs of non-ASCII-alnum UTF-16 units go, interior
+    * punctuation stays ("(Acme))" → "Acme", "a!b" → "a!b", "——" → ""). */
+  @inline private def isAlnumAscii(c: Char): Boolean =
+    (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+  private def stripOuterPunct(s: String): String = {
+    var lo = 0
+    var hi = s.length - 1
+    while (lo <= hi && !isAlnumAscii(s.charAt(lo))) lo += 1
+    while (hi > lo && !isAlnumAscii(s.charAt(hi))) hi -= 1
+    if (lo > hi) "" else if (lo == 0 && hi == s.length - 1) s
+    else s.substring(lo, hi + 1)
+  }
+
+  /** Java-regex '.' (no DOTALL) excludes the five line terminators —
+    * kept explicit so the char test matches `rlike '^[A-Z].'` exactly.
+    * \n and \r can't survive the whitespace tokenizer; NEL/LS/PS can. */
+  @inline private def isLineTerm(c: Char): Boolean =
+    c == '\n' || c == '\r' || c == 0x85.toChar ||
+      c == 0x2028.toChar || c == 0x2029.toChar
+
+  /** The capitalized-token test `rlike '^[A-Z].'` as char compares:
+    * first char ASCII A–Z, and a second char '.' would match. */
+  @inline private def isCapToken(s: String): Boolean =
+    s.length >= 2 && s.charAt(0) >= 'A' && s.charAt(0) <= 'Z' &&
+      !isLineTerm(s.charAt(1))
+
+  /** Spark `lower` semantics without the per-call UTF8String round-trip:
+    * pure-ASCII strings lower in place (UTF8String's ASCII fast path);
+    * anything else routes through UTF8String.toLowerCase for bit
+    * identity with the Lower expression the HOF form evaluated. */
+  private def sparkLower(s: String): String = {
+    var i = 0
+    var hasUpper = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c >= 0x80) return UTF8String.fromString(s).toLowerCase.toString
+      if (c >= 'A' && c <= 'Z') hasUpper = true
+      i += 1
+    }
+    if (!hasUpper) return s
+    val arr = new Array[Char](s.length)
+    i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      arr(i) = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+      i += 1
+    }
+    new String(arr)
+  }
+
+  /** Entity-candidate stats in ONE text pass — the native form of the
+    * rw_entities adjacent-pair HOF pipeline (Entities.withEntityColsHof:
+    * tokenize → outer-punct strip → three filtered pair
+    * comprehensions), which ran interpreted transform/filter lambdas
+    * with a per-token rlike. Per cleaned-token pair (ct_i, ct_{i+1}):
+    *
+    *  - person: both capitalized ([[isCapToken]]) — count + first pair
+    *    "a b", plus the first pair in `namePool` (the violations name
+    *    table) as injected_name
+    *  - honorific: lower(ct_i) ∈ honorifics AND cap(ct_{i+1})
+    *  - org: cap(ct_i) AND lower(ct_{i+1}) ∈ orgSuffixes
+    *
+    * Returns (n_person, person_first, injected_name, n_honorific,
+    * honorific_first, n_org, org_first) with '' for absent firsts —
+    * see NativeExpressions.entityStatsType. EntitiesKernelSpec pins the
+    * differential against the HOF form; tx_pattern_canary rows 18–19
+    * pin the family cross-engine per round. */
+  def entityStats(
+      text: UTF8String,
+      honorifics: java.util.HashSet[String],
+      orgSuffixes: java.util.HashSet[String],
+      namePool: java.util.HashSet[String]): InternalRow = {
+    val toks = tokenize(text.toString)
+    val n = toks.length
+    val ct = new Array[String](n)
+    var i = 0
+    while (i < n) { ct(i) = stripOuterPunct(toks(i)); i += 1 }
+    var nPerson = 0L
+    var personFirst: String = null
+    var injected: String = null
+    var nHonor = 0L
+    var honorFirst: String = null
+    var nOrg = 0L
+    var orgFirst: String = null
+    i = 0
+    while (i + 1 < n) {
+      val a = ct(i)
+      val b = ct(i + 1)
+      val capA = isCapToken(a)
+      val capB = isCapToken(b)
+      if (capB) {
+        if (capA) {
+          nPerson += 1
+          if (personFirst == null || injected == null) {
+            val pair = a + " " + b
+            if (personFirst == null) personFirst = pair
+            if (injected == null && namePool.contains(pair)) injected = pair
+          }
+        }
+        if (honorifics.contains(sparkLower(a))) {
+          nHonor += 1
+          if (honorFirst == null) honorFirst = a + " " + b
+        }
+      }
+      if (capA && orgSuffixes.contains(sparkLower(b))) {
+        nOrg += 1
+        if (orgFirst == null) orgFirst = a + " " + b
+      }
+      i += 1
+    }
+    def s(v: String): UTF8String = UTF8String.fromString(if (v == null) "" else v)
+    new GenericInternalRow(Array[Any](
+      nPerson, s(personFirst), s(injected),
+      nHonor, s(honorFirst), nOrg, s(orgFirst)))
+  }
+
   /** Case-folded byte-range equality against a rule token. */
   @inline private def spanEq(
       bytes: Array[Byte], start: Int, end: Int, tok: Array[Byte]): Boolean = {

@@ -338,6 +338,49 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$K.rewardStats($c)")
   }
 
+  /** Schema of [[EntityStats]] — see [[Kernels.entityStats]]. */
+  val entityStatsType: StructType = StructType(Seq(
+    StructField("n_person", LongType, nullable = false),
+    StructField("person_first", StringType, nullable = false),
+    StructField("injected_name", StringType, nullable = false),
+    StructField("n_honorific", LongType, nullable = false),
+    StructField("honorific_first", StringType, nullable = false),
+    StructField("n_org", LongType, nullable = false),
+    StructField("org_first", StringType, nullable = false)))
+
+  /** Entity-candidate detection in one text pass — replaces the
+    * rw_entities interpreted HOF pipeline (three filtered adjacent-pair
+    * comprehensions with a per-token rlike) with a single
+    * [[Kernels.entityStats]] walk. The three lookup tables ride along as
+    * codegen reference objects; downstream GetStructField references
+    * share one evaluation via subexpression elimination. */
+  case class EntityStats(child: Expression, honorifics: Seq[String],
+      orgSuffixes: Seq[String], namePool: Seq[String])
+      extends UnaryExpression {
+    override def checkInputDataTypes(): TypeCheckResult =
+      NativeExpressions.checkString(prettyName, child)
+    override def dataType: DataType = entityStatsType
+    override def prettyName: String = "entity_stats"
+    override protected def withNewChildInternal(newChild: Expression): EntityStats =
+      copy(child = newChild)
+    @transient private lazy val honorSet = toSet(honorifics)
+    @transient private lazy val orgSet = toSet(orgSuffixes)
+    @transient private lazy val nameSet = toSet(namePool)
+    private def toSet(xs: Seq[String]): java.util.HashSet[String] = {
+      val s = new java.util.HashSet[String]()
+      xs.foreach(s.add)
+      s
+    }
+    override def nullSafeEval(input: Any): Any =
+      Kernels.entityStats(input.asInstanceOf[UTF8String], honorSet, orgSet, nameSet)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val h = ctx.addReferenceObj("honorifics", honorSet, "java.util.HashSet")
+      val o = ctx.addReferenceObj("orgSuffixes", orgSet, "java.util.HashSet")
+      val p = ctx.addReferenceObj("namePool", nameSet, "java.util.HashSet")
+      defineCodeGen(ctx, ev, c => s"$K.entityStats($c, $h, $o, $p)")
+    }
+  }
+
   /** ALL word n-gram occurrences (not distinct — [[WordShingles]] is the
     * distinct form) — see [[Kernels.wordNgrams]]. */
   case class WordNgrams(child: Expression, n: Int)
@@ -728,6 +771,11 @@ object NativeExpressions {
 
   def rewardStats(c: Column): Column =
     ColumnBridge.column(RewardStats(ColumnBridge.expression(c)))
+
+  def entityStats(c: Column, honorifics: Seq[String], orgSuffixes: Seq[String],
+      namePool: Seq[String]): Column =
+    ColumnBridge.column(EntityStats(
+      ColumnBridge.expression(c), honorifics, orgSuffixes, namePool))
 
   def argminL2(v: Column, cents: Column): Column =
     ColumnBridge.column(ArgminL2(ColumnBridge.expression(v), ColumnBridge.expression(cents)))

@@ -149,7 +149,7 @@ object Datasets {
 
   /** [[p24Negatives]] without the presentation checkpoint+sort — the form
     * downstream composers (rw_entities' detection pass) build on. */
-  private[operators] def negativesFrame(
+  private[graft] def negativesFrame(
       spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
       .select(col("doc_id"), t, emojiCount(t).cast("long").as("__ne"))

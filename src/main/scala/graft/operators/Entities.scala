@@ -28,12 +28,13 @@ import graft.functions.TextFunctions._
   * outcomes occur at every SF.
   *
   * Scale shape: map-only, shuffle-free (the only shuffle is the
-  * presentation ORDER BY) — a pure linear scan at 100 TB. The per-row
-  * work is a token walk over a bounded array; the HOF lambdas are
-  * interpreted but the array is post-projection (no corpus state), and
-  * the candidate arrays never leave the row. tx_pattern_canary pins the
-  * kernel family's edge cases (honorific periods, org suffixes,
-  * sentence-start false positives, single-letter tokens) per round.
+  * presentation ORDER BY) — a pure linear scan at 100 TB. Since r15 the
+  * per-row work is ONE native codegen'd pass
+  * ([[graft.functions.Kernels.entityStats]]); the original HOF pipeline
+  * is kept as [[withEntityColsHof]] solely as the differential
+  * reference (EntitiesKernelSpec). tx_pattern_canary pins the kernel
+  * family's edge cases (honorific periods, org suffixes, sentence-start
+  * false positives, single-letter tokens) cross-engine per round.
   */
 object Entities {
 
@@ -84,8 +85,32 @@ object Entities {
   /** Adds the full entity-candidate column set over `text`:
     * n_person/person_first (adjacent capitalized pairs), injected_name
     * (the candidate matching the violations name pool, '' if none),
-    * n_honorific/honorific_first, n_org/org_first. */
-  private[graft] def withEntityCols(df: DataFrame, text: Column): DataFrame =
+    * n_honorific/honorific_first, n_org/org_first.
+    *
+    * Runs as ONE native pass ([[graft.functions.Kernels.entityStats]])
+    * since r15 — the HOF form below ran interpreted transform/filter
+    * lambdas with a per-token rlike, the exact anti-pattern SURVEY §6
+    * bans (66.7 s at the 100× corpus for a map-only stage).
+    * [[withEntityColsHof]] is retained as the differential reference
+    * (EntitiesKernelSpec), the dd_winnow/synonymAug precedent. */
+  private[graft] def withEntityCols(df: DataFrame, text: Column): DataFrame = {
+    val es = graft.functions.NativeExpressions.entityStats(
+      text, Honorifics, OrgSuffixes, Datasets.Names)
+    df.withColumn("__es", es)
+      .withColumn("n_person", col("__es").getField("n_person"))
+      .withColumn("person_first", col("__es").getField("person_first"))
+      .withColumn("injected_name", col("__es").getField("injected_name"))
+      .withColumn("n_honorific", col("__es").getField("n_honorific"))
+      .withColumn("honorific_first", col("__es").getField("honorific_first"))
+      .withColumn("n_org", col("__es").getField("n_org"))
+      .withColumn("org_first", col("__es").getField("org_first"))
+      .drop("__es")
+  }
+
+  /** The original HOF formulation — differential reference ONLY (it is
+    * what the DuckDB oracle SQL below mirrors structurally; the kernel
+    * must match it bit-for-bit on any input). */
+  private[graft] def withEntityColsHof(df: DataFrame, text: Column): DataFrame =
     df.withColumn("__toks", tokens(text))
       .withColumn("__ct",
         expr(s"transform(__toks, x -> regexp_replace(x, '$StripRe', ''))"))
