@@ -134,9 +134,18 @@ object QuantAb {
       .agg(count(lit(1)).as("n"),
         sum(when(col("b_e") === col("b_a"), 1L).otherwise(0L)).as("same"))
       .head()
-    val ccAgreePpm =
-      if (ccAgg.getLong(0) == 0) 1000000L
-      else ccAgg.getLong(1) * 1000000L / ccAgg.getLong(0)
+    val ccJoined = ccAgg.getLong(0)
+    // n=0 means the exact/approx join matched NOTHING — a degenerate or
+    // misconfigured corpus, not perfect agreement (r14 advice: the old
+    // 1000000 here recorded a vacuous perfect accuracy band). Fail loud;
+    // the joined row count is also emitted so the record is auditable.
+    if (ccJoined == 0) {
+      System.err.println("[quantab] ccnet bucket exact/approx join is EMPTY " +
+        "— degenerate corpus or broken bucketing; no accuracy band exists")
+      spark.stop()
+      sys.exit(2)
+    }
+    val ccAgreePpm = ccAgg.getLong(1) * 1000000L / ccJoined
 
     def fmt(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     def obj(rs: Seq[(String, Double)]) =
@@ -148,7 +157,7 @@ object QuantAb {
         s""""p01_tier_agree_ppm":$tierAgreePpm,"p01_docs":$nDocs,""" +
         s""""quality_dist_max_delta_ppm":$qdMaxDelta,""" +
         s""""rw_report_max_delta_ppm":$rwMaxDelta,""" +
-        s""""ccnet_bucket_agree_ppm":$ccAgreePpm,""" +
+        s""""ccnet_bucket_agree_ppm":$ccAgreePpm,"ccnet_bucket_n":$ccJoined,""" +
         s""""accuracy":${Quantiles.ApproxAccuracy},"sf":${Json.quote(sfDir)}}"""
     println(json)
     spark.stop()

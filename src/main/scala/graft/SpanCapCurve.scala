@@ -66,6 +66,22 @@ object SpanCapCurve {
       s""""floor_ppm":$floorPpm,"truth_converged":$converged,""" +
       s""""caps":[$capsJson]}""")
     spark.stop()
+    // Three distinct failure modes, each loud and distinguishable
+    // (r14 advice: an unconverged sweep silently undercounts truth and
+    // INFLATES every recall_ppm, and a sweep missing the default cap
+    // produced a misleading "FLOOR VIOLATION" for defRecallPpm = -1).
+    if (!converged) {
+      System.err.println(s"[spancap] TRUTH NOT CONVERGED: the two largest " +
+        s"swept caps still disagree (${rows(rows.size - 2)._2} vs " +
+        s"${rows.last._2} pairs) — recall_ppm is inflated; extend the sweep")
+      sys.exit(2)
+    }
+    if (defRecallPpm < 0) {
+      System.err.println(s"[spancap] DEFAULT CAP NOT IN SWEEP: caps " +
+        s"${caps.mkString(",")} do not include MaxSpanDf=$defCap — no " +
+        "floor verdict possible")
+      sys.exit(3)
+    }
     if (defRecallPpm < floorPpm) {
       System.err.println(s"[spancap] FLOOR VIOLATION: default cap $defCap " +
         s"recall $defRecallPpm ppm < floor $floorPpm ppm")

@@ -1350,7 +1350,15 @@ object Similarity {
     * SLOWER still (row traffic, not arithmetic, was the floor). Verdicts
     * are bit-identical (the kernel's threshold test is exactly the
     * round-half-up decision; see the kernel scaladoc) and the oracle
-    * keeps computing the naive join+round+filter form. */
+    * keeps computing the naive join+round+filter form.
+    *
+    * ROW-SET CONTRACT: `v` and `asgIn` must cover the same vec_id set.
+    * The join below is INNER — an assignment row whose vec_id has no
+    * vector row is silently DROPPED (the pre-r14 left-join form emitted
+    * it as n_dups=0 / is_kept=1). Every current caller derives both
+    * frames from the same source; SemanticScreenSpec asserts the
+    * coverage so a future caller cannot lean on the old left-join
+    * semantics unnoticed. */
   private[graft] def semanticVerdict(v: DataFrame, asgIn: DataFrame): DataFrame = {
     import graft.functions.NativeExpressions.semanticVerdicts
     v.join(asgIn.select(col("vec_id"), col("cluster")), "vec_id")

@@ -4,9 +4,12 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** The session-knob registry ([[SessionTuning.Knobs]]) is the deployment
   * surface README.md's "Cluster deployment" section documents — this
-  * spec pins the three together: every conf key the code reads is in
-  * the registry, and every registry key appears literally in README.md,
-  * so a new knob cannot ship undocumented (r13 verdict task 9).
+  * spec pins the three together: the registry equals the declared key
+  * constants, every registry key appears literally in README.md, AND a
+  * source scan asserts no knob-convention key literal (graft.* /
+  * spark.graft.*) exists outside the registry — so a new conf read
+  * added anywhere in main source cannot ship undocumented (r13 verdict
+  * task 9; scan added per r14 advice).
   */
 class KnobRegistrySpec extends AnyFunSuite {
 
@@ -19,6 +22,33 @@ class KnobRegistrySpec extends AnyFunSuite {
 
   test("registry covers exactly the conf keys the code declares") {
     assert(SessionTuning.Knobs.keySet == codeKeys)
+  }
+
+  test("no knob-convention key literal exists outside the registry") {
+    // The constants above are a hand-maintained list — this scan closes
+    // the gap (r14 advice): every string literal in main source that
+    // follows the knob naming convention (graft.* / spark.graft.*) must
+    // be a registry key, so a new spark.conf read added anywhere ships
+    // documented or fails here.
+    import scala.jdk.CollectionConverters._
+    // Segments start lowercase — excludes class-path literals like
+    // "graft.functions.Kernels" (the codegen call target).
+    val knobRe = """"((?:spark\.)?graft\.(?:[a-z][A-Za-z0-9]*\.)*[a-z][A-Za-z0-9]*)"""".r
+    val src = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main/scala"))
+      .iterator().asScala
+      .filter(_.toString.endsWith(".scala"))
+      .flatMap { p =>
+        val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        knobRe.findAllMatchIn(text).map(_.group(1))
+      }.toSet
+    // `graft.presentation` etc. — exclude non-conf literals if any ever
+    // appear by requiring at least the full registry to be found...
+    assert(codeKeys.subsetOf(src),
+      s"registry keys missing from source scan: ${codeKeys -- src}")
+    // ...and no convention-shaped literal outside it.
+    val stray = src -- codeKeys
+    assert(stray.isEmpty,
+      s"knob-convention keys not in SessionTuning.Knobs: ${stray.toSeq.sorted}")
   }
 
   test("every registry knob is documented in README.md") {

@@ -140,6 +140,41 @@ class PlanAuditSpec extends SparkSpec {
     } }
   }
 
+  test("unpartitioned windows sit only on k-row bounded frames") {
+    import org.apache.spark.sql.catalyst.plans.logical.Window
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    // A Window with no PARTITION BY funnels its whole input through ONE
+    // task — fine on a constant-size frame, a scale-killer on anything
+    // corpus-proportional (the "No Partition Defined" runtime warning
+    // this spec makes meaningful again by attributing every instance).
+    // Each allowed query's bare window reads a frame whose size is a
+    // CONSTANT of the operator, not of the corpus:
+    //   p20_importance — one row per engineered feature (fixed set)
+    //   p21_optimize_k — one row per swept seed modulus (fixed sweep)
+    //   tx_bm25        — the post-limit top-[[TextOps.Bm25TopK]] rows
+    // Proven, not trusted: the window's child subtree is EXECUTED here
+    // and must stay within the bound. Any new bare window fails the
+    // allowlist and must be justified the same way.
+    val allowed = Map("p20_importance" -> 64L, "p21_optimize_k" -> 64L,
+      "tx_bm25" -> 64L)
+    withPresentationOff { SparkEntry.queries.foreach { case (name, q) =>
+      val bare = q(spark, sfDir).queryExecution.optimizedPlan.collect {
+        case w: Window if w.partitionSpec.isEmpty => w.child
+      }
+      if (bare.nonEmpty) {
+        assert(allowed.contains(name),
+          s"$name plans an unattributed unpartitioned Window — partition " +
+            "it or justify the bound here")
+        bare.foreach { child =>
+          val n = DatasetBridge.ofRows(spark, child).count()
+          assert(n <= allowed(name),
+            s"$name's unpartitioned Window reads $n rows (bound ${allowed(name)}) " +
+              "— the frame is not k-row bounded")
+        }
+      }
+    } }
+  }
+
   test("presentation knob off: no sort or checkpoint in the production-sink plan") {
     // The production path (Sinks.partitionedParquet after
     // PresentationKey=off) must not inherit the oracle gate's global

@@ -85,4 +85,17 @@ class SemanticScreenSpec extends SparkSpec {
     val fixture = vs.toSeq.map { case (id, v) => (id, v, asg(id)) }
     assert(run(fixture) == naive(fixture))
   }
+
+  test("row-set contract: an assignment row without a vector row is dropped") {
+    // semanticVerdict's join is INNER by contract (scaladoc at the
+    // seam): callers must pass same-coverage frames. The pre-r14
+    // left-join form emitted the orphan as n_dups=0/is_kept=1 — this
+    // pin makes the changed semantics a conscious decision a future
+    // caller sees fail, not a silent drop.
+    val v = Seq((1L, pad(1.0)), (2L, pad(1.0))).toDF("vec_id", "v")
+    val asg = Seq((1L, 0L), (2L, 0L), (99L, 0L)).toDF("vec_id", "cluster")
+    val ids = Similarity.semanticVerdict(v, asg)
+      .select("vec_id").as[Long].collect().toSet
+    assert(ids == Set(1L, 2L))
+  }
 }
