@@ -1150,6 +1150,86 @@ object Kernels {
     new GenericInternalRow(Array[Any](nWords, nChars, nTokens))
   }
 
+  /** Per-probed-cluster exact top-k neighbor selection — the knn-graph
+    * build's candidate scan ([[graft.operators.Similarity]] knnEdges) as
+    * ONE native pass per (probe, cluster) row. The r14 form was a
+    * shuffle join whose output materialized every (query, bucket-member)
+    * candidate as a joined row carrying BOTH 64-double vector payloads
+    * (312M rows at the 100× corpus, 200.9 s) — the same row-traffic
+    * floor the dd_semantic kernel removed. Here the members list rides
+    * the join ONCE per (query, cluster) and only the per-cluster top-k
+    * (≤ k id/cos structs) leaves the kernel, so the downstream global
+    * top-k merge sees |corpus|·NProbe·k rows, not the full fan-in.
+    *
+    * Bit-exactness: cos is computed with exactly [[cosine]]'s operation
+    * sequence (left-to-right dot and norms, dot/(√nx·√ny)); ordering is
+    * (cos desc, vec_id asc) with java.lang.Double.compare — the same
+    * NaN-first-on-desc and -0.0<0.0 total order Spark's sort gives the
+    * old Window plan, so merging per-cluster partials reproduces the
+    * global top-k row-for-row (each candidate lives in exactly one
+    * bucket; KnnGraphSpec's ss_ivf_topk equality pins it). */
+  def knnTopK(qv: ArrayData, qId: Long, members: ArrayData, k: Int,
+      qFloat: Boolean, mFloat: Boolean): ArrayData = {
+    val dim = qv.numElements()
+    val q = new Array[Double](dim)
+    var nx = 0.0
+    var i = 0
+    while (i < dim) {
+      val x = at(qv, i, qFloat)
+      q(i) = x
+      nx += x * x
+      i += 1
+    }
+    val nq = math.sqrt(nx)
+    val m = members.numElements()
+    val topIds = new Array[Long](k)
+    val topCos = new Array[Double](k)
+    var size = 0
+    @inline def better(c1: Double, id1: Long, c2: Double, id2: Long): Boolean = {
+      val cmp = java.lang.Double.compare(c1, c2)
+      cmp > 0 || (cmp == 0 && id1 < id2)
+    }
+    i = 0
+    while (i < m) {
+      val s = members.getStruct(i, 2)
+      val id = s.getLong(0)
+      if (id != qId) {
+        val arr = s.getArray(1)
+        require(arr.numElements() == dim,
+          s"vector dimension mismatch: ${arr.numElements()} vs $dim")
+        var dot = 0.0
+        var ny = 0.0
+        var j = 0
+        while (j < dim) {
+          val y = at(arr, j, mFloat)
+          dot += q(j) * y
+          ny += y * y
+          j += 1
+        }
+        val c = dot / (nq * math.sqrt(ny))
+        if (size < k || better(c, id, topCos(size - 1), topIds(size - 1))) {
+          var p = math.min(size, k - 1)
+          if (size < k) size += 1
+          while (p > 0 && better(c, id, topCos(p - 1), topIds(p - 1))) {
+            topCos(p) = topCos(p - 1)
+            topIds(p) = topIds(p - 1)
+            p -= 1
+          }
+          topCos(p) = c
+          topIds(p) = id
+        }
+      }
+      i += 1
+    }
+    val out = new Array[Any](size)
+    i = 0
+    while (i < size) {
+      out(i) = new GenericInternalRow(Array[Any](topIds(i), topCos(i)))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---- Entity-candidate detection (rw_entities / tx_pattern_canary) ----
 
   /** Outer-punctuation strip — the walk form of

@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftbridge.ColumnBridge
@@ -508,6 +508,55 @@ object NativeExpressions {
       defineCodeGen(ctx, ev, c => s"$K.semanticVerdicts($c, $minCosX1e6, $vFloat)")
   }
 
+  /** Per-cluster exact top-k neighbors for the knn-graph build — see
+    * [[Kernels.knnTopK]]. (qv, q_id, members) → the k best (vec_id, cos)
+    * structs by (cos desc, vec_id asc), self excluded. */
+  case class KnnTopK(first: Expression, second: Expression, third: Expression, k: Int)
+      extends TernaryExpression {
+    private def isVecStructArr(t: DataType): Boolean = t match {
+      case ArrayType(StructType(Array(f0, f1)), _) =>
+        f0.dataType == LongType && (f1.dataType match {
+          case ArrayType(FloatType | DoubleType, _) => true
+          case _ => false
+        })
+      case _ => false
+    }
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val okFirst = first.dataType match {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _ => false
+      }
+      if (!okFirst)
+        expectType(prettyName, "first", first.dataType, ok = false,
+          "ARRAY<FLOAT> or ARRAY<DOUBLE>")
+      else if (second.dataType != LongType)
+        expectType(prettyName, "second", second.dataType, ok = false, "BIGINT")
+      else
+        expectType(prettyName, "third", third.dataType,
+          isVecStructArr(third.dataType),
+          "ARRAY<STRUCT<BIGINT, ARRAY<FLOAT|DOUBLE>>>")
+    }
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("vec_id", LongType, nullable = false),
+      StructField("cos", DoubleType, nullable = false))),
+      containsNull = false)
+    override def prettyName: String = "knn_top_k"
+    override protected def withNewChildrenInternal(
+        newFirst: Expression, newSecond: Expression, newThird: Expression): KnnTopK =
+      copy(first = newFirst, second = newSecond, third = newThird)
+    private def qFloat: Boolean =
+      first.dataType.asInstanceOf[ArrayType].elementType == FloatType
+    private def mFloat: Boolean =
+      third.dataType.asInstanceOf[ArrayType].elementType
+        .asInstanceOf[StructType].fields(1).dataType
+        .asInstanceOf[ArrayType].elementType == FloatType
+    override def nullSafeEval(qv: Any, qid: Any, members: Any): Any =
+      Kernels.knnTopK(qv.asInstanceOf[ArrayData], qid.asInstanceOf[Long],
+        members.asInstanceOf[ArrayData], k, qFloat, mFloat)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, (a, b, c) => s"$K.knnTopK($a, $b, $c, $k, $qFloat, $mFloat)")
+  }
+
   /** int8 scalar-quantized dot product — see [[Kernels.sq8Dot]]. Exact
     * integer result (LONG), so downstream ranking/hashing is
     * order-insensitive. */
@@ -808,6 +857,10 @@ object NativeExpressions {
 
   def semanticVerdicts(members: Column, minCosX1e6: Double): Column =
     ColumnBridge.column(SemanticVerdicts(ColumnBridge.expression(members), minCosX1e6))
+
+  def knnTopK(qv: Column, qId: Column, members: Column, k: Int): Column =
+    ColumnBridge.column(KnnTopK(ColumnBridge.expression(qv),
+      ColumnBridge.expression(qId), ColumnBridge.expression(members), k))
 
   def ngramRepetition(c: Column, n: Int): Column =
     ColumnBridge.column(NgramRepetition(ColumnBridge.expression(c), n))

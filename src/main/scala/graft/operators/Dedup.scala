@@ -824,20 +824,55 @@ object Dedup {
     // the quadratic output (see ddMinhashLsh's scaladoc).
     val fpDf = simhashFp(spark, sfDir)
     val fpEdges = simhashFpEdges(spark, sfDir)
-    // cross-fp doc pairs: two streamed equi-joins, output-bound; fp
-    // groups are disjoint doc sets, so each unordered pair appears once
-    val cross = fpEdges
-      .join(fpDf.select(col("fp").as("fp_a"), col("doc_id").as("da")), "fp_a")
-      .join(fpDf.select(col("fp").as("fp_b"), col("doc_id").as("db")), "fp_b")
+    // Output-scale budgeting (r15): the pair set is quadratic by
+    // contract (~10⁹ rows at the 100× verbatim-replica corpus), and
+    // BOTH expansion and presentation sort must be sized to the OUTPUT,
+    // not to the session default. The exact pair count is a closed form
+    // over the two tiny cached frames (Σ_edges nA·nB + Σ_groups C(n,2)
+    // — one sub-second aggregate, the SessionTuning budget pattern);
+    // parts = ceil(output bytes / 128 MB) keeps every expansion and
+    // sort task cache-friendly and spill-free at ANY replica density.
+    // At oracle SFs the estimate floors to the session default, so the
+    // small-SF plan shape (and the controlled-pair rows) don't move.
+    val sizes = fpDf.groupBy(col("fp")).agg(count(lit(1)).as("n"))
+    val withinPairs = sizes.agg(
+      coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))).head.getLong(0)
+    val crossPairs = fpEdges
+      .join(broadcast(sizes.select(col("fp").as("fp_a"), col("n").as("na"))), "fp_a")
+      .join(broadcast(sizes.select(col("fp").as("fp_b"), col("n").as("nb"))), "fp_b")
+      .agg(coalesce(sum(col("na") * col("nb")), lit(0L))).head.getLong(0)
+    val bytesPerRow = 24L
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(defaultParts,
+      ((withinPairs + crossPairs) * bytesPerRow / (128L << 20) + 1).toInt)
+    // cross-fp doc pairs: two broadcast equi-joins, output-bound; fp
+    // groups are disjoint doc sets, so each unordered pair appears once.
+    // The fp table broadcasts by hint: |corpus| rows of 16 bytes (NOT
+    // the text, NOT the quadratic output). The edge set is round-robin
+    // repartitioned FIRST: it is tiny (AQE coalesces it to ~1
+    // partition), and with broadcast probes nothing downstream would
+    // re-spread it — the 10⁹-row generation would run near
+    // single-task (the r15 regression probe measured exactly that).
+    val cross = fpEdges.repartition(parts)
+      .join(broadcast(fpDf.select(col("fp").as("fp_a"), col("doc_id").as("da"))), "fp_a")
+      .join(broadcast(fpDf.select(col("fp").as("fp_b"), col("doc_id").as("db"))), "fp_b")
       .select(least(col("da"), col("db")).as("id_a"),
         greatest(col("da"), col("db")).as("id_b"), col("hamming"))
-    // within-fp (identical-fingerprint) pairs: hamming 0 by construction
-    val within = fpDf.as("x").join(fpDf.as("y"),
+    // within-fp (identical-fingerprint) pairs: hamming 0 by
+    // construction; the probe side is the corpus fp table itself, whose
+    // scan parallelism matches its size, so no re-spread is needed.
+    val within = fpDf.as("x").join(broadcast(fpDf.as("y")),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         lit(0L).as("hamming"))
-    within.unionByName(cross)
-      .orderBy(col("id_a"), col("id_b"))
+    val pairs = within.unionByName(cross)
+    // Presentation sort at output scale: a global orderBy at the
+    // session's 32 shuffle partitions hands each sort task ~750 MB of
+    // pairs — 32 concurrent tasks thrashed the execution pool and
+    // OOM'd a 48 GB heap in r14's stress run. Range-partitioned to
+    // `parts`, each sort task handles ≤128 MB.
+    pairs.repartitionByRange(parts, col("id_a"), col("id_b"))
+      .sortWithinPartitions(col("id_a"), col("id_b"))
   }
 
   /** The corpus (doc_id, fp) simhash table — native one-pass

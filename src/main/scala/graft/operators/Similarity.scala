@@ -481,20 +481,51 @@ object Similarity {
     knnEdgeCache.keySet.removeIf(_._1.sparkContext.isStopped)
     knnEdgeCache.computeIfAbsent(
         (spark, sfDir, spark.conf.getOption(MaxCentroidsKey)), _ => {
+      // Per-cluster native top-k (r15): the r14 shuffle join materialized
+      // every (query, bucket-member) candidate as a joined row carrying
+      // both vector payloads — 312M rows / 200.9 s at the 100× corpus,
+      // the dd_semantic row-traffic floor. Members now collect ONCE per
+      // cluster (state bounded by bucket occupancy — ~√N by the seed
+      // rule, same bound as semanticVerdicts' member lists) and
+      // [[graft.functions.Kernels.knnTopK]] emits only each (probe,
+      // cluster)'s top-k, so the global merge handles |corpus|·NProbe·k
+      // id/cos rows instead of the full bucket fan-in. Values and
+      // tie-breaks are bit-identical to the join form (kernel scaladoc;
+      // KnnGraphSpec pins graph == ss_ivf_topk on the shared queries and
+      // KnnKernelSpec pins the full differential).
       val centArr = centroidsDf(spark, sfDir)
         .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
       val probes = probeClustersOf(
         vecs(spark, sfDir).select(col("vec_id").as("q_id"), col("v").as("qv")),
         centArr)
-      val cand = assignments(spark, sfDir)
-        .select(col("vec_id"), col("v"), col("cluster"))
-        .join(probes, Seq("cluster"))
-        .filter(col("vec_id") =!= col("q_id"))
-        .select(col("q_id"), col("vec_id"), cosineSim(col("qv"), col("v")).as("cos"))
-      topKByUnsorted(cand, TopK, col("cos"),
+      val members = assignments(spark, sfDir)
+        .groupBy(col("cluster"))
+        .agg(collect_list(struct(col("vec_id"), col("v"))).as("members"))
+      val partial = probes.join(members, Seq("cluster"))
+        .select(col("q_id"), explode(graft.functions.NativeExpressions
+          .knnTopK(col("qv"), col("q_id"), col("members"), TopK)).as("e"))
+        .select(col("q_id"), col("e.vec_id").as("vec_id"), col("e.cos").as("cos"))
+      topKByUnsorted(partial, TopK, col("cos"),
           round(col("cos") * 1000000, 0).cast("long").as("cos_ppm"))
         .localCheckpoint(true)
     })
+  }
+
+  /** The r14 join-form edge build — differential reference ONLY
+    * (KnnKernelSpec pins the kernel build against it row-for-row). */
+  private[graft] def knnEdgesJoinForm(spark: SparkSession, sfDir: String): DataFrame = {
+    val centArr = centroidsDf(spark, sfDir)
+      .agg(collect_list(struct(col("c_id"), col("cv"))).as("cents"))
+    val probes = probeClustersOf(
+      vecs(spark, sfDir).select(col("vec_id").as("q_id"), col("v").as("qv")),
+      centArr)
+    val cand = assignments(spark, sfDir)
+      .select(col("vec_id"), col("v"), col("cluster"))
+      .join(probes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), cosineSim(col("qv"), col("v")).as("cos"))
+    topKByUnsorted(cand, TopK, col("cos"),
+      round(col("cos") * 1000000, 0).cast("long").as("cos_ppm"))
   }
 
   /** PageRank iteration count for [[ssCentrality]] — fixed (not
