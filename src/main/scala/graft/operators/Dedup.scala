@@ -835,16 +835,16 @@ object Dedup {
     // At oracle SFs the estimate floors to the session default, so the
     // small-SF plan shape (and the controlled-pair rows) don't move.
     val sizes = fpDf.groupBy(col("fp")).agg(count(lit(1)).as("n"))
-    val withinPairs = sizes.agg(
-      coalesce(sum(expr("n * (n - 1) div 2")), lit(0L))).head.getLong(0)
-    val crossPairs = fpEdges
-      .join(broadcast(sizes.select(col("fp").as("fp_a"), col("n").as("na"))), "fp_a")
-      .join(broadcast(sizes.select(col("fp").as("fp_b"), col("n").as("nb"))), "fp_b")
-      .agg(coalesce(sum(col("na") * col("nb")), lit(0L))).head.getLong(0)
+    val totalPairs = sizes.select(expr("n * (n - 1) div 2").as("c"))
+      .unionByName(fpEdges
+        .join(broadcast(sizes.select(col("fp").as("fp_a"), col("n").as("na"))), "fp_a")
+        .join(broadcast(sizes.select(col("fp").as("fp_b"), col("n").as("nb"))), "fp_b")
+        .select((col("na") * col("nb")).as("c")))
+      .agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
     val bytesPerRow = 24L
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.max(defaultParts,
-      ((withinPairs + crossPairs) * bytesPerRow / (128L << 20) + 1).toInt)
+      (totalPairs * bytesPerRow / (128L << 20) + 1).toInt)
     // cross-fp doc pairs: two broadcast equi-joins, output-bound; fp
     // groups are disjoint doc sets, so each unordered pair appears once.
     // The fp table broadcasts by hint: |corpus| rows of 16 bytes (NOT
