@@ -182,6 +182,16 @@ class PlanAuditSpec extends SparkSpec {
     // own plan should end at its projection/aggregate, and the sink's
     // repartition is the only exchange added on top.
     withPresentationOff {
+      // dd_simhash: the suite's single largest presentation sort (the
+      // quadratic pair output) must vanish with the knob off — only
+      // the expansion's round-robin exchange may remain.
+      locally {
+        import org.apache.spark.sql.execution.SortExec
+        val qe = SparkEntry.queries("dd_simhash")(spark, sfDir).queryExecution
+        val sorts = qe.sparkPlan.collect { case s: SortExec if s.global => s }
+        assert(sorts.isEmpty,
+          "dd_simhash still plans a global pair sort with presentation off")
+      }
       Seq("p02_label", "tx_pii", "rw_rewards").foreach { name =>
         val qe = SparkEntry.queries(name)(spark, sfDir).queryExecution
         val plan = qe.optimizedPlan.toString
