@@ -28,7 +28,14 @@ object SessionTuning {
         "in cur_verdict (the CCNet-style second stage)"),
     graft.operators.Dedup.BloomMinScanBytesKey ->
       ("minimum scan size before dd_incremental builds its corpus-side " +
-        "Bloom prune; smaller corpora skip the extra pass"))
+        "Bloom prune; smaller corpora skip the extra pass"),
+    graft.operators.Sampling.BroadcastMaxRowsKey ->
+      ("maximum measured row count at which a corpus-cardinality frame " +
+        "(simhash fp table, minhash rep-id set, boilerplate heavy set, " +
+        "contamination benchmark, rank offset tables) is broadcast-" +
+        "hinted; above it the gated sites fall back to shuffle " +
+        "equi-joins — BroadcastExchange's 8 GB / 512M-row ceilings " +
+        "make an ungated corpus hint a guaranteed abort at 10^10+ docs"))
 
   /** Heap-aware `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`.
     *

@@ -122,19 +122,22 @@ object StreamEq {
     val maxEventTs = events.agg(max(col("ts"))).head().getTimestamp(0)
 
     // 1. windowedCounts vs the batch tumbling-window aggregate (Complete
-    // mode: every window's final value; cents rounding — stream folds in
-    // arrival order, float sums can differ in the last ulp).
+    // mode: every window's final value). EXACT equality, not
+    // modulo-cents: both sides sum per-row integer cents (the r15
+    // family rule), so the stream's arrival-order fold and the batch
+    // shuffle fold must produce the SAME long — whatever the
+    // micro-batch slicing was.
     check("windowedCounts") {
       val batch = events
         .groupBy(window(col("ts"), "1 hour").getField("start").as("hour"), col("event_type"))
-        .agg(count(lit(1)).as("n"), round(sum(col("value")) * 100, 0).cast("long").as("vc"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100, 0).cast("long")).as("v"))
         .as[(Timestamp, String, Long, Long)].collect().toSet
       val rows = events.select(col("ts"), col("event_type"), col("value"))
         .as[(Timestamp, String, Double)].collect().toIndexedSeq
       val got = drain(rows, "eq_wc", OutputMode.Complete())(in =>
           EventStreams.windowedCounts(in.toDF().toDF("ts", "event_type", "value")))
-        .select(col("hour"), col("event_type"), col("n"),
-          round(col("v") * 100, 0).cast("long"))
+        .select(col("hour"), col("event_type"), col("n"), col("v"))
         .as[(Timestamp, String, Long, Long)].collect().toSet
       (got.size.toLong, batch.size.toLong, got == batch)
     }

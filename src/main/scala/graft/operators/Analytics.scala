@@ -100,10 +100,13 @@ object Analytics {
     val li = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    // Only the filtered customer-key set is broadcast-safe; orders filtered
-    // by date alone is still O(fact) rows, so lineitem⋈orders shuffles on
-    // l_orderkey and AQE picks the physical strategy at runtime.
-    li.join(ord.join(broadcast(cust), ord("o_custkey") === cust("c_custkey")),
+    // No broadcast HINT anywhere: customer scales with the fact data
+    // (150k×sf — segment-filtered it is still corpus-growing, the exact
+    // class the PlanAuditSpec 10x sweep forbids), and orders filtered by
+    // date alone is O(fact) rows too. AQE picks broadcast at runtime
+    // from MEASURED sizes where they fit — same sandbox plan, no abort
+    // past the BroadcastExchange ceilings at scale.
+    li.join(ord.join(cust, ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(expr(revenueSumLong).as("revenue"))

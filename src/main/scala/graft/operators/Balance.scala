@@ -151,12 +151,17 @@ object Balance {
     val (counts, target, ranked) = prepared(spark, sfDir)
     val totals = counts.groupBy(comboCols.map(col): _*)
       .agg(sum(col("__cnt")).as("__total"))
-    val slotted = ranked.join(broadcast(totals), comboCols)
+    // slotted is bounded by |combos| × avg_target ≤ ~18k rows — but the
+    // bound is an operator argument, not a law, so it is checkpointed
+    // (consumed once; same total work) and its broadcast size-gated
+    // like every other derived-frame hint.
+    val slotted = Sampling.trackScratch(ranked.join(broadcast(totals), comboCols)
       .crossJoin(broadcast(target))
       .withColumn("__need", greatest(col("__avg_target") - col("__total"), lit(0L)))
       .filter(col("__rn") - 1 < col("__need"))
+      .localCheckpoint(true))
     Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
-      .join(broadcast(slotted), "doc_id")
+      .join(Sampling.gatedBroadcast(slotted), "doc_id")
       .withColumn("aug_slot",
         explode(sequence(col("__rn") - 1, col("__need") - 1, col("__total"))))
       .select(col("doc_id"), col("structure"), col("emoji_usage"),

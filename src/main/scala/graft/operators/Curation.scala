@@ -458,11 +458,15 @@ object Curation {
       .select(col("doc_id"), col("component"), col("is_kept").as("dedup_keep"))
     val gopher = txGopher(spark, sfDir)
       .select(col("doc_id"), col("keep").as("gopher_keep"))
-    val contam = TextOps.txContamination(spark, sfDir)
+    // Contaminated-id set: corpus-growing (it is a SUBSET of the
+    // corpus), so checkpoint (tiny; also stops the verdict join from
+    // re-running the contamination chain) and size-gate the hint.
+    val contam = Sampling.trackScratch(TextOps.txContamination(spark, sfDir)
       .select(col("doc_id")).distinct()
       .withColumn("__contam", lit(1L))
+      .localCheckpoint(true))
     val base = dedup.join(gopher, "doc_id")
-      .join(broadcast(contam), Seq("doc_id"), "left")
+      .join(Sampling.gatedBroadcast(contam), Seq("doc_id"), "left")
       .select(col("doc_id"), col("component"), col("dedup_keep"), col("gopher_keep"),
         coalesce(col("__contam"), lit(0L)).as("contaminated"),
         when(col("doc_id") % TextOps.BenchMod === 0, 1L).otherwise(0L).as("is_bench"))

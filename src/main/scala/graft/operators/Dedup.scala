@@ -90,6 +90,7 @@ object Dedup {
   val WinnowOverlapPpm = 500000L    // dd_winnow pair cutoff (>= 50% overlap)
   val MaxFpDf = 100                 // stop-fingerprint cap for dd_winnow
 
+
   private val toksSql =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 
@@ -306,13 +307,15 @@ object Dedup {
     * in one pass over a shared shingle source (the expensive part). */
   private def minhashVerified(spark: SparkSession, sfDir: String,
       groups: DataFrame, materialize: Boolean): (DataFrame, DataFrame) = {
-    // rep-id set BROADCASTS into the rescan (a shuffle join here would
-    // move every text's bytes); its cardinality is distinct-content
-    // count — at the scale where that can't broadcast, the persisted
-    // signature artifact (dd_incremental's build/use split) owns the
-    // problem instead of this in-session form
+    // rep-id set broadcasts into the rescan WHEN IT FITS (a shuffle
+    // join here moves every text's bytes); its cardinality is
+    // distinct-content count, which is corpus-growing, so the hint is
+    // size-gated (Sampling.gatedBroadcast — the count reads the eager
+    // groups checkpoint). Past the gate the shuffle join is the
+    // correct price in-session, and the persisted signature artifact
+    // (dd_incremental's build/use split) owns the problem instead.
     val repScan = Tables.documents(spark, sfDir)
-      .join(broadcast(groups.select(col("rep_id").as("doc_id"))), "doc_id")
+      .join(Sampling.gatedBroadcast(groups.select(col("rep_id").as("doc_id"))), "doc_id")
     val shPlain = repScan.select(col("doc_id"),
       NativeExpressions.wordShingles(col("text"), 3).as("sh"))
     val bloomOn = docScanBytes(spark, sfDir) >= spark.conf
@@ -357,7 +360,7 @@ object Dedup {
     // group size and belongs to the consumer's stream, not a cache.
     val multi = groups.filter(size(col("ids")) >= 2)
     val withinSh = shCpOpt.getOrElse(
-      repScan.join(broadcast(multi.select(col("rep_id").as("doc_id"))), "doc_id")
+      repScan.join(Sampling.gatedBroadcast(multi.select(col("rep_id").as("doc_id"))), "doc_id")
         .select(col("doc_id"),
           NativeExpressions.wordShingles(col("text"), 3).as("sh")))
     val withinGroups = multi
@@ -383,17 +386,21 @@ object Dedup {
     * explodes, output-bound, re-streamed per consumer (never cached).
     *
     * Cross-group member pairs inherit their rep pair's Jaccard (all
-    * members share their rep's shingle multiset). Broadcast the TINY
-    * side only — the verified rep pairs — never the members table: its
-    * ids arrays sum to every doc_id in the corpus, which on a
-    * replica-heavy crawl exceeds broadcast limits even when the rep-id
-    * set alone would fit. The a-side explodes before the b-side join,
-    * so that join is a plain shuffle join both of whose inputs are
-    * bounded by the final output size (pairs × group members). */
+    * members share their rep's shingle multiset). NO broadcast hint on
+    * either side: the verified pair set is corpus-growing (an
+    * unconditional hint is the r15 dd_simhash abort class), the
+    * members table's ids arrays sum to every doc_id in the corpus, and
+    * both inputs are compact session frames whose shuffle is
+    * negligible next to the explode output — so AQE's runtime-stats
+    * decision (broadcast when the pair set measures small, shuffle
+    * when it doesn't) is exactly the right plan at every scale. The
+    * a-side explodes before the b-side join, so that join is a plain
+    * shuffle join both of whose inputs are bounded by the final output
+    * size (pairs × group members). */
   private def minhashExpand(groups: DataFrame, repPairs: DataFrame,
       withinGroups: DataFrame, valueCol: String = "j_ppm"): DataFrame = {
     val crossA = groups.select(col("rep_id").as("id_a"), col("ids").as("ids_a"))
-      .join(broadcast(repPairs), "id_a")
+      .join(repPairs, "id_a")
       .select(col("id_b"), explode(col("ids_a")).as("da"), col(valueCol))
     val cross = groups.select(col("rep_id").as("id_b"), col("ids").as("ids_b"))
       .join(crossA, "id_b")
@@ -509,8 +516,10 @@ object Dedup {
     // distinct-content-sized instead of corpus-sized, which also stops
     // this row leaning on executor storage the session caches share.
     val groups = cachedFrame(spark, sfDir, "minhash.groups")(minhashGroups(spark, sfDir))
+    // same size-gated rep-scan hint as minhashVerified (groups is the
+    // eager session checkpoint, so the gate's count is cheap)
     val repSig = Sampling.trackScratch(Tables.documents(spark, sfDir)
-      .join(broadcast(groups.select(col("rep_id").as("doc_id"))), "doc_id")
+      .join(Sampling.gatedBroadcast(groups.select(col("rep_id").as("doc_id"))), "doc_id")
       .select(col("doc_id"), NativeExpressions.minHashSigs(
         NativeExpressions.wordShingles(col("text"), 3), K, P).as("sigs"))
       .localCheckpoint(true))
@@ -675,22 +684,123 @@ object Dedup {
     * behind the [[MaxSpanDf]] default (SPANCAP record in BASELINE.md).
     * A pair (a, b) is found iff SOME shared span has df ≤ cap, so a
     * larger cap finds a strict superset of pairs — recall against the
-    * converged-cap truth is a plain count ratio. */
+    * converged-cap truth is a plain count ratio.
+    *
+    * r16 rewrite: the blocker runs over DISTINCT texts (the
+    * dd_simhash/dd_minhash replica collapse — shared spans are a
+    * function of the token sequence, so identical texts contribute one
+    * posting row per distinct span, weighted by occurrence count m and
+    * group size g). The r15 form indexed per-DOCUMENT occurrences, so
+    * at the 100x verbatim-replica corpus every span's posting list and
+    * every pair's explode multiplied by R² — 389.6 s first-pass and the
+    * slowest stress row (r15 verdict task 3). Semantics are UNCHANGED
+    * (the DuckDB oracle still computes the per-document form): a span's
+    * doc-unit df is Σ_texts g·m, the stop-span cap applies to that
+    * exact quantity, and a doc pair's n_spans = Σ_rare-spans m_a·m_b —
+    * within-text pairs get Σ m², cross-text pairs m_x·m_y — identical
+    * to counting occurrence pairs per document. Doc-level pairs then
+    * expand output-bound from the compact text-pair frame with the
+    * r15 dd_simhash budgeting: closed-form pair count -> repartition
+    * to ceil(bytes/128 MB), size-gated broadcasts, range-partitioned
+    * presentation sort, [[Sampling.PresentationKey]] skip. */
   private[graft] def ddSubstringPairs(spark: SparkSession, sfDir: String,
+      cap: Int): DataFrame =
+    ddSubstringOf(spark, Tables.documents(spark, sfDir), cap)
+
+  /** [[ddSubstringPairs]] over any (doc_id, text) frame — the seam
+    * SubstringCollapseSpec differentials against the naive per-document
+    * formulation on a replica-dense fixture. */
+  private[graft] def ddSubstringOf(spark: SparkSession, docs: DataFrame,
       cap: Int): DataFrame = {
-    val posting = Tables.documents(spark, sfDir)
-      // wordShingles' short-text fallback emits the WHOLE document as one
-      // shingle — fine for Jaccard set overlap, but here it would report
-      // two identical 8-token docs as sharing a "12-token run" that does
-      // not exist. Docs shorter than the run length cannot contain one:
-      // out by definition (the oracle guards identically on len(toks)).
+    import graft.functions.Aggregates.collectBounded
+    // wordShingles' short-text fallback emits the WHOLE document as one
+    // shingle — fine for Jaccard set overlap, but here it would report
+    // two identical 8-token docs as sharing a "12-token run" that does
+    // not exist. Docs shorter than the run length cannot contain one:
+    // out by definition (the oracle guards identically on len(toks)).
+    val keyed = docs
       .filter(size(NativeExpressions.wordTokens(col("text"))) >= SubstringL)
-      .select(explode(NativeExpressions.wordShingles(col("text"), SubstringL)).as("s"),
-        struct(col("doc_id")).as("post"))
-    boundedPairs(posting, cap)
-      .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_spans"))
-      .orderBy(col("id_a"), col("id_b"))
+      .select(col("doc_id"), md5(col("text")).as("tkey"), col("text"))
+    // compact (doc_id, tkey) corpus frame — the simhash fpDf analogue;
+    // checkpointed: consumed by the gate's count, the within self-join
+    // and both cross expansions.
+    val tidDf = Sampling.trackScratch(
+      keyed.select(col("doc_id"), col("tkey")).localCheckpoint(true))
+    val nDocs = tidDf.count()
+    val maxBroadcastRows = spark.conf
+      .getOption(Sampling.BroadcastMaxRowsKey).map(_.toLong)
+      .getOrElse(Sampling.BroadcastMaxRowsDefault)
+    // one size-gate decision for every corpus-cardinality hint below
+    // (each gated frame is ≤ nDocs rows) — the ddSimhashPairs pattern
+    def gated(df: DataFrame): DataFrame =
+      if (nDocs <= maxBroadcastRows) broadcast(df) else df
+    // distinct texts with group size; any member's text is the rep
+    // (members are byte-identical, so first() is deterministic)
+    val textGroups = keyed.groupBy(col("tkey"))
+      .agg(count(lit(1)).as("g"), first(col("text")).as("rtext"))
+    // rep-level span posting with per-text occurrence multiplicity m
+    val spanPost = textGroups
+      .select(col("tkey"), col("g"),
+        explode(NativeExpressions.wordShingles(col("rtext"), SubstringL)).as("s"))
+      .groupBy(col("s"), col("tkey"), col("g"))
+      .agg(count(lit(1)).as("m"))
+    // df-capped span index in DOC units (df = Σ g·m, the oracle's
+    // occurrence count). Collecting up to `cap` TEXT entries is enough:
+    // every entry contributes ≥ 1 occurrence, so an overflowed collect
+    // means df > cap — the same stop-span either way.
+    val perSpan = spanPost.groupBy(col("s"))
+      .agg(sort_array(collectBounded(
+        struct(col("tkey"), col("g"), col("m")), cap)).as("ts"))
+      .filter(col("ts").isNotNull)
+      .filter(expr(s"aggregate(ts, 0L, (a, t) -> a + t.g * t.m) <= ${cap}L"))
+    // text-level pair weights W = Σ_rare-spans m_x·m_y; i ≤ j keeps the
+    // SELF row (ka = kb) whose weight Σ m² is the within-group pair
+    // count. Checkpointed: the budget action, the within path and the
+    // cross path all read it.
+    val textPairs = Sampling.trackScratch(perSpan
+      .select(explode(flatten(transform(col("ts"), (x, i) =>
+        transform(slice(col("ts"), i + lit(1), size(col("ts"))),
+          y => struct(x.getField("tkey").as("ka"), y.getField("tkey").as("kb"),
+            (x.getField("m") * y.getField("m")).as("w"),
+            x.getField("g").as("ga"), y.getField("g").as("gb")))))).as("p"))
+      .groupBy(col("p.ka").as("ka"), col("p.kb").as("kb"))
+      .agg(sum(col("p.w")).as("n_spans"),
+        first(col("p.ga")).as("ga"), first(col("p.gb")).as("gb"))
+      .localCheckpoint(true))
+    // output-scale budgeting (the r15 dd_simhash pattern): exact pair
+    // count in closed form over the compact frame, Long-safe division
+    val totalPairs = textPairs.select(
+        when(col("ka") === col("kb"), expr("ga * (ga - 1) div 2"))
+          .otherwise(col("ga") * col("gb")).as("c"))
+      .agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
+    val pairsPerTask = (128L << 20) / 24L
+    val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    val parts = math.max(defaultParts.toLong,
+      math.min(Int.MaxValue.toLong, totalPairs / pairsPerTask + 1)).toInt
+    // within-text doc pairs: identical docs share every rare span; the
+    // probe side is the corpus (doc_id, tkey) frame, so parallelism
+    // matches its scan (no re-spread needed — the simhash within shape)
+    val selfW = textPairs.filter(col("ka") === col("kb") && col("ga") >= 2)
+      .select(col("ka").as("tkey"), col("n_spans"))
+    val within = tidDf.join(gated(selfW), "tkey").as("x")
+      .join(gated(tidDf.as("y")),
+        col("x.tkey") === col("y.tkey") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
+        col("x.n_spans").as("n_spans"))
+    // cross-text doc pairs: the tiny pair stream is round-robin
+    // re-spread to the output budget BEFORE the gated expansion joins
+    // (AQE coalesces it to ~1 partition otherwise — the r15 lesson)
+    val cross = textPairs.filter(col("ka") < col("kb")).repartition(parts)
+      .join(gated(tidDf.select(col("tkey").as("ka"), col("doc_id").as("da"))), "ka")
+      .join(gated(tidDf.select(col("tkey").as("kb"), col("doc_id").as("db"))), "kb")
+      .select(least(col("da"), col("db")).as("id_a"),
+        greatest(col("da"), col("db")).as("id_b"), col("n_spans"))
+    val pairs = within.unionByName(cross)
+    // presentation sort at output scale: range-partitioned to `parts`
+    // (≤128 MB per sort task); production sinks skip it via the knob
+    if (spark.conf.getOption(Sampling.PresentationKey).contains("off")) pairs
+    else pairs.repartitionByRange(parts, col("id_a"), col("id_b"))
+      .sortWithinPartitions(col("id_a"), col("id_b"))
   }
 
   /** Per-doc winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, the
@@ -816,7 +926,16 @@ object Dedup {
     * already unique, and the two expansion joins can't duplicate them,
     * so the quadratic output flows through exactly one sort (the gate's
     * ORDER BY) and nothing else. */
-  def ddSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+  def ddSimhash(spark: SparkSession, sfDir: String): DataFrame =
+    ddSimhashPairs(spark, sfDir, spark.conf
+      .getOption(Sampling.BroadcastMaxRowsKey).map(_.toLong)
+      .getOrElse(Sampling.BroadcastMaxRowsDefault))
+
+  /** [[ddSimhash]] at an arbitrary broadcast-row gate — the seam
+    * PlanAuditSpec drives to 0 to prove the shuffle fallback plans no
+    * corpus broadcast and returns the identical pair set. */
+  private[graft] def ddSimhashPairs(spark: SparkSession, sfDir: String,
+      maxBroadcastRows: Long): DataFrame = {
     // Only the COMPACT frames are session-cached (the corpus fp table
     // and the distinct-fp verified edge set); the doc-level pair
     // expansion below is quadratic in fp-group size on a replica-dense
@@ -824,6 +943,17 @@ object Dedup {
     // the quadratic output (see ddMinhashLsh's scaladoc).
     val fpDf = simhashFp(spark, sfDir)
     val fpEdges = simhashFpEdges(spark, sfDir)
+    // Size-gated broadcast (r15 verdict): the fp table and the
+    // distinct-fp size table are CORPUS-cardinality — an unconditional
+    // hint on either is a hard abort past the BroadcastExchange
+    // ceilings, however small this corpus happens to be. The gate is a
+    // measured count on the session-cached frame (the r5
+    // dd_minhash_lsh Bloom-gate precedent: decide from data, not
+    // hope); above it every join below degrades to a shuffle
+    // equi-join, the scale-safe r14 shape.
+    val nDocs = fpDf.count()
+    def gated(df: DataFrame): DataFrame =
+      if (nDocs <= maxBroadcastRows) broadcast(df) else df
     // Output-scale budgeting (r15): the pair set is quadratic by
     // contract (~10⁹ rows at the 100× verbatim-replica corpus), and
     // BOTH expansion and presentation sort must be sized to the OUTPUT,
@@ -834,34 +964,45 @@ object Dedup {
     // sort task cache-friendly and spill-free at ANY replica density.
     // At oracle SFs the estimate floors to the session default, so the
     // small-SF plan shape (and the controlled-pair rows) don't move.
+    // The size-table joins are gated like the fp joins (distinct-fp
+    // cardinality is corpus-bound too); above the gate AQE re-plans
+    // them from runtime sizes.
     val sizes = fpDf.groupBy(col("fp")).agg(count(lit(1)).as("n"))
     val totalPairs = sizes.select(expr("n * (n - 1) div 2").as("c"))
       .unionByName(fpEdges
-        .join(broadcast(sizes.select(col("fp").as("fp_a"), col("n").as("na"))), "fp_a")
-        .join(broadcast(sizes.select(col("fp").as("fp_b"), col("n").as("nb"))), "fp_b")
+        .join(gated(sizes.select(col("fp").as("fp_a"), col("n").as("na"))), "fp_a")
+        .join(gated(sizes.select(col("fp").as("fp_b"), col("n").as("nb"))), "fp_b")
         .select((col("na") * col("nb")).as("c")))
       .agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
+    // pairs-per-128MB-task in pair units (no totalPairs×bytes product —
+    // that wraps a Long near 10¹⁷ pairs and a wrapped budget silently
+    // falls back to the session default EXACTLY in the regime the
+    // budget exists for; r15 advice), clamped to Int range.
     val bytesPerRow = 24L
+    val pairsPerTask = (128L << 20) / bytesPerRow
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
-    val parts = math.max(defaultParts,
-      (totalPairs * bytesPerRow / (128L << 20) + 1).toInt)
-    // cross-fp doc pairs: two broadcast equi-joins, output-bound; fp
+    val parts = math.max(defaultParts.toLong,
+      math.min(Int.MaxValue.toLong, totalPairs / pairsPerTask + 1)).toInt
+    // cross-fp doc pairs: two gated equi-joins, output-bound; fp
     // groups are disjoint doc sets, so each unordered pair appears once.
-    // The fp table broadcasts by hint: |corpus| rows of 16 bytes (NOT
-    // the text, NOT the quadratic output). The edge set is round-robin
-    // repartitioned FIRST: it is tiny (AQE coalesces it to ~1
-    // partition), and with broadcast probes nothing downstream would
-    // re-spread it — the 10⁹-row generation would run near
+    // Below the gate the fp table broadcasts by hint: |corpus| rows of
+    // 16 bytes (NOT the text, NOT the quadratic output). The edge set
+    // is round-robin repartitioned FIRST: it is tiny (AQE coalesces it
+    // to ~1 partition), and with broadcast probes nothing downstream
+    // would re-spread it — the 10⁹-row generation would run near
     // single-task (the r15 regression probe measured exactly that).
+    // Above the gate the joins shuffle on fp_a/fp_b instead (the
+    // repartition becomes the join exchange's input; AQE's skew split
+    // bounds a hot fingerprint's task).
     val cross = fpEdges.repartition(parts)
-      .join(broadcast(fpDf.select(col("fp").as("fp_a"), col("doc_id").as("da"))), "fp_a")
-      .join(broadcast(fpDf.select(col("fp").as("fp_b"), col("doc_id").as("db"))), "fp_b")
+      .join(gated(fpDf.select(col("fp").as("fp_a"), col("doc_id").as("da"))), "fp_a")
+      .join(gated(fpDf.select(col("fp").as("fp_b"), col("doc_id").as("db"))), "fp_b")
       .select(least(col("da"), col("db")).as("id_a"),
         greatest(col("da"), col("db")).as("id_b"), col("hamming"))
     // within-fp (identical-fingerprint) pairs: hamming 0 by
     // construction; the probe side is the corpus fp table itself, whose
     // scan parallelism matches its size, so no re-spread is needed.
-    val within = fpDf.as("x").join(broadcast(fpDf.as("y")),
+    val within = fpDf.as("x").join(gated(fpDf.as("y")),
         col("x.fp") === col("y.fp") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
         lit(0L).as("hamming"))

@@ -139,6 +139,33 @@ object Sampling {
     * the production-sink path. Unset (default) keeps the gated form. */
   val PresentationKey = "graft.presentation"
 
+  /** Corpus-cardinality frames may be broadcast ONLY below this
+    * measured row count: BroadcastExchange has hard ceilings (8 GB /
+    * 512M rows) and pins a driver collect plus one copy per executor,
+    * so an unconditional hint on a corpus-growing frame is a
+    * guaranteed abort at 10^10+ docs however well it measures on a
+    * sandbox corpus (r15 verdict). 4M rows ≈ 64 MB at ~16 B/row —
+    * comfortably inside every ceiling, far above any oracle SF.
+    * Override with the conf key for tests / cluster tuning;
+    * PlanAuditSpec drives it to 0 to prove every gated site degrades
+    * to a scale-safe shuffle equi-join. */
+  val BroadcastMaxRowsKey = "spark.graft.broadcastMaxRows"
+  val BroadcastMaxRowsDefault = 4L << 20
+
+  /** Size-gated broadcast hint: hint only when the frame's MEASURED
+    * row count is under [[BroadcastMaxRowsKey]] (the r5 Bloom-gate
+    * precedent — decide from data, not hope), else return the frame
+    * unhinted and let the join shuffle (AQE still converts it back to
+    * a broadcast join at runtime when measured sizes allow). The count
+    * is an action: callers must pass a frame that is cheap to count —
+    * checkpointed, artifact-backed, or a bounded aggregate — never a
+    * raw corpus lineage. */
+  def gatedBroadcast(df: DataFrame): DataFrame = {
+    val max = df.sparkSession.conf.getOption(BroadcastMaxRowsKey)
+      .map(_.toLong).getOrElse(BroadcastMaxRowsDefault)
+    if (df.count() <= max) broadcast(df) else df
+  }
+
   /** Adds `__h` (the hash) and `__b` (its first-two-hex-chars bucket). */
   def withBuckets(df: DataFrame, hashCol: Column): DataFrame =
     df.withColumn("__h", hashCol)
@@ -155,16 +182,25 @@ object Sampling {
     * [[bucketCounts]]. */
   def rankFromCounts(bucketed: DataFrame, counts: DataFrame,
                      groupCols: Seq[String], tieCol: Column, rankCol: String): DataFrame = {
+    // The count table is |groups|×256 rows — tiny for the enum-group
+    // callers (p05 combos, p23 splits), but |groups| is a CALLER
+    // argument: per-domain mixes can make it corpus-growing, so the
+    // offsets table is checkpointed (it is consumed once; the eager
+    // form costs one materialization of the same aggregate) and its
+    // broadcast size-gated. Past the gate the rank join shuffles on
+    // (group, bucket) — with 256 buckets per group that stays
+    // skew-split-able however hot one group is.
     val offW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
-    val offsets = counts
+    val offsets = trackScratch(counts
       .withColumn("__off",
         coalesce(sum(col("__cnt")).over(offW) - col("__cnt"), lit(0L)))
       .drop("__cnt")
+      .localCheckpoint(true))
     val inBucketW = Window
       .partitionBy((groupCols :+ "__b").map(col): _*)
       .orderBy(col("__h"), tieCol)
     bucketed
-      .join(broadcast(offsets), groupCols :+ "__b")
+      .join(gatedBroadcast(offsets), groupCols :+ "__b")
       .withColumn(rankCol, row_number().over(inBucketW) + col("__off"))
       .drop("__h", "__b", "__off")
   }

@@ -287,12 +287,19 @@ object TextOps {
   def txContamination(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.NativeExpressions.wordShingles
     val docs = docsOrdered(spark, sfDir)
-    val bench = docs.filter(col("doc_id") % BenchMod === 0)
+    // Checkpointed (tiny — benchmark shingles) so the size gate's count
+    // costs nothing and the shingle pass over the benchmark docs runs
+    // once. The hint is GATED, not assumed: real eval sets are small,
+    // but this fixture's pseudo-benchmark grows with the corpus, and
+    // the gate is what keeps the operator correct if a caller's
+    // "benchmark" turns out corpus-sized.
+    val bench = Sampling.trackScratch(docs.filter(col("doc_id") % BenchMod === 0)
       .select(col("doc_id").as("bench_id"),
         explode(wordShingles(col("text"), ContamN)).as("s"))
+      .localCheckpoint(true))
     val corpus = docs.filter(col("doc_id") % BenchMod =!= 0)
       .select(col("doc_id"), explode(wordShingles(col("text"), ContamN)).as("s"))
-    corpus.join(broadcast(bench), "s")
+    corpus.join(Sampling.gatedBroadcast(bench), "s")
       .groupBy(col("doc_id"), col("bench_id"))
       .agg(count(lit(1)).as("n_shared"))
       .orderBy(col("doc_id"), col("bench_id"))
@@ -802,7 +809,11 @@ object TextOps {
     // (writeBoilerplateArtifact), so this single-session checkpoint
     // never holds more than one corpus's blocks.
     val blocks = Sampling.trackScratch(blockify(docs).localCheckpoint(true))
-    boilerScrub(blocks, boilerHeavy(blocks))
+    // heavy set checkpointed too (it is the trainable artifact —
+    // df-filtered, far smaller than the block table) so boilerScrub's
+    // size-gated broadcast can count it for free.
+    boilerScrub(blocks,
+      Sampling.trackScratch(boilerHeavy(blocks).localCheckpoint(true)))
   }
 
   /** The disjoint [[BoilerBlock]]-token block texts of a token array —
@@ -834,8 +845,13 @@ object TextOps {
 
   /** Drop every occurrence of a heavy block; reassemble survivors in
     * block order with per-doc counts. */
+  // The heavy set is corpus-vocabulary-growing, so its broadcast is
+  // size-gated (callers pass it checkpointed or artifact-backed — the
+  // gate's count is metadata-cheap); past the gate the scrub join
+  // shuffles on the block text, which is the correct price when the
+  // frequent-line table itself outgrows an executor.
   private def boilerScrub(blocks: DataFrame, heavy: DataFrame): DataFrame =
-    blocks.join(broadcast(heavy.withColumn("__h", lit(1L))), Seq("bt"), "left")
+    blocks.join(Sampling.gatedBroadcast(heavy.withColumn("__h", lit(1L))), Seq("bt"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_blocks"),

@@ -91,12 +91,22 @@ object EventStreams {
 
   /** Watermarked tumbling-window counts — the streaming form of
     * q_events_window. Input needs (ts TIMESTAMP, event_type STRING,
-    * value DOUBLE). */
+    * value DOUBLE).
+    *
+    * `v` sums per-row exact cents into a LONG, the same family-wide
+    * integer-exactness rule the batch twin follows (r15: a double sum
+    * folds in ACCUMULATION order, which for a stream is arrival order
+    * — the emitted value would depend on micro-batch slicing; the sf1
+    * gate proved the class wrong at q_topk_window). With an exact
+    * integer accumulator the state-store value is a pure function of
+    * the window's row SET, so StreamEq can assert batch equality
+    * exactly instead of modulo cents. */
   def windowedCounts(events: DataFrame): DataFrame =
     events
       .withWatermark("ts", "10 minutes")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("v"))
+      .agg(count(lit(1)).as("n"),
+        sum(round(col("value") * 100, 0).cast("long")).as("v"))
       .select(col("window.start").as("hour"), col("event_type"),
         col("n"), col("v"))
 

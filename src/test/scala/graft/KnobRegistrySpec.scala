@@ -18,7 +18,8 @@ class KnobRegistrySpec extends AnyFunSuite {
     graft.functions.Quantiles.ApproxKey,
     graft.operators.Similarity.MaxCentroidsKey,
     graft.operators.Curation.ClassifierGateKey,
-    graft.operators.Dedup.BloomMinScanBytesKey)
+    graft.operators.Dedup.BloomMinScanBytesKey,
+    graft.operators.Sampling.BroadcastMaxRowsKey)
 
   test("registry covers exactly the conf keys the code declares") {
     assert(SessionTuning.Knobs.keySet == codeKeys)
@@ -34,13 +35,17 @@ class KnobRegistrySpec extends AnyFunSuite {
     // Segments start lowercase — excludes class-path literals like
     // "graft.functions.Kernels" (the codegen call target).
     val knobRe = """"((?:spark\.)?graft\.(?:[a-z][A-Za-z0-9]*\.)*[a-z][A-Za-z0-9]*)"""".r
-    val src = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main/scala"))
-      .iterator().asScala
-      .filter(_.toString.endsWith(".scala"))
-      .flatMap { p =>
-        val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        knobRe.findAllMatchIn(text).map(_.group(1))
-      }.toSet
+    // Files.walk is documented must-close (it holds directory handles
+    // open until the stream is closed) — r15 advice.
+    val walk = java.nio.file.Files.walk(java.nio.file.Paths.get("src/main/scala"))
+    val src =
+      try walk.iterator().asScala
+        .filter(_.toString.endsWith(".scala"))
+        .flatMap { p =>
+          val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+          knobRe.findAllMatchIn(text).map(_.group(1))
+        }.toSet
+      finally walk.close()
     // `graft.presentation` etc. — exclude non-conf literals if any ever
     // appear by requiring at least the full registry to be found...
     assert(codeKeys.subsetOf(src),

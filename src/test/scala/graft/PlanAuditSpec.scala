@@ -204,4 +204,108 @@ class PlanAuditSpec extends SparkSpec {
       }
     }
   }
+
+  test("dd_simhash above the broadcast gate plans no broadcast and is identical") {
+    // The r15 scale defect: an UNCONDITIONAL broadcast hint on the
+    // corpus-cardinality fp table — fine on a sandbox corpus, a
+    // guaranteed abort past BroadcastExchange's 8 GB / 512M-row
+    // ceilings at 10^10+ docs. The gate (spark.graft.broadcastMaxRows,
+    // measured fp count) must (a) remove every broadcast from the plan
+    // when driven to 0 — autoBroadcastJoinThreshold is -1'd too,
+    // mimicking the 100 TB regime where runtime stats exceed any
+    // threshold, so only a HINT could still force one — and (b) leave
+    // the pair set bit-identical.
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    withPresentationOff {
+      val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+      val old = spark.conf.get(thresholdKey)
+      spark.conf.set(thresholdKey, "-1")
+      try {
+        val gated = operators.Dedup.ddSimhashPairs(spark, sfDir, maxBroadcastRows = 0L)
+        val bx = gated.queryExecution.sparkPlan.collect {
+          case b: BroadcastExchangeExec => b }
+        assert(bx.isEmpty,
+          s"shuffle fallback still plans a broadcast:\n${bx.mkString("\n")}")
+        val want = SparkEntry.queries("dd_simhash")(spark, sfDir)
+          .collect().map(_.toSeq).toSet
+        val got = gated.collect().map(_.toSeq).toSet
+        assert(got == want, "shuffle fallback changed the pair set")
+      } finally spark.conf.set(thresholdKey, old)
+    }
+  }
+
+  /** Row counts of every broadcast-HINTED side in a frame's analyzed
+    * plan, sorted — the probe behind the corpus-growth audit below.
+    * Hints are read from the ANALYZED plan (ResolvedHint nodes survive
+    * there; the optimizer folds them into Join hints) and each hinted
+    * subtree is EXECUTED, not estimated. */
+  private def hintSideCounts(df: org.apache.spark.sql.DataFrame): Seq[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{BROADCAST, ResolvedHint}
+    import org.apache.spark.sql.graftbridge.DatasetBridge
+    df.queryExecution.analyzed.collect {
+      case h: ResolvedHint if h.hints.strategy.contains(BROADCAST) => h.child
+    }.map(c => DatasetBridge.ofRows(spark, c).count()).sorted
+  }
+
+  /** Adjacent-count growth rule shared by the sweep and its fixture:
+    * a hinted side is corpus-growing when the 100x-span SF pair at
+    * least triples it past a 25-row noise floor. 3x (not 10x) because
+    * the tables scale unevenly across the span — embeddings only 4x
+    * (500 → 2000), documents 10x, facts 100x — and a constant frame
+    * (dim, fixed-k set, keyless aggregate) never triples. */
+  private def grownHints(small: Seq[Long], big: Seq[Long]): Seq[(Long, Long)] =
+    small.zip(big).filter { case (a, b) => b >= 3 * math.max(a, 1L) && b > 25 }
+
+  test("no query broadcast-hints a corpus-growing frame (100x SF sweep)") {
+    // THE scale-killer class this file exists for, generalized from the
+    // r15 dd_simhash finding: a broadcast hint whose build side grows
+    // with the corpus is a latent abort that no sandbox run can
+    // surface. Detection is empirical — every hinted side is executed
+    // at sf0.001 and at sf0.1 (documents/embeddings only start growing
+    // at sf0.1, so a narrower span is blind to the document-corpus
+    // operators) and must not grow with the corpus. Frames legitimately
+    // hinted are CONSTANT-cardinality (dims, fixed-k query/benchmark
+    // sets, keyless aggregates) or SIZE-GATED (they honor
+    // spark.graft.broadcastMaxRows, driven to 0 here, so a gated hint
+    // vanishes from both plans and a corpus-bound frame never reaches
+    // BroadcastExchange at scale).
+    val sfSmall = "/root/testdata/sf0.001"
+    val sfBig = "/root/testdata/sf0.1"
+    withPresentationOff {
+      spark.conf.set(operators.Sampling.BroadcastMaxRowsKey, "0")
+      try {
+        val flagged = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, q) =>
+          val small = hintSideCounts(q(spark, sfSmall))
+          if (small.isEmpty) None
+          else {
+            val big = hintSideCounts(q(spark, sfBig))
+            assert(small.length == big.length,
+              s"$name's hinted-join structure differs across SFs " +
+                s"($small vs $big) — make the audit SF-stable")
+            val grown = grownHints(small, big)
+            if (grown.isEmpty) None else Some(s"$name: $grown")
+          }
+        }
+        assert(flagged.isEmpty,
+          s"corpus-growing broadcast hints (rows at sf0.001 -> sf0.1):\n" +
+            flagged.mkString("\n"))
+      } finally spark.conf.unset(operators.Sampling.BroadcastMaxRowsKey)
+    }
+  }
+
+  test("the corpus-growth broadcast audit itself catches an offender") {
+    // Regression fixture for the audit above (r15 verdict): a
+    // deliberately ungated broadcast of the documents corpus must be
+    // flagged, or the audit is vacuous.
+    import org.apache.spark.sql.functions.broadcast
+    def bad(dir: String) = Tables.documents(spark, dir).select("doc_id")
+      .join(broadcast(Tables.documents(spark, dir)
+        .select("doc_id", "n_chars")), "doc_id")
+    val small = hintSideCounts(bad("/root/testdata/sf0.001"))
+    val big = hintSideCounts(bad("/root/testdata/sf0.1"))
+    assert(small.nonEmpty && big.nonEmpty,
+      "audit probe found no hint in the fixture plan")
+    assert(grownHints(small, big).nonEmpty,
+      "audit failed to flag a corpus-sized broadcast hint")
+  }
 }

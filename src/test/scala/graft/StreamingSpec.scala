@@ -28,13 +28,15 @@ class StreamingSpec extends SparkSpec {
         WEvent(t("2026-01-01 10:30:00"), "click", 5.0),
         WEvent(t("2026-01-01 11:10:00"), "view", 3.0))
       q.processAllAvailable()
+      // v = exact LONG cents (the r15 integer-exactness family rule —
+      // a double sum would fold in arrival order)
       val rows = spark.table("wc")
         .select("hour", "event_type", "n", "v")
-        .as[(Timestamp, String, Long, Double)].collect().toSet
+        .as[(Timestamp, String, Long, Long)].collect().toSet
       assert(rows == Set(
-        (t("2026-01-01 10:00:00"), "view", 2L, 3.0),
-        (t("2026-01-01 10:00:00"), "click", 1L, 5.0),
-        (t("2026-01-01 11:00:00"), "view", 1L, 3.0)))
+        (t("2026-01-01 10:00:00"), "view", 2L, 300L),
+        (t("2026-01-01 10:00:00"), "click", 1L, 500L),
+        (t("2026-01-01 11:00:00"), "view", 1L, 300L)))
     } finally q.stop()
   }
 

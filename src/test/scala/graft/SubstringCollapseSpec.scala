@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.NativeExpressions
+import graft.operators.Dedup
+
+/** The r16 dd_substring replica collapse must be output-IDENTICAL to
+  * the per-document formulation it replaced (which is still what the
+  * DuckDB oracle computes): distinct-text blocking with occurrence
+  * multiplicities is an algebraic regrouping, not an approximation.
+  * Differential on a replica-dense fixture — verbatim copies, partial
+  * overlaps, intra-doc repeated spans, sub-length docs — plus the real
+  * table. */
+class SubstringCollapseSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The naive per-document reference: occurrence posting, doc-unit
+    * span df ≤ cap, occurrence-pair counts — a direct transliteration
+    * of the oracle SQL. */
+  private def reference(docs: DataFrame, cap: Int): Set[(Long, Long, Long)] = {
+    val post = docs
+      .filter(size(NativeExpressions.wordTokens(col("text"))) >= Dedup.SubstringL)
+      .select(col("doc_id"),
+        explode(NativeExpressions.wordShingles(col("text"), Dedup.SubstringL)).as("s"))
+    val rare = post.join(
+      post.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("s"), "s")
+    rare.as("x").join(rare.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("n_spans"))
+      .as[(Long, Long, Long)].collect().toSet
+  }
+
+  private def collapsed(docs: DataFrame, cap: Int): Set[(Long, Long, Long)] =
+    Dedup.ddSubstringOf(spark, docs, cap)
+      .as[(Long, Long, Long)].collect().toSet
+
+  private def words(n: Int, seed: String): String =
+    (0 until n).map(i => s"$seed$i").mkString(" ")
+
+  test("collapsed form equals the per-document form on a replica-dense fixture") {
+    val base = words(20, "a")                  // 20 tokens, 9 spans
+    val overlap = words(15, "a") + " " + words(10, "z") // shares a-prefix spans
+    val short = words(8, "a")                  // sub-length: no spans at all
+    val hot = words(14, "h")
+    val rows = Seq.newBuilder[(Long, String)]
+    // 4 verbatim replicas of base (within-group pairs, span df 4x)
+    (0 until 4).foreach(r => rows += ((10L + r, base)))
+    // 2 replicas of the overlapping doc (cross-group pairs with base)
+    (0 until 2).foreach(r => rows += ((20L + r, overlap)))
+    rows += ((30L, short))
+    // 6 copies of `hot` — with cap 5 its spans are stop-spans entirely
+    (0 until 6).foreach(r => rows += ((40L + r, hot)))
+    // a doc with an intra-document REPEATED span (m = 2): the pair
+    // weights must multiply occurrences, not presence
+    val rep = words(12, "r") + " x " + words(12, "r").split(" ").take(11).mkString(" ")
+    rows += ((50L, rep)); rows += ((51L, rep))
+    val docs = rows.result().toDF("doc_id", "text")
+    for (cap <- Seq(3, 5, 100)) {
+      val want = reference(docs, cap)
+      val got = collapsed(docs, cap)
+      assert(got == want, s"cap=$cap: collapsed ${got.size} pairs vs " +
+        s"reference ${want.size}; diff=${(got diff want) ++ (want diff got)}")
+    }
+  }
+
+  test("collapsed form equals the per-document form on the real table") {
+    val docs = Tables.documents(spark, sfDir)
+    val want = reference(docs, Dedup.MaxSpanDf)
+    val got = collapsed(docs, Dedup.MaxSpanDf)
+    assert(got == want)
+    assert(got.nonEmpty, "fixture produced no pairs — differential is vacuous")
+  }
+}

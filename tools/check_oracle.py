@@ -85,9 +85,16 @@ def main():
     if only:
         unknown = only - set(oracle)
         if unknown:
-            print(f"WARN SPARK_GRAFT_ONLY names not in oracle_sql.json: "
+            # Hard failure, not a warning (r15 advice): a typo'd subset
+            # used to filter oracle to {} and exit 0 with "0 pass, 0
+            # fail" — a green verdict with zero comparisons performed.
+            print(f"FAIL SPARK_GRAFT_ONLY names not in oracle_sql.json: "
                   f"{sorted(unknown)}")
+            sys.exit(2)
         oracle = {n: s for n, s in oracle.items() if n in only}
+        if not oracle:
+            print("FAIL SPARK_GRAFT_ONLY filtered oracle_sql.json to empty")
+            sys.exit(2)
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         # One OOM retry on a FRESH connection (r12: a transient
