@@ -293,6 +293,24 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("tx_pattern_canary exercises the NATIVE entity kernel, not the HOF reference") {
+    // The canary's whole value is pinning CROSS-ENGINE kernel semantics
+    // per round (rows 18-19 carry the r15 entity edge set: honorific
+    // periods, org suffixes, sentence-start false positives, the
+    // punctuation strip). That pin is vacuous if the plan ever drifts
+    // back to the retained HOF differential reference
+    // (Entities.withEntityColsHof) — interpreted lambdas whose
+    // semantics the kernel is supposed to match, not define.
+    // ANALYZED plan: the fixture is a LocalRelation, so the optimizer
+    // constant-folds the whole query (ConvertToLocalRelation) — which
+    // still EVALUATES the kernel (its interpreted eval path), but only
+    // the pre-folding plan shows WHICH formulation ran.
+    val plan = SparkEntry.queries("tx_pattern_canary")(spark, sfDir)
+      .queryExecution.analyzed.toString.toLowerCase
+    assert(plan.contains("entity_stats("),
+      "canary plan lost the native entity_stats kernel")
+  }
+
   test("the corpus-growth broadcast audit itself catches an offender") {
     // Regression fixture for the audit above (r15 verdict): a
     // deliberately ungated broadcast of the documents corpus must be
