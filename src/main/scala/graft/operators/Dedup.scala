@@ -94,13 +94,6 @@ object Dedup {
   private val toksSql =
     "list_filter(regexp_split_to_array(text, '\\s+'), x -> x != '')"
 
-  /** doc_id + distinct 3-gram shingle array (native expression — one pass
-    * per row; value-identical to TextFunctions.shingles and its SQL
-    * mirror, asserted by NativeExpressionsSpec). */
-  private def shingleDf(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), NativeExpressions.wordShingles(col("text"), 3).as("sh"))
-
   /** documents.parquet size via one FS metadata call — the same signal
     * InjectRuntimeFilter reads from scan statistics to gate its filters. */
   private def docScanBytes(spark: SparkSession, sfDir: String): Long = {
@@ -458,18 +451,21 @@ object Dedup {
     * share a boilerplate shingle. */
   def ddNgramJaccard(spark: SparkSession, sfDir: String): DataFrame =
     cachedPairs(spark, sfDir, "ngram") {
-      val posting = shingleDf(spark, sfDir)
-        .select(explode(col("sh")).as("s"),
-          struct(col("doc_id"), size(col("sh")).cast("long").as("n")).as("post"))
-      val pairs = boundedPairs(posting, MaxShingleDf)
-        .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
-        .agg(count(lit(1)).as("inter"),
-          first(col("p.a.n")).as("n_a"), first(col("p.b.n")).as("n_b"))
-      pairs
-        .withColumn("j_ppm", expr("inter * 1000000L div (n_a + n_b - inter)"))
-        .filter(col("j_ppm") >= JaccardThresholdPpm)
-        .select(col("id_a"), col("id_b"), col("inter"), col("j_ppm"))
+      // replica-collapsed blocker (r16) — the cached frame is the
+      // thresholded compact output, sorted by the gate entry below
+      ddNgramJaccardOf(spark, Tables.documents(spark, sfDir))
     }.orderBy(col("id_a"), col("id_b"))
+
+  /** [[ddNgramJaccard]] over any (doc_id, text) frame — the
+    * SubstringCollapseSpec differential seam. */
+  private[graft] def ddNgramJaccardOf(spark: SparkSession, docs: DataFrame): DataFrame =
+    collapsedBoundedPairs(spark, docs,
+      itemsOf = NativeExpressions.wordShingles(_, 3), cap = MaxShingleDf,
+      textFilter =
+        expr("inter * 1000000L div (n_a + n_b - inter)") >= JaccardThresholdPpm,
+      sortCols = Seq("id_a", "id_b"), presentSorted = false)(
+      _.withColumn("j_ppm", expr("inter * 1000000L div (n_a + n_b - inter)"))
+        .select(col("id_a"), col("id_b"), col("inter"), col("j_ppm")))
 
   /** dd_minhash_estimate: the verify-free half of the MinHash story —
     * Jaccard ESTIMATED from signature agreement (matching positions / K)
@@ -711,16 +707,56 @@ object Dedup {
     * SubstringCollapseSpec differentials against the naive per-document
     * formulation on a replica-dense fixture. */
   private[graft] def ddSubstringOf(spark: SparkSession, docs: DataFrame,
-      cap: Int): DataFrame = {
-    import graft.functions.Aggregates.collectBounded
+      cap: Int): DataFrame =
     // wordShingles' short-text fallback emits the WHOLE document as one
     // shingle — fine for Jaccard set overlap, but here it would report
     // two identical 8-token docs as sharing a "12-token run" that does
     // not exist. Docs shorter than the run length cannot contain one:
     // out by definition (the oracle guards identically on len(toks)).
-    val keyed = docs
-      .filter(size(NativeExpressions.wordTokens(col("text"))) >= SubstringL)
-      .select(col("doc_id"), md5(col("text")).as("tkey"), col("text"))
+    // The guard runs per REP (group members are byte-identical).
+    collapsedBoundedPairs(spark, docs,
+      itemsOf = NativeExpressions.wordShingles(_, SubstringL), cap = cap,
+      textKeep = rtext => size(NativeExpressions.wordTokens(rtext)) >= SubstringL,
+      textFilter = lit(true), sortCols = Seq("id_a", "id_b"))(
+      _.select(col("id_a"), col("id_b"), col("inter").as("n_spans")))
+
+  /** The replica-collapsed, df-capped pair blocker shared by the
+    * inverted-index pair family (dd_substring / dd_ngram_jaccard /
+    * dd_containment / dd_winnow) — the dd_simhash/dd_minhash
+    * identical-text collapse applied to posting lists (r16; the
+    * per-DOCUMENT form multiplied every posting list and pair explode
+    * by replica-factor² on duplicate-heavy corpora: dd_substring
+    * 389.6 s -> 40.3 at the 100× verbatim corpus).
+    *
+    * Every member of an identical-text group has the same item array
+    * (`itemsOf` is a function of the text), so each DISTINCT text is
+    * itemized once; a posting row carries (text, group size g, item
+    * count n, occurrence multiplicity m) and an item's DOC-unit df is
+    * Σ g·m — the per-document oracle's occurrence count, so the stop-
+    * item cap semantics are UNCHANGED. Collecting up to `cap` TEXT
+    * entries per item suffices (each contributes ≥ 1 occurrence: an
+    * overflowed collect means df > cap, the same stop-item either
+    * way). Text-level pair weights inter = Σ_capped-items m_x·m_y
+    * (the i ≤ j self row carries the within-group weight Σ m²) equal
+    * the per-document occurrence-pair counts; `textFilter` prunes
+    * TEXT-level pairs (columns inter, n_a, n_b — it must be SYMMETRIC
+    * in a/b, since doc-pair orientation is least/greatest) BEFORE the
+    * quadratic doc expansion, which is output-budgeted the r15
+    * dd_simhash way: closed-form pair count -> repartition to
+    * ceil(bytes/128 MB), nDocs-gated broadcasts, range-partitioned
+    * presentation sort behind [[Sampling.PresentationKey]].
+    * `project` maps the expanded (id_a, id_b, inter, n_a, n_b) frame
+    * (n follows the doc through the swap) to the operator's output;
+    * `presentSorted = false` skips the final sort for callers that
+    * cache the compact frame and sort outside. */
+  private[graft] def collapsedBoundedPairs(spark: SparkSession,
+      docs: DataFrame, itemsOf: Column => Column, cap: Int,
+      textKeep: Column => Column = _ => lit(true),
+      textFilter: Column, sortCols: Seq[String],
+      presentSorted: Boolean = true)(
+      project: DataFrame => DataFrame): DataFrame = {
+    import graft.functions.Aggregates.collectBounded
+    val keyed = docs.select(col("doc_id"), md5(col("text")).as("tkey"), col("text"))
     // compact (doc_id, tkey) corpus frame — the simhash fpDf analogue;
     // checkpointed: consumed by the gate's count, the within self-join
     // and both cross expansions.
@@ -738,34 +774,34 @@ object Dedup {
     // (members are byte-identical, so first() is deterministic)
     val textGroups = keyed.groupBy(col("tkey"))
       .agg(count(lit(1)).as("g"), first(col("text")).as("rtext"))
-    // rep-level span posting with per-text occurrence multiplicity m
-    val spanPost = textGroups
-      .select(col("tkey"), col("g"),
-        explode(NativeExpressions.wordShingles(col("rtext"), SubstringL)).as("s"))
-      .groupBy(col("s"), col("tkey"), col("g"))
+      .filter(textKeep(col("rtext")))
+      .select(col("tkey"), col("g"), itemsOf(col("rtext")).as("items"))
+    // rep-level posting with per-text occurrence multiplicity m and
+    // item count n (= the per-doc n of every group member)
+    val post = textGroups
+      .select(col("tkey"), col("g"), size(col("items")).cast("long").as("n"),
+        explode(col("items")).as("s"))
+      .groupBy(col("s"), col("tkey"), col("g"), col("n"))
       .agg(count(lit(1)).as("m"))
-    // df-capped span index in DOC units (df = Σ g·m, the oracle's
-    // occurrence count). Collecting up to `cap` TEXT entries is enough:
-    // every entry contributes ≥ 1 occurrence, so an overflowed collect
-    // means df > cap — the same stop-span either way.
-    val perSpan = spanPost.groupBy(col("s"))
+    val perItem = post.groupBy(col("s"))
       .agg(sort_array(collectBounded(
-        struct(col("tkey"), col("g"), col("m")), cap)).as("ts"))
+        struct(col("tkey"), col("g"), col("n"), col("m")), cap)).as("ts"))
       .filter(col("ts").isNotNull)
       .filter(expr(s"aggregate(ts, 0L, (a, t) -> a + t.g * t.m) <= ${cap}L"))
-    // text-level pair weights W = Σ_rare-spans m_x·m_y; i ≤ j keeps the
-    // SELF row (ka = kb) whose weight Σ m² is the within-group pair
-    // count. Checkpointed: the budget action, the within path and the
-    // cross path all read it.
-    val textPairs = Sampling.trackScratch(perSpan
+    // text-level pair stats, checkpointed: the budget action, the
+    // within path and the cross path all read the compact frame
+    val textPairs = Sampling.trackScratch(perItem
       .select(explode(flatten(transform(col("ts"), (x, i) =>
         transform(slice(col("ts"), i + lit(1), size(col("ts"))),
           y => struct(x.getField("tkey").as("ka"), y.getField("tkey").as("kb"),
             (x.getField("m") * y.getField("m")).as("w"),
-            x.getField("g").as("ga"), y.getField("g").as("gb")))))).as("p"))
+            x.getField("g").as("ga"), y.getField("g").as("gb"),
+            x.getField("n").as("na"), y.getField("n").as("nb")))))).as("p"))
       .groupBy(col("p.ka").as("ka"), col("p.kb").as("kb"))
-      .agg(sum(col("p.w")).as("n_spans"),
-        first(col("p.ga")).as("ga"), first(col("p.gb")).as("gb"))
+      .agg(sum(col("p.w")).as("inter"),
+        first(col("p.ga")).as("ga"), first(col("p.gb")).as("gb"),
+        first(col("p.na")).as("n_a"), first(col("p.nb")).as("n_b"))
+      .filter(textFilter)
       .localCheckpoint(true))
     // output-scale budgeting (the r15 dd_simhash pattern): exact pair
     // count in closed form over the compact frame, Long-safe division
@@ -773,34 +809,39 @@ object Dedup {
         when(col("ka") === col("kb"), expr("ga * (ga - 1) div 2"))
           .otherwise(col("ga") * col("gb")).as("c"))
       .agg(coalesce(sum(col("c")), lit(0L))).head.getLong(0)
-    val pairsPerTask = (128L << 20) / 24L
+    val pairsPerTask = (128L << 20) / 40L
     val defaultParts = spark.conf.get("spark.sql.shuffle.partitions").toInt
     val parts = math.max(defaultParts.toLong,
       math.min(Int.MaxValue.toLong, totalPairs / pairsPerTask + 1)).toInt
-    // within-text doc pairs: identical docs share every rare span; the
-    // probe side is the corpus (doc_id, tkey) frame, so parallelism
-    // matches its scan (no re-spread needed — the simhash within shape)
+    // within-text doc pairs: identical docs share every capped item;
+    // the probe side is the corpus (doc_id, tkey) frame, so
+    // parallelism matches its scan (the simhash within shape)
     val selfW = textPairs.filter(col("ka") === col("kb") && col("ga") >= 2)
-      .select(col("ka").as("tkey"), col("n_spans"))
+      .select(col("ka").as("tkey"), col("inter"), col("n_a"))
     val within = tidDf.join(gated(selfW), "tkey").as("x")
       .join(gated(tidDf.as("y")),
         col("x.tkey") === col("y.tkey") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"),
-        col("x.n_spans").as("n_spans"))
+        col("x.inter").as("inter"),
+        col("x.n_a").as("n_a"), col("x.n_a").as("n_b"))
     // cross-text doc pairs: the tiny pair stream is round-robin
     // re-spread to the output budget BEFORE the gated expansion joins
-    // (AQE coalesces it to ~1 partition otherwise — the r15 lesson)
+    // (AQE coalesces it to ~1 partition otherwise — the r15 lesson);
+    // n swaps with the least/greatest orientation so n_a is id_a's.
     val cross = textPairs.filter(col("ka") < col("kb")).repartition(parts)
       .join(gated(tidDf.select(col("tkey").as("ka"), col("doc_id").as("da"))), "ka")
       .join(gated(tidDf.select(col("tkey").as("kb"), col("doc_id").as("db"))), "kb")
       .select(least(col("da"), col("db")).as("id_a"),
-        greatest(col("da"), col("db")).as("id_b"), col("n_spans"))
-    val pairs = within.unionByName(cross)
+        greatest(col("da"), col("db")).as("id_b"), col("inter"),
+        when(col("da") <= col("db"), col("n_a")).otherwise(col("n_b")).as("n_a"),
+        when(col("da") <= col("db"), col("n_b")).otherwise(col("n_a")).as("n_b"))
+    val pairs = project(within.unionByName(cross))
     // presentation sort at output scale: range-partitioned to `parts`
     // (≤128 MB per sort task); production sinks skip it via the knob
-    if (spark.conf.getOption(Sampling.PresentationKey).contains("off")) pairs
-    else pairs.repartitionByRange(parts, col("id_a"), col("id_b"))
-      .sortWithinPartitions(col("id_a"), col("id_b"))
+    if (!presentSorted ||
+        spark.conf.getOption(Sampling.PresentationKey).contains("off")) pairs
+    else pairs.repartitionByRange(parts, sortCols.map(col): _*)
+      .sortWithinPartitions(sortCols.map(col): _*)
   }
 
   /** Per-doc winnowing fingerprints (Schleimer–Wilkerson–Aiken 2003, the
@@ -842,22 +883,26 @@ object Dedup {
     * [[graft.functions.CollectBounded]] stop-fingerprint cap at
     * [[MaxFpDf]] (a fingerprint shared by more docs is boilerplate the
     * exact/simhash cluster collapse owns), map-side pair explode via
-    * [[boundedPairs]] — never a posting self-join, fan-in bounded per
+    * [[collapsedBoundedPairs]] — never a posting self-join, fan-in bounded per
     * key no matter how hot. */
-  def ddWinnow(spark: SparkSession, sfDir: String): DataFrame = {
-    val posting = winnowFps(spark, sfDir)
-      .select(explode(col("fps")).as("s"),
-        struct(col("doc_id"), size(col("fps")).cast("long").as("n")).as("post"))
-    boundedPairs(posting, MaxFpDf)
-      .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("n_shared"),
-        first(col("p.a.n")).as("n_a"), first(col("p.b.n")).as("n_b"))
-      .withColumn("overlap_ppm",
-        expr("n_shared * 1000000L div least(n_a, n_b)"))
-      .filter(col("overlap_ppm") >= WinnowOverlapPpm)
-      .select(col("id_a"), col("id_b"), col("n_shared"), col("overlap_ppm"))
-      .orderBy(col("id_a"), col("id_b"))
-  }
+  def ddWinnow(spark: SparkSession, sfDir: String): DataFrame =
+    ddWinnowOf(spark, Tables.documents(spark, sfDir))
+
+  /** [[ddWinnow]] over any (doc_id, text) frame — the
+    * SubstringCollapseSpec differential seam. */
+  private[graft] def ddWinnowOf(spark: SparkSession, docs: DataFrame): DataFrame =
+    // replica-collapsed blocker (r16): each DISTINCT text is winnowed
+    // once (fingerprints are a function of the text); fingerprint-less
+    // texts simply produce no posting rows, so no doc-level filter.
+    collapsedBoundedPairs(spark, docs,
+      itemsOf = NativeExpressions.winnowFingerprints(_, WinnowK, WinnowW,
+        WinnowPosBits), cap = MaxFpDf,
+      textFilter =
+        expr("inter * 1000000L div least(n_a, n_b)") >= WinnowOverlapPpm,
+      sortCols = Seq("id_a", "id_b"))(
+      _.withColumn("overlap_ppm", expr("inter * 1000000L div least(n_a, n_b)"))
+        .select(col("id_a"), col("id_b"), col("inter").as("n_shared"),
+          col("overlap_ppm")))
 
   /** dd_containment: asymmetric doc-in-doc detection — pairs where the
     * smaller shingle set is ≥ [[ContainmentThresholdPpm]] contained in
@@ -868,7 +913,7 @@ object Dedup {
     * contained — and MinHash banding misses it for the same reason (band
     * collision probability follows JACCARD, so subset pairs rarely
     * collide). Candidates come from the same df-capped inverted index as
-    * [[ddNgramJaccard]] (shared [[boundedPairs]]; map-side pair explode,
+    * [[ddNgramJaccard]] (shared [[collapsedBoundedPairs]]; map-side pair explode,
     * never a posting self-join): any rare shared shingle blocks the
     * pair, and a contained doc shares ALL its shingles with its
     * container, so recall fails only when every one of its shingles is a
@@ -879,38 +924,27 @@ object Dedup {
     * containment is exact over the non-stop vocabulary. j_ppm rides
     * along so consumers can split subset-only pairs (quote/aggregation
     * extraction) from plain near-dups (drop-one dedup). */
-  def ddContainment(spark: SparkSession, sfDir: String): DataFrame = {
-    val posting = shingleDf(spark, sfDir)
-      .select(explode(col("sh")).as("s"),
-        struct(col("doc_id"), size(col("sh")).cast("long").as("n")).as("post"))
-    boundedPairs(posting, MaxShingleDf)
-      .groupBy(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"))
-      .agg(count(lit(1)).as("inter"),
-        first(col("p.a.n")).as("n_a"), first(col("p.b.n")).as("n_b"))
-      // contained = the smaller shingle set; equal sizes tie-break to the
-      // smaller id (id_a < id_b by the blocker's sorted pair explode)
-      .withColumn("contained_id", expr("CASE WHEN n_a <= n_b THEN id_a ELSE id_b END"))
-      .withColumn("container_id", expr("CASE WHEN n_a <= n_b THEN id_b ELSE id_a END"))
-      .withColumn("cont_ppm", expr("inter * 1000000L div least(n_a, n_b)"))
-      .withColumn("j_ppm", expr("inter * 1000000L div (n_a + n_b - inter)"))
-      .filter(col("cont_ppm") >= ContainmentThresholdPpm)
-      .select(col("contained_id"), col("container_id"), col("inter"),
-        col("cont_ppm"), col("j_ppm"))
-      .orderBy(col("contained_id"), col("container_id"))
-  }
+  def ddContainment(spark: SparkSession, sfDir: String): DataFrame =
+    ddContainmentOf(spark, Tables.documents(spark, sfDir))
 
-  /** The df-capped posting-list pair stage shared by the shingle blockers
-    * ([[ddNgramJaccard]], [[ddSubstring]]): bounded collect per key
-    * ([[graft.functions.CollectBounded]] — overflow = stop-key NULL),
-    * sorted id structs, map-side pair explode. Input: (s, post) rows —
-    * key column `s`, per-doc payload struct `post` (must lead with
-    * doc_id so the sort orders pairs by id). */
-  private def boundedPairs(posting: DataFrame, cap: Int): DataFrame =
-    posting.groupBy(col("s"))
-      .agg(sort_array(graft.functions.Aggregates.collectBounded(
-        col("post"), cap)).as("ids"))
-      .filter(col("ids").isNotNull)
-      .select(explode(pairsOf(col("ids"))).as("p"))
+  /** [[ddContainment]] over any (doc_id, text) frame — the
+    * SubstringCollapseSpec differential seam. */
+  private[graft] def ddContainmentOf(spark: SparkSession, docs: DataFrame): DataFrame =
+    // replica-collapsed blocker (r16); the containment filter is
+    // symmetric (least), so it prunes at TEXT level before expansion —
+    // only the contained/container orientation needs doc ids (equal
+    // sizes tie-break to the smaller id, and id_a < id_b always).
+    collapsedBoundedPairs(spark, docs,
+      itemsOf = NativeExpressions.wordShingles(_, 3), cap = MaxShingleDf,
+      textFilter =
+        expr("inter * 1000000L div least(n_a, n_b)") >= ContainmentThresholdPpm,
+      sortCols = Seq("contained_id", "container_id"))(
+      _.withColumn("contained_id", expr("CASE WHEN n_a <= n_b THEN id_a ELSE id_b END"))
+        .withColumn("container_id", expr("CASE WHEN n_a <= n_b THEN id_b ELSE id_a END"))
+        .withColumn("cont_ppm", expr("inter * 1000000L div least(n_a, n_b)"))
+        .withColumn("j_ppm", expr("inter * 1000000L div (n_a + n_b - inter)"))
+        .select(col("contained_id"), col("container_id"), col("inter"),
+          col("cont_ppm"), col("j_ppm")))
 
   /** dd_simhash: 32-bit SimHash over the token multiset, 4×8-bit band
     * blocking, Hamming-verified pairs.

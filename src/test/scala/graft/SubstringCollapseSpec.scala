@@ -74,4 +74,89 @@ class SubstringCollapseSpec extends SparkSpec {
     assert(got == want)
     assert(got.nonEmpty, "fixture produced no pairs — differential is vacuous")
   }
+
+  // ---- the rest of the collapsed family (r16): each operator's
+  // collapsed form vs its naive per-document formulation ----
+
+  /** Naive per-document pair stats for an arbitrary item function —
+    * the pre-r16 boundedPairs shape, direct transliteration of each
+    * oracle: occurrence posting, doc-unit df ≤ cap, occurrence-pair
+    * counts, per-doc item counts n. */
+  private def refStats(docs: DataFrame, items: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      cap: Int): DataFrame = {
+    val post = docs.select(col("doc_id"),
+      size(items(col("text"))).cast("long").as("n"),
+      explode(items(col("text"))).as("s"))
+    val rare = post.join(
+      post.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= cap).select("s"), "s")
+    rare.as("x").join(rare.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      .agg(count(lit(1)).as("inter"),
+        first(col("x.n")).as("n_a"), first(col("y.n")).as("n_b"))
+  }
+
+  private def fixtureDocs: DataFrame = {
+    // replica-dense: verbatim groups of different sizes, a partial
+    // overlap, and singletons — the corpus shape that distinguishes
+    // the collapsed algebra from the per-document one
+    val base = words(30, "a")
+    val overlap = words(20, "a") + " " + words(12, "q")
+    val rows = Seq.newBuilder[(Long, String)]
+    (0 until 5).foreach(r => rows += ((100L + r, base)))
+    (0 until 3).foreach(r => rows += ((200L + r, overlap)))
+    rows += ((300L, words(25, "u")))
+    rows += ((301L, words(4, "v")))
+    rows.result().toDF("doc_id", "text")
+  }
+
+  test("ngram-jaccard collapsed form equals the per-document form") {
+    def naive(docs: DataFrame) =
+      refStats(docs, NativeExpressions.wordShingles(_, 3), Dedup.MaxShingleDf)
+        .withColumn("j_ppm", expr("inter * 1000000L div (n_a + n_b - inter)"))
+        .filter(col("j_ppm") >= Dedup.JaccardThresholdPpm)
+        .select("id_a", "id_b", "inter", "j_ppm")
+        .as[(Long, Long, Long, Long)].collect().toSet
+    for (docs <- Seq(fixtureDocs, Tables.documents(spark, sfDir))) {
+      val got = Dedup.ddNgramJaccardOf(spark, docs)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == naive(docs) && got.nonEmpty)
+    }
+  }
+
+  test("containment collapsed form equals the per-document form") {
+    def naive(docs: DataFrame) =
+      refStats(docs, NativeExpressions.wordShingles(_, 3), Dedup.MaxShingleDf)
+        .withColumn("contained_id", expr("CASE WHEN n_a <= n_b THEN id_a ELSE id_b END"))
+        .withColumn("container_id", expr("CASE WHEN n_a <= n_b THEN id_b ELSE id_a END"))
+        .withColumn("cont_ppm", expr("inter * 1000000L div least(n_a, n_b)"))
+        .withColumn("j_ppm", expr("inter * 1000000L div (n_a + n_b - inter)"))
+        .filter(col("cont_ppm") >= Dedup.ContainmentThresholdPpm)
+        .select("contained_id", "container_id", "inter", "cont_ppm", "j_ppm")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+    for (docs <- Seq(fixtureDocs, Tables.documents(spark, sfDir))) {
+      val got = Dedup.ddContainmentOf(spark, docs)
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == naive(docs) && got.nonEmpty)
+    }
+  }
+
+  test("winnow collapsed form equals the per-document form") {
+    def items(t: org.apache.spark.sql.Column) =
+      NativeExpressions.winnowFingerprints(t, Dedup.WinnowK, Dedup.WinnowW,
+        Dedup.WinnowPosBits)
+    def naive(docs: DataFrame) =
+      refStats(docs.filter(size(items(col("text"))) > 0), items, Dedup.MaxFpDf)
+        .withColumn("overlap_ppm", expr("inter * 1000000L div least(n_a, n_b)"))
+        .filter(col("overlap_ppm") >= Dedup.WinnowOverlapPpm)
+        .select(col("id_a"), col("id_b"), col("inter").as("n_shared"),
+          col("overlap_ppm"))
+        .as[(Long, Long, Long, Long)].collect().toSet
+    for (docs <- Seq(fixtureDocs, Tables.documents(spark, sfDir))) {
+      val got = Dedup.ddWinnowOf(spark, docs)
+        .as[(Long, Long, Long, Long)].collect().toSet
+      assert(got == naive(docs) && got.nonEmpty)
+    }
+  }
 }
