@@ -53,6 +53,17 @@ object Bench {
     sys.env.get("SPARK_GRAFT_MAX_CENTROIDS").foreach { k =>
       spark.conf.set(graft.operators.Similarity.MaxCentroidsKey, k)
     }
+    // Generic runtime-conf passthrough for controlled A/B probes
+    // (e.g. graft.presentation=off to time a query minus its
+    // presentation sort, spark.graft.broadcastMaxRows sweeps). Unset =
+    // defaults — the driver's bench numbers are untouched; keys that
+    // are not spark.*-prefixed cannot be injected as JVM properties,
+    // which is why this is an env seam and not a -D.
+    sys.env.get("SPARK_GRAFT_SESSION_CONF").foreach {
+      _.split(",").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      }
+    }
 
     def runOnce(name: String): Unit =
       SparkEntry.queries(name)(spark, sfDir)

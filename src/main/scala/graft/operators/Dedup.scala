@@ -1047,6 +1047,46 @@ object Dedup {
     // largest presentation sort, so the knob matters most here; the
     // sort exists only for the oracle gate's deterministic dump).
     if (spark.conf.getOption(Sampling.PresentationKey).contains("off")) pairs
+    else if (nDocs <= maxBroadcastRows)
+      // Presentation path below the gate (r16): ranging the QUADRATIC
+      // output is double work — repartitionByRange samples its child by
+      // re-running the lineage, so the ~10⁹-row expansion executed
+      // TWICE and was then shuffled whole (measured 134.6 s standalone
+      // best vs 29.2 s with the sort skipped at the 100× corpus).
+      // Range-partition the PRE-expansion stream instead: orient every
+      // fp edge both ways (plus hamming-0 self edges for the within-fp
+      // groups), attach id_a's docs (|corpus|·degree rows, tiny next to
+      // the output), range-exchange THOSE by da, then broadcast-expand
+      // id_b's docs inside the ranged partitions and keep the
+      // min-oriented half (da < db — each unordered pair appears in
+      // exactly one orientation, so the row set is unchanged).
+      // Partitions are contiguous in id_a = da (range boundaries bind
+      // whole da values) and rows sort by (id_a, id_b) within, so the
+      // global order is the old one. Cost: the expansion join emits ~2×
+      // rows before the filter — same codegen stage, no shuffle;
+      // saving: the output-sized range exchange AND the duplicate
+      // expansion disappear. Range balance keys on the half-stream's
+      // per-da degree, which tracks output volume to within group-size
+      // variance — the same hot-id_a clustering the old output range
+      // partitioner had. Broadcast probes preserve the range
+      // partitioning only below the gate; above it the expansion joins
+      // shuffle on fp_b and would destroy it, so the fallback keeps the
+      // output-ranged form.
+      fpEdges.select(col("fp_a"), col("fp_b"), col("hamming"))
+        .unionByName(fpEdges.select(col("fp_b").as("fp_a"),
+          col("fp_a").as("fp_b"), col("hamming")))
+        .unionByName(sizes.filter(col("n") >= 2)
+          .select(col("fp").as("fp_a"), col("fp").as("fp_b"),
+            lit(0L).as("hamming")))
+        .repartition(defaultParts)
+        .join(broadcast(fpDf.select(col("fp").as("fp_a"),
+          col("doc_id").as("da"))), "fp_a")
+        .repartitionByRange(parts, col("da"))
+        .join(broadcast(fpDf.select(col("fp").as("fp_b"),
+          col("doc_id").as("db"))), "fp_b")
+        .filter(col("da") < col("db"))
+        .select(col("da").as("id_a"), col("db").as("id_b"), col("hamming"))
+        .sortWithinPartitions(col("id_a"), col("id_b"))
     else
       // Presentation sort at output scale: a global orderBy at the
       // session's 32 shuffle partitions hands each sort task ~750 MB of

@@ -64,6 +64,28 @@ class ReplicaCollapseSpec extends SparkSpec {
       "exact-replica (within-fp) pairs missing")
   }
 
+  test("dd_simhash pre-ranged presentation keeps the global order and pair set") {
+    // r16: below the broadcast gate the presentation path range-exchanges
+    // the PRE-expansion edge stream (by da) instead of the quadratic
+    // output, then expands inside the ranged partitions and keeps the
+    // min-oriented half. This pins (a) the global (id_a, id_b) order the
+    // oracle dump relies on, (b) no global SortExec sneaking back in,
+    // and (c) pair-set equality with the above-gate output-ranged branch.
+    import org.apache.spark.sql.execution.SortExec
+    val df = Dedup.ddSimhash(spark, dir)
+    val globalSorts = df.queryExecution.sparkPlan.collect {
+      case s: SortExec if s.global => s }
+    assert(globalSorts.isEmpty, "presentation path re-planned a global sort")
+    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == got.sortBy(p => (p._1, p._2)).toSeq,
+      "pre-ranged presentation output is not globally (id_a, id_b)-ordered")
+    val fallback = Dedup.ddSimhashPairs(spark, dir, maxBroadcastRows = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(fallback.toSeq == fallback.sortBy(p => (p._1, p._2)).toSeq,
+      "output-ranged fallback lost the global order")
+    assert(got.toSet == fallback.toSet, "gate paths disagree on the pair set")
+  }
+
   test("dd_minhash_estimate equals the naive per-doc band join + sig match") {
     val sigsOf = Tables.documents(spark, dir)
       .select(col("doc_id"), NativeExpressions.minHashSigs(
