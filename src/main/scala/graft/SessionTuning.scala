@@ -35,7 +35,15 @@ object SessionTuning {
         "contamination benchmark, rank offset tables) is broadcast-" +
         "hinted; above it the gated sites fall back to shuffle " +
         "equi-joins — BroadcastExchange's 8 GB / 512M-row ceilings " +
-        "make an ungated corpus hint a guaranteed abort at 10^10+ docs"))
+        "make an ungated corpus hint a guaranteed abort at 10^10+ docs"),
+    graft.operators.Sampling.PreRangeMinPairsKey ->
+      ("minimum closed-form pair count at which a quadratic pair " +
+        "output's presentation sort switches to the pre-ranged " +
+        "expansion (range-exchange the pre-expansion stream, expand " +
+        "inside the ranged partitions) instead of range-partitioning " +
+        "the output — which samples by re-running the lineage and so " +
+        "generates the quadratic output twice; default ≈ one 128 MB " +
+        "sort task of pairs, below which the fixed overhead cannot pay"))
 
   /** Heap-aware `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`.
     *

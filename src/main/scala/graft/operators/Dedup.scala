@@ -838,9 +838,55 @@ object Dedup {
     val pairs = project(within.unionByName(cross))
     // presentation sort at output scale: range-partitioned to `parts`
     // (≤128 MB per sort task); production sinks skip it via the knob
+    val preRangeMin = spark.conf.getOption(Sampling.PreRangeMinPairsKey)
+      .map(_.toLong).getOrElse(Sampling.PreRangeMinPairsDefault)
     if (!presentSorted ||
         spark.conf.getOption(Sampling.PresentationKey).contains("off")) pairs
-    else pairs.repartitionByRange(parts, sortCols.map(col): _*)
+    else if (sortCols == Seq("id_a", "id_b") && nDocs <= maxBroadcastRows &&
+        totalPairs >= preRangeMin) {
+      // Pre-ranged presentation (r16, the dd_simhash pattern): ranging
+      // the quadratic output is double work — repartitionByRange
+      // samples its child by re-running the lineage, so the full doc
+      // expansion executed TWICE and was then shuffled whole (measured
+      // on dd_substring at the 100× corpus: 52.9 s standalone best vs
+      // 16.3 with the sort skipped). When the sort key is the min-id
+      // orientation the core produces anyway, range-exchange the
+      // PRE-expansion text-pair stream by the left doc id instead:
+      // orient every cross text pair both ways (self rows once),
+      // attach the left side's docs (Σ g rows — tiny next to the
+      // output), range by da, broadcast-expand the right side inside
+      // the ranged partitions, and keep the min-oriented half
+      // (da < db). Each unordered doc pair appears exactly once with
+      // n following the doc through the orientation, partitions are
+      // contiguous in id_a and rows sorted by (id_a, id_b) within, so
+      // row set and global order equal the output-ranged form —
+      // SubstringCollapseSpec pins both. Below the gate only:
+      // broadcast probes preserve the range partitioning; above it
+      // the expansion joins shuffle and the output-ranged branch
+      // below stays the scale-safe fallback. dd_containment keeps
+      // that branch too (its sort key is the n-oriented
+      // contained/container pair, not the min id — and its thresholded
+      // output is small enough that the double generation is noise).
+      val sym = textPairs.filter(col("ka") < col("kb"))
+      val dir = sym.select(col("ka").as("ta"), col("kb").as("tb"),
+          col("inter"), col("n_a").as("n_ta"), col("n_b").as("n_tb"))
+        .unionByName(sym.select(col("kb").as("ta"), col("ka").as("tb"),
+          col("inter"), col("n_b").as("n_ta"), col("n_a").as("n_tb")))
+        .unionByName(textPairs
+          .filter(col("ka") === col("kb") && col("ga") >= 2)
+          .select(col("ka").as("ta"), col("kb").as("tb"), col("inter"),
+            col("n_a").as("n_ta"), col("n_a").as("n_tb")))
+      val expanded = dir.repartition(defaultParts)
+        .join(gated(tidDf.select(col("tkey").as("ta"),
+          col("doc_id").as("da"))), "ta")
+        .repartitionByRange(parts, col("da"))
+        .join(gated(tidDf.select(col("tkey").as("tb"),
+          col("doc_id").as("db"))), "tb")
+        .filter(col("da") < col("db"))
+        .select(col("da").as("id_a"), col("db").as("id_b"), col("inter"),
+          col("n_ta").as("n_a"), col("n_tb").as("n_b"))
+      project(expanded).sortWithinPartitions(sortCols.map(col): _*)
+    } else pairs.repartitionByRange(parts, sortCols.map(col): _*)
       .sortWithinPartitions(sortCols.map(col): _*)
   }
 
@@ -1047,7 +1093,9 @@ object Dedup {
     // largest presentation sort, so the knob matters most here; the
     // sort exists only for the oracle gate's deterministic dump).
     if (spark.conf.getOption(Sampling.PresentationKey).contains("off")) pairs
-    else if (nDocs <= maxBroadcastRows)
+    else if (nDocs <= maxBroadcastRows && totalPairs >= spark.conf
+        .getOption(Sampling.PreRangeMinPairsKey).map(_.toLong)
+        .getOrElse(Sampling.PreRangeMinPairsDefault))
       // Presentation path below the gate (r16): ranging the QUADRATIC
       // output is double work — repartitionByRange samples its child by
       // re-running the lineage, so the ~10⁹-row expansion executed

@@ -152,6 +152,21 @@ object Sampling {
   val BroadcastMaxRowsKey = "spark.graft.broadcastMaxRows"
   val BroadcastMaxRowsDefault = 4L << 20
 
+  /** Minimum closed-form pair count at which a quadratic pair output's
+    * presentation sort switches to the pre-ranged expansion (range-
+    * exchange the small pre-expansion stream, expand inside the ranged
+    * partitions) instead of range-partitioning the output itself —
+    * repartitionByRange samples its child by re-running the lineage, so
+    * the output-ranged form generates the quadratic output TWICE and
+    * shuffles it whole. The crossover is output-sized: at the 100×
+    * corpus the pre-ranged form took dd_simhash 134.6→32.3 s (984M
+    * pairs) and dd_substring 52.9→8.7 s (23M), but its two extra
+    * fixed exchanges LOST on dd_winnow's 15k-pair output (4.9→11.3 s).
+    * Default ≈ one 128 MB sort task of pairs: below that the output
+    * shuffle is noise and the fixed overhead can never pay. */
+  val PreRangeMinPairsKey = "spark.graft.preRangeMinPairs"
+  val PreRangeMinPairsDefault = 4L << 20
+
   /** Size-gated broadcast hint: hint only when the frame's MEASURED
     * row count is under [[BroadcastMaxRowsKey]] (the r5 Bloom-gate
     * precedent — decide from data, not hope), else return the frame

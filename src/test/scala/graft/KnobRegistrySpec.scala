@@ -19,7 +19,8 @@ class KnobRegistrySpec extends AnyFunSuite {
     graft.operators.Similarity.MaxCentroidsKey,
     graft.operators.Curation.ClassifierGateKey,
     graft.operators.Dedup.BloomMinScanBytesKey,
-    graft.operators.Sampling.BroadcastMaxRowsKey)
+    graft.operators.Sampling.BroadcastMaxRowsKey,
+    graft.operators.Sampling.PreRangeMinPairsKey)
 
   test("registry covers exactly the conf keys the code declares") {
     assert(SessionTuning.Knobs.keySet == codeKeys)

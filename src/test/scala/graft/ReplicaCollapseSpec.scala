@@ -72,11 +72,18 @@ class ReplicaCollapseSpec extends SparkSpec {
     // oracle dump relies on, (b) no global SortExec sneaking back in,
     // and (c) pair-set equality with the above-gate output-ranged branch.
     import org.apache.spark.sql.execution.SortExec
-    val df = Dedup.ddSimhash(spark, dir)
-    val globalSorts = df.queryExecution.sparkPlan.collect {
-      case s: SortExec if s.global => s }
-    assert(globalSorts.isEmpty, "presentation path re-planned a global sort")
-    val got = df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    import graft.operators.Sampling
+    // force the pre-ranged branch at fixture scale (its closed-form
+    // pair count sits far below the production crossover default)
+    spark.conf.set(Sampling.PreRangeMinPairsKey, "0")
+    val got =
+      try {
+        val df = Dedup.ddSimhash(spark, dir)
+        val globalSorts = df.queryExecution.sparkPlan.collect {
+          case s: SortExec if s.global => s }
+        assert(globalSorts.isEmpty, "presentation path re-planned a global sort")
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      } finally spark.conf.unset(Sampling.PreRangeMinPairsKey)
     assert(got.toSeq == got.sortBy(p => (p._1, p._2)).toSeq,
       "pre-ranged presentation output is not globally (id_a, id_b)-ordered")
     val fallback = Dedup.ddSimhashPairs(spark, dir, maxBroadcastRows = 0L)

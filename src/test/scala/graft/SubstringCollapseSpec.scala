@@ -75,6 +75,43 @@ class SubstringCollapseSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture produced no pairs — differential is vacuous")
   }
 
+  test("dd_substring pre-ranged presentation keeps the global order and pair set") {
+    // r16: below the broadcast gate the presentation path range-exchanges
+    // the pre-expansion text-pair stream by the left doc id instead of
+    // the quadratic output (the dd_simhash pattern). Pin the global
+    // (id_a, id_b) order, no global SortExec, and pair-set equality with
+    // the above-gate output-ranged branch (forced via broadcastMaxRows=0).
+    import org.apache.spark.sql.execution.SortExec
+    import graft.operators.Sampling
+    // force the pre-ranged branch at fixture scale (its closed-form
+    // pair count sits far below the production crossover default)
+    spark.conf.set(Sampling.PreRangeMinPairsKey, "0")
+    val got =
+      try {
+        val df = SparkEntry.queries("dd_substring")(spark, sfDir)
+        val globalSorts = df.queryExecution.sparkPlan.collect {
+          case s: SortExec if s.global => s }
+        assert(globalSorts.isEmpty, "presentation path re-planned a global sort")
+        df.collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      } finally spark.conf.unset(Sampling.PreRangeMinPairsKey)
+    assert(got.toSeq == got.sortBy(p => (p._1, p._2)).toSeq,
+      "pre-ranged presentation output is not globally (id_a, id_b)-ordered")
+    val key = Sampling.BroadcastMaxRowsKey
+    val old = spark.conf.getOption(key)
+    spark.conf.set(key, "0")
+    val fallback =
+      try SparkEntry.queries("dd_substring")(spark, sfDir)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      finally old match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    assert(fallback.toSeq == fallback.sortBy(p => (p._1, p._2)).toSeq,
+      "output-ranged fallback lost the global order")
+    assert(got.toSet == fallback.toSet, "gate paths disagree on the pair set")
+    assert(got.nonEmpty, "no pairs — the order pin is vacuous")
+  }
+
   // ---- the rest of the collapsed family (r16): each operator's
   // collapsed form vs its naive per-document formulation ----
 
