@@ -59,9 +59,12 @@ object Bench {
     // defaults — the driver's bench numbers are untouched; keys that
     // are not spark.*-prefixed cannot be injected as JVM properties,
     // which is why this is an env seam and not a -D.
+    // Entries split on ',' or ';' (semicolon for values that contain a
+    // comma); an entry with an empty key ("=x") is skipped, not set.
     sys.env.get("SPARK_GRAFT_SESSION_CONF").foreach {
-      _.split(",").map(_.trim).filter(_.contains("=")).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      _.split("[,;]").map(_.trim).filter(_.contains("=")).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        if (k.nonEmpty) spark.conf.set(k, v)
       }
     }
 
@@ -102,8 +105,23 @@ object Bench {
     // build cost lands on the BUILD row — the same attribution the
     // dd_components/dd_decisions family gets for free alphabetically,
     // and the cost split REHEARSAL_100X measures across sessions.
-    def runOrder(n: String): String =
-      if (n == "ss_centrality") "ss_knn_graph+consume" else n
+    def runOrder(n: String): String = n match {
+      case "ss_centrality" => "ss_knn_graph+consume"
+      // cur_verdict consumes the simhash component fixpoint
+      // (ddDecisions -> simhash.fp/fpGroups/repComponents) that
+      // dd_components OWNS; alphabetically cur_verdict ran first and
+      // silently carried the whole session build (driver r16 first
+      // pass 8.8 s vs 1.5 s best). File it right after its builder —
+      // the ss_knn_graph/ss_centrality precedent.
+      case "cur_verdict" => "dd_components+consume"
+      // dd_corpus_report consumes the minhash verified-piece caches
+      // (dd_minhash_lsh/dd_minhash_estimate) and the dd_ngram_jaccard
+      // pair cache, all built by LATER rows alphabetically; file it
+      // after the last of its builders so each build lands on the row
+      // that owns it.
+      case "dd_corpus_report" => "dd_ngram_jaccard+consume"
+      case other => other
+    }
     val selected = SparkEntry.queries.keys.toSeq.sortBy(runOrder)
       .filter(n => only.forall(_.contains(n)))
 
@@ -162,9 +180,9 @@ object Bench {
     def obj(rs: Seq[(String, Double)]): String =
       rs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val bestExtra =
+    val bestScalars =
       if (runs == 1) ""
-      else s""","runs":$runs,"best_total":${fmt(best.map(_._2).sum)},"queries_best":${obj(best)}"""
+      else s""","runs":$runs,"best_total":${fmt(best.map(_._2).sum)}"""
     def jstr(v: String): String =
       "\"" + v.flatMap {
         case '"' => "\\\""; case '\\' => "\\\\"
@@ -173,11 +191,19 @@ object Bench {
     val errExtra =
       if (errors.isEmpty) ""
       else s""","errors":${errors.map { case (k, m) => jstr(k) + ":" + jstr(m) }.mkString("{", ",", "}")}"""
-    // Per-query map FIRST (the driver grades it; the scalars tail the
-    // line) and ms-rounded values keep the whole line well inside the
-    // driver's capture window — the r6 record lost 15/85 rows to the cap.
-    val json =
-      s"""{"queries":${obj(results)},"metric":"total","value":${fmt(total)},"unit":"sec","sf":${Json.quote(sfDir)}$bestExtra$errExtra}"""
+    // The graded per-query map goes LAST on the line and queries_best
+    // moves to the FILE record only (r16 verdict task 2): the driver's
+    // archive keeps a TAIL excerpt of stdout, and in r15 the
+    // front-truncated line lost the graded first-pass map entirely —
+    // the round-over-round comparison came back n_common=0. One line,
+    // same keys minus queries_best, so a tail capture now preserves
+    // the end of the map the driver grades; the full record (including
+    // queries_best) is always in SPARK_GRAFT_BENCH_OUT.
+    def record(withBest: Boolean): String = {
+      val bestMap = if (withBest && runs > 1) s""","queries_best":${obj(best)}""" else ""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","sf":${Json.quote(sfDir)}$bestScalars$errExtra$bestMap,"queries":${obj(results)}}"""
+    }
+    val json = record(withBest = false)
     // The driver tail-caps captured stdout, which truncated the r5 record
     // mid-JSON. The metrics object is therefore ALSO written to a dedicated
     // file (self-contained artifact). stdout's one-line contract comes
@@ -188,7 +214,7 @@ object Bench {
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LATEST.json")
     try java.nio.file.Files.write(
       java.nio.file.Paths.get(outFile),
-      (json + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      (record(withBest = true) + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] metrics file $outFile not written: $e")

@@ -25,9 +25,10 @@ object ExplainDump {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outDir = Paths.get(args.lift(1).getOrElse("plans/r16"))
     val only = args.lift(2).map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    val confs = args.lift(3).toSeq.flatMap(_.split(",")).map(_.trim)
-      .filter(_.contains("=")).map { kv =>
-        val Array(k, v) = kv.split("=", 2); (k, v)
+    val confs = args.lift(3).toSeq.flatMap(_.split("[,;]")).map(_.trim)
+      .filter(_.contains("=")).flatMap { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        if (k.nonEmpty) Some((k, v)) else None
       }
     Files.createDirectories(outDir)
     val spark = SparkSession.builder()

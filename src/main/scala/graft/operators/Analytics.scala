@@ -100,13 +100,17 @@ object Analytics {
     val li = Tables.lineitem(spark, sfDir)
       .filter(col("l_shipdate") > lit("1998-03-15").cast("timestamp"))
       .select("l_orderkey", "l_extendedprice", "l_discount")
-    // No broadcast HINT anywhere: customer scales with the fact data
-    // (150k×sf — segment-filtered it is still corpus-growing, the exact
-    // class the PlanAuditSpec 10x sweep forbids), and orders filtered by
-    // date alone is O(fact) rows too. AQE picks broadcast at runtime
-    // from MEASURED sizes where they fit — same sandbox plan, no abort
-    // past the BroadcastExchange ceilings at scale.
-    li.join(ord.join(cust, ord("o_custkey") === cust("c_custkey")),
+    // Customer scales with the fact data (150k×sf — segment-filtered it
+    // is still corpus-growing, the exact class the PlanAuditSpec 10x
+    // sweep forbids an UNCONDITIONAL hint on), so its hint is gated on
+    // the optimizer's file-size estimate (Sampling.statsGatedBroadcast):
+    // zero extra jobs, the estimate grows with the stored corpus, and
+    // past the gate AQE's runtime-measured conversion is the fallback —
+    // r16 dropped the hint outright and paid an extra AQE shuffle-stage
+    // round-trip at sandbox SFs (0.65 -> 0.88 s). Orders filtered by
+    // date alone is O(fact) rows: never hinted, AQE decides.
+    li.join(ord.join(Sampling.statsGatedBroadcast(cust),
+        ord("o_custkey") === cust("c_custkey")),
         li("l_orderkey") === col("o_orderkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(expr(revenueSumLong).as("revenue"))

@@ -461,10 +461,10 @@ object Curation {
     // Contaminated-id set: corpus-growing (it is a SUBSET of the
     // corpus), so checkpoint (tiny; also stops the verdict join from
     // re-running the contamination chain) and size-gate the hint.
-    val contam = Sampling.trackScratch(TextOps.txContamination(spark, sfDir)
-      .select(col("doc_id")).distinct()
-      .withColumn("__contam", lit(1L))
-      .localCheckpoint(true))
+    val contam = Sampling.trackScratch(Sampling.countedCheckpoint(
+      TextOps.txContamination(spark, sfDir)
+        .select(col("doc_id")).distinct()
+        .withColumn("__contam", lit(1L))))
     val base = dedup.join(gopher, "doc_id")
       .join(Sampling.gatedBroadcast(contam), Seq("doc_id"), "left")
       .select(col("doc_id"), col("component"), col("dedup_keep"), col("gopher_keep"),

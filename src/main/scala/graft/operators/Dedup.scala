@@ -287,13 +287,12 @@ object Dedup {
     // raw-text identity groups (md5 of the text itself — NOT the
     // normalized dd_exact fingerprint: normalization-equal texts can
     // have different shingle sets and must not merge here)
-    Tables.documents(spark, sfDir)
+    Sampling.countedCheckpoint(Tables.documents(spark, sfDir)
       .select(col("doc_id"), md5(col("text")).as("h"))
       .groupBy(col("h"))
       .agg(min(col("doc_id")).as("rep_id"),
         sort_array(collect_list(col("doc_id"))).as("ids"))
-      .select(col("rep_id"), col("ids"))
-      .localCheckpoint(true)
+      .select(col("rep_id"), col("ids")))
   }
 
   /** Verified rep-level cross pairs + verified within-group rows, built
@@ -746,7 +745,15 @@ object Dedup {
     * ceil(bytes/128 MB), nDocs-gated broadcasts, range-partitioned
     * presentation sort behind [[Sampling.PresentationKey]].
     * `project` maps the expanded (id_a, id_b, inter, n_a, n_b) frame
-    * (n follows the doc through the swap) to the operator's output;
+    * (n follows the doc through the swap) to the operator's output.
+    * CONTRACT: `project` must be a NARROW row-wise transform
+    * (select/withColumn/filter only — no aggregate, join, repartition
+    * or sort): on the pre-ranged presentation branch it is applied
+    * ABOVE the range exchange, and a wide transform there would
+    * silently destroy the range partitioning the sorted output
+    * depends on (every current caller is a bare select/withColumn;
+    * SubstringCollapseSpec's order pins cover them — a new caller
+    * must keep the contract or use `presentSorted = false`).
     * `presentSorted = false` skips the final sort for callers that
     * cache the compact frame and sort outside. */
   private[graft] def collapsedBoundedPairs(spark: SparkSession,
@@ -760,9 +767,11 @@ object Dedup {
     // compact (doc_id, tkey) corpus frame — the simhash fpDf analogue;
     // checkpointed: consumed by the gate's count, the within self-join
     // and both cross expansions.
-    val tidDf = Sampling.trackScratch(
-      keyed.select(col("doc_id"), col("tkey")).localCheckpoint(true))
-    val nDocs = tidDf.count()
+    val tidDf = Sampling.trackScratch(Sampling.countedCheckpoint(
+      keyed.select(col("doc_id"), col("tkey"))))
+    // served from the countedCheckpoint memo — the materializing scan
+    // IS the count job (the eager-checkpoint + count form paid two)
+    val nDocs = Sampling.knownRowCount(tidDf).getOrElse(tidDf.count())
     val maxBroadcastRows = spark.conf
       .getOption(Sampling.BroadcastMaxRowsKey).map(_.toLong)
       .getOrElse(Sampling.BroadcastMaxRowsDefault)
@@ -802,7 +811,10 @@ object Dedup {
         first(col("p.ga")).as("ga"), first(col("p.gb")).as("gb"),
         first(col("p.na")).as("n_a"), first(col("p.nb")).as("n_b"))
       .filter(textFilter)
-      .localCheckpoint(true))
+      // LAZY: the closed-form budget aggregate right below is the
+      // first action and materializes every partition as it scans —
+      // same single computation as the eager form minus one job
+      .localCheckpoint(false))
     // output-scale budgeting (the r15 dd_simhash pattern): exact pair
     // count in closed form over the compact frame, Long-safe division
     val totalPairs = textPairs.select(
@@ -1030,8 +1042,9 @@ object Dedup {
     // measured count on the session-cached frame (the r5
     // dd_minhash_lsh Bloom-gate precedent: decide from data, not
     // hope); above it every join below degrades to a shuffle
-    // equi-join, the scale-safe r14 shape.
-    val nDocs = fpDf.count()
+    // equi-join, the scale-safe r14 shape. The count is served from
+    // the session checkpoint's memo — zero jobs per consumer.
+    val nDocs = Sampling.knownRowCount(fpDf).getOrElse(fpDf.count())
     def gated(df: DataFrame): DataFrame =
       if (nDocs <= maxBroadcastRows) broadcast(df) else df
     // Output-scale budgeting (r15): the pair set is quadratic by
@@ -1127,10 +1140,14 @@ object Dedup {
           .select(col("fp").as("fp_a"), col("fp").as("fp_b"),
             lit(0L).as("hamming")))
         .repartition(defaultParts)
-        .join(broadcast(fpDf.select(col("fp").as("fp_a"),
+        // gated(), not raw broadcast(): this branch is only entered
+        // when nDocs ≤ the gate, so the hint always fires today — but
+        // routing it through the same helper keeps ONE gate decision
+        // point if the branch condition ever drifts (r16 advice).
+        .join(gated(fpDf.select(col("fp").as("fp_a"),
           col("doc_id").as("da"))), "fp_a")
         .repartitionByRange(parts, col("da"))
-        .join(broadcast(fpDf.select(col("fp").as("fp_b"),
+        .join(gated(fpDf.select(col("fp").as("fp_b"),
           col("doc_id").as("db"))), "fp_b")
         .filter(col("da") < col("db"))
         .select(col("da").as("id_a"), col("db").as("id_b"), col("hamming"))
@@ -1154,9 +1171,11 @@ object Dedup {
     * per session total. */
   private def simhashFp(spark: SparkSession, sfDir: String): DataFrame =
     cachedFrame(spark, sfDir, "simhash.fp") {
-      Tables.documents(spark, sfDir)
-        .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp"))
-        .localCheckpoint(true)
+      // countedCheckpoint: the one-time materializing scan doubles as
+      // the broadcast gate's corpus count, so per-consumer nDocs reads
+      // are memo lookups, not jobs
+      Sampling.countedCheckpoint(Tables.documents(spark, sfDir)
+        .select(col("doc_id"), NativeExpressions.simHash32(col("text")).as("fp")))
     }
 
   /** Distinct-fp verified near-dup edges (fp_a, fp_b, hamming) —

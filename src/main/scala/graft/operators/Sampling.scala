@@ -167,18 +167,83 @@ object Sampling {
   val PreRangeMinPairsKey = "spark.graft.preRangeMinPairs"
   val PreRangeMinPairsDefault = 4L << 20
 
+  /** Row counts of checkpoints materialized by [[countedCheckpoint]],
+    * keyed by the checkpoint RDD. Weak keys: once the Dataset (and so
+    * its RDD) is unreachable the entry GCs with it — the map never
+    * pins a released scratch frame. */
+  private val knownCounts = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.rdd.RDD[_], java.lang.Long]())
+
+  /** Checkpoint a frame and REMEMBER its row count, in ONE job: the
+    * lazy localCheckpoint is materialized by the count itself (persist
+    * on first action), where the eager form runs the same full scan
+    * and throws the count away — every gated site then paid a SECOND
+    * job to re-count the cached blocks ([[gatedBroadcast]]'s gate; the
+    * r16 verdict measured the extra per-query action as a 10–25%
+    * sf0.1 tax on the gated rows). [[knownRowCount]] serves the memo
+    * to any row-preserving projection of the checkpoint. */
+  private[graft] def countedCheckpoint(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(false)
+    val n = cp.count()
+    cp.queryExecution.analyzed.foreach {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        knownCounts.put(lr.rdd, java.lang.Long.valueOf(n))
+      case _ =>
+    }
+    cp
+  }
+
+  /** The exact row count of `df` WITHOUT running a job, when `df` is a
+    * row-preserving projection (Project/SubqueryAlias only — never a
+    * Filter or aggregate) of a [[countedCheckpoint]] frame. */
+  private[graft] def knownRowCount(df: DataFrame): Option[Long] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Project, SubqueryAlias, LogicalPlan}
+    def walk(plan: LogicalPlan): Option[Long] = plan match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        Option(knownCounts.get(lr.rdd)).map(_.longValue)
+      case p: Project => walk(p.child)
+      case s: SubqueryAlias => walk(s.child)
+      case _ => None
+    }
+    walk(df.queryExecution.analyzed)
+  }
+
   /** Size-gated broadcast hint: hint only when the frame's MEASURED
     * row count is under [[BroadcastMaxRowsKey]] (the r5 Bloom-gate
     * precedent — decide from data, not hope), else return the frame
     * unhinted and let the join shuffle (AQE still converts it back to
     * a broadcast join at runtime when measured sizes allow). The count
-    * is an action: callers must pass a frame that is cheap to count —
-    * checkpointed, artifact-backed, or a bounded aggregate — never a
-    * raw corpus lineage. */
+    * is served from the [[countedCheckpoint]] memo when the frame is a
+    * projection of one — zero jobs; otherwise it is an action, and
+    * callers must pass a frame that is cheap to count — checkpointed,
+    * artifact-backed, or a bounded aggregate — never a raw corpus
+    * lineage. */
   def gatedBroadcast(df: DataFrame): DataFrame = {
     val max = df.sparkSession.conf.getOption(BroadcastMaxRowsKey)
       .map(_.toLong).getOrElse(BroadcastMaxRowsDefault)
-    if (df.count() <= max) broadcast(df) else df
+    if (knownRowCount(df).getOrElse(df.count()) <= max) broadcast(df) else df
+  }
+
+  /** PLANNING-estimate-gated broadcast hint for frames that are plain
+    * scans/filters of a stored table (no checkpoint to count): hint
+    * only when the optimizer's size estimate — file bytes for a scan,
+    * the same signal autoBroadcastJoinThreshold reads — is within the
+    * row gate at the documented ~16 B/row. Zero jobs, zero
+    * checkpoints; the estimate GROWS with the stored corpus, so a hint
+    * on a corpus-scaling dimension (q3_shipping's segment-filtered
+    * customers) degrades to a shuffle join at exactly the scale where
+    * the broadcast would abort, and AQE's runtime-measured conversion
+    * remains the fallback. Conservative by construction: parquet
+    * estimates are compressed bytes (~2–5× under the in-memory
+    * relation), still orders of magnitude inside the 8 GB ceiling at
+    * the 64 MB default gate. */
+  def statsGatedBroadcast(df: DataFrame): DataFrame = {
+    val maxRows = df.sparkSession.conf.getOption(BroadcastMaxRowsKey)
+      .map(_.toLong).getOrElse(BroadcastMaxRowsDefault)
+    val maxBytes = BigInt(maxRows) * 16
+    if (df.queryExecution.optimizedPlan.stats.sizeInBytes <= maxBytes)
+      broadcast(df)
+    else df
   }
 
   /** Adds `__h` (the hash) and `__b` (its first-two-hex-chars bucket). */
@@ -206,11 +271,13 @@ object Sampling {
     // (group, bucket) — with 256 buckets per group that stays
     // skew-split-able however hot one group is.
     val offW = Window.partitionBy(groupCols.map(col): _*).orderBy(col("__b"))
-    val offsets = trackScratch(counts
+    // countedCheckpoint: ONE job materializes the offsets AND serves
+    // the broadcast gate's row count (the eager checkpoint + separate
+    // gate count was two).
+    val offsets = trackScratch(countedCheckpoint(counts
       .withColumn("__off",
         coalesce(sum(col("__cnt")).over(offW) - col("__cnt"), lit(0L)))
-      .drop("__cnt")
-      .localCheckpoint(true))
+      .drop("__cnt")))
     val inBucketW = Window
       .partitionBy((groupCols :+ "__b").map(col): _*)
       .orderBy(col("__h"), tieCol)

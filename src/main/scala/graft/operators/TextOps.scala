@@ -293,10 +293,10 @@ object TextOps {
     // but this fixture's pseudo-benchmark grows with the corpus, and
     // the gate is what keeps the operator correct if a caller's
     // "benchmark" turns out corpus-sized.
-    val bench = Sampling.trackScratch(docs.filter(col("doc_id") % BenchMod === 0)
-      .select(col("doc_id").as("bench_id"),
-        explode(wordShingles(col("text"), ContamN)).as("s"))
-      .localCheckpoint(true))
+    val bench = Sampling.trackScratch(Sampling.countedCheckpoint(
+      docs.filter(col("doc_id") % BenchMod === 0)
+        .select(col("doc_id").as("bench_id"),
+          explode(wordShingles(col("text"), ContamN)).as("s"))))
     val corpus = docs.filter(col("doc_id") % BenchMod =!= 0)
       .select(col("doc_id"), explode(wordShingles(col("text"), ContamN)).as("s"))
     corpus.join(Sampling.gatedBroadcast(bench), "s")
@@ -813,7 +813,7 @@ object TextOps {
     // df-filtered, far smaller than the block table) so boilerScrub's
     // size-gated broadcast can count it for free.
     boilerScrub(blocks,
-      Sampling.trackScratch(boilerHeavy(blocks).localCheckpoint(true)))
+      Sampling.trackScratch(Sampling.countedCheckpoint(boilerHeavy(blocks))))
   }
 
   /** The disjoint [[BoilerBlock]]-token block texts of a token array —

@@ -90,6 +90,8 @@ class ReplicaCollapseSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(fallback.toSeq == fallback.sortBy(p => (p._1, p._2)).toSeq,
       "output-ranged fallback lost the global order")
+    assert(got.length == fallback.length,
+      "gate paths disagree on row COUNT — a duplicated pair would hide in the set compare")
     assert(got.toSet == fallback.toSet, "gate paths disagree on the pair set")
   }
 

@@ -108,6 +108,8 @@ class SubstringCollapseSpec extends SparkSpec {
       }
     assert(fallback.toSeq == fallback.sortBy(p => (p._1, p._2)).toSeq,
       "output-ranged fallback lost the global order")
+    assert(got.length == fallback.length,
+      "gate paths disagree on row COUNT — a duplicated pair would hide in the set compare")
     assert(got.toSet == fallback.toSet, "gate paths disagree on the pair set")
     assert(got.nonEmpty, "no pairs — the order pin is vacuous")
   }
