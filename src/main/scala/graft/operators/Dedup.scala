@@ -551,42 +551,94 @@ object Dedup {
     * exact path; this adds the near-dup increment. */
   def ddIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val newP = col("doc_id") % 10 === 0
-    // ONE text pass (the [[ddMinhashEstimate]] lesson): fingerprint +
-    // shingles + signatures checkpointed together; both increment sides
-    // derive from the materialized table, so the band join and the two
-    // verify joins never re-tokenize.
-    val sig = Sampling.trackScratch(signatureDf(spark, sfDir).localCheckpoint(true))
-    incrementalAgainst(sig.filter(newP),
-      sig.filter(!newP).withColumnRenamed("doc_id", "b_id"))
+    val bloomOn = docScanBytes(spark, sfDir) >= spark.conf
+      .getOption(BloomMinScanBytesKey).map(_.toLong)
+      .getOrElse(BloomMinScanBytesDefault)
+    if (!bloomOn) {
+      // ONE text pass (the [[ddMinhashEstimate]] lesson): fingerprint +
+      // shingles + signatures checkpointed together; both increment sides
+      // derive from the materialized table, so the band join and the two
+      // verify joins never re-tokenize. Below the bloom threshold the
+      // whole table (shingles included) fits executor storage easily and
+      // the extra rescan machinery would only add driver sync points.
+      val sig = Sampling.trackScratch(signatureDf(spark, sfDir).localCheckpoint(true))
+      incrementalAgainst(sig.filter(newP),
+        sig.filter(!newP).withColumnRenamed("doc_id", "b_id"))
+    } else {
+      // Large-corpus path (r17, same [[BloomMinScanBytesKey]] gate as
+      // the minhash verify prune): the full-signature checkpoint stored
+      // the SHINGLE ARRAYS of every corpus document (~10× the text
+      // bytes) only for the verify join to read a candidate-sized
+      // fraction of them — the r16 verdict's 144.9 s standalone cold
+      // pass at the 100× corpus was mostly that materialization. The
+      // corpus-wide checkpoint now keeps fp + sigs only (16 longs + a
+      // hash per doc); candidates are found on signatures alone, and a
+      // Bloom filter over the candidate ids prunes one documents rescan
+      // so ONLY candidate docs are re-tokenized for verification —
+      // non-candidates never pay shingling twice, and the checkpoint
+      // never holds a corpus of arrays.
+      val slim = Sampling.trackScratch(Sampling.countedCheckpoint(
+        signatureDf(spark, sfDir).select(col("doc_id"), col("fp"), col("sigs"))))
+      val batch = slim.filter(newP)
+      val corpus = slim.filter(!newP).withColumnRenamed("doc_id", "b_id")
+      val exact = incrementalExact(batch, corpus)
+      // eager: the bloom build and the verify join both read it
+      val cand = Sampling.trackScratch(Sampling.countedCheckpoint(
+        incrementalCands(batch, corpus)))
+      val bloom = graft.functions.Aggregates.bloomFilterBytes(
+        cand.select(explode(array(col("doc_id"), col("b_id"))).as("id")),
+        "id", BloomItems, BloomBits)
+      val candSh = Sampling.trackScratch(Sampling.countedCheckpoint(
+        Tables.documents(spark, sfDir)
+          .filter(graft.functions.Aggregates.mightContain(bloom, col("doc_id")))
+          .select(col("doc_id"),
+            NativeExpressions.wordShingles(col("text"), 3).as("sh"))))
+      val nearAll = incrementalNear(cand,
+        candSh.select(col("doc_id"), col("sh").as("sh_n")),
+        candSh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")))
+      incrementalVerdicts(batch.select(col("doc_id")), exact, nearAll)
+    }
   }
 
-  /** The batch-vs-corpus increment over two SIGNATURE tables — ONE
-    * construction shared by [[ddIncremental]] (both sides from one
-    * in-session text pass) and [[incrementalFromArtifact]] (corpus side
-    * from the persisted index), so the verify arithmetic cannot drift
-    * between the two paths. `batchSig` is (doc_id, fp, sh, sigs);
-    * `corpusSig` is (b_id, fp, sh, sigs). One exact fingerprint
-    * equi-join, one band-key equi-join (fan-in ∝ batch size × bucket
-    * occupancy, never corpus²), Jaccard verification on candidates
-    * only, then the shared verdict assembly. */
-  private def incrementalAgainst(batchSig: DataFrame, corpusSig: DataFrame): DataFrame = {
-    val exact = batchSig.select(col("doc_id"), col("fp"))
+  /** Exact fingerprint matches: smallest base holder per batch doc. */
+  private def incrementalExact(batchSig: DataFrame, corpusSig: DataFrame): DataFrame =
+    batchSig.select(col("doc_id"), col("fp"))
       .join(corpusSig.select(col("b_id"), col("fp")), "fp")
       .groupBy(col("doc_id")).agg(min(col("b_id")).as("exact_match"))
-    val cand = batchSig.select(col("doc_id"), col("sigs"))
+
+  /** Banding candidates of a batch against a corpus signature table —
+    * fan-in ∝ batch size × bucket occupancy, never corpus². */
+  private def incrementalCands(batchSig: DataFrame, corpusSig: DataFrame): DataFrame =
+    batchSig.select(col("doc_id"), col("sigs"))
       .select(col("doc_id"), explode(minhashBandKeys).as("bk"))
       .join(corpusSig.select(col("b_id"), col("sigs"))
         .select(col("b_id"), explode(minhashBandKeys).as("bk")), "bk")
       .select(col("doc_id"), col("b_id")).distinct()
-    val nearAll = cand
-      .join(batchSig.select(col("doc_id"), col("sh").as("sh_n")), "doc_id")
-      .join(corpusSig.select(col("b_id"), col("sh").as("sh_b")), "b_id")
+
+  /** Jaccard verification of candidate pairs given the two shingle
+    * sources — ONE definition for every increment path, so the verify
+    * arithmetic cannot drift. */
+  private def incrementalNear(cand: DataFrame, shN: DataFrame, shB: DataFrame): DataFrame =
+    cand.join(shN, "doc_id").join(shB, "b_id")
       .withColumn("inter", size(array_intersect(col("sh_n"), col("sh_b"))).cast("long"))
       .withColumn("j_ppm",
         expr("inter * 1000000L div (size(sh_n) + size(sh_b) - inter)"))
       .filter(col("j_ppm") >= JaccardThresholdPpm)
-    incrementalVerdicts(batchSig.select(col("doc_id")), exact, nearAll)
-  }
+
+  /** The batch-vs-corpus increment over two SIGNATURE tables — ONE
+    * construction shared by [[ddIncremental]]'s small-corpus path (both
+    * sides from one in-session text pass) and
+    * [[incrementalFromArtifact]] (corpus side from the persisted
+    * index). `batchSig` is (doc_id, fp, sh, sigs); `corpusSig` is
+    * (b_id, fp, sh, sigs). One exact fingerprint equi-join, one
+    * band-key equi-join, Jaccard verification on candidates only, then
+    * the shared verdict assembly. */
+  private def incrementalAgainst(batchSig: DataFrame, corpusSig: DataFrame): DataFrame =
+    incrementalVerdicts(batchSig.select(col("doc_id")),
+      incrementalExact(batchSig, corpusSig),
+      incrementalNear(incrementalCands(batchSig, corpusSig),
+        batchSig.select(col("doc_id"), col("sh").as("sh_n")),
+        corpusSig.select(col("b_id"), col("sh").as("sh_b"))))
 
   /** Per-doc dedup signatures (fingerprint, distinct 3-gram shingles,
     * MinHash signature) in one text pass — the projection behind

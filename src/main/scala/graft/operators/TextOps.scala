@@ -278,30 +278,52 @@ object TextOps {
     * every LLM training-data pipeline needs before a corpus ships: a
     * training document that contains benchmark n-grams inflates eval.
     *
-    * Scale shape: the BENCHMARK side is small by definition (eval sets,
-    * not crawls) — its distinct shingle set broadcasts, and the corpus
-    * side stays a map-only scan + explode feeding a map-side-combinable
-    * pair count; the corpus never shuffles on the shingle key. If a
-    * benchmark ever outgrows the broadcast cap, the same plan with a
-    * shuffle join on `s` is ∝ benchmark size, never ∝ corpus. */
+    * Scale shape (r17 replica collapse — the dd_simhash/dd_minhash
+    * identical-text defense applied here): n_shared is a pure function
+    * of the two TEXTS (wordShingles emits the distinct shingle set),
+    * so each DISTINCT text is shingled once and the shingle match runs
+    * over distinct texts only — on a duplicate-heavy corpus the old
+    * per-document form exploded every replica's shingles into the
+    * match (R² join work at replica factor R). Doc-level (doc, bench)
+    * pairs expand afterwards from the tiny text-pair frame; a text's
+    * replicas can sit on BOTH sides of the benchmark split, so the
+    * group table carries the corpus ids and bench ids separately. The
+    * group shuffle moves (tkey, doc_id) — never text. All
+    * corpus-cardinality hints size-gated; above the gate every join
+    * degrades to a shuffle equi-join ∝ distinct content. */
   def txContamination(spark: SparkSession, sfDir: String): DataFrame = {
     import graft.functions.NativeExpressions.wordShingles
     val docs = docsOrdered(spark, sfDir)
-    // Checkpointed (tiny — benchmark shingles) so the size gate's count
-    // costs nothing and the shingle pass over the benchmark docs runs
-    // once. The hint is GATED, not assumed: real eval sets are small,
-    // but this fixture's pseudo-benchmark grows with the corpus, and
-    // the gate is what keeps the operator correct if a caller's
-    // "benchmark" turns out corpus-sized.
-    val bench = Sampling.trackScratch(Sampling.countedCheckpoint(
-      docs.filter(col("doc_id") % BenchMod === 0)
-        .select(col("doc_id").as("bench_id"),
+    val isBench = col("doc_id") % BenchMod === 0
+    val groups = Sampling.trackScratch(Sampling.countedCheckpoint(docs
+      .groupBy(md5(col("text")).as("tkey"))
+      .agg(min(col("doc_id")).as("rep_id"),
+        sort_array(collect_list(when(!isBench, col("doc_id")))).as("cids"),
+        sort_array(collect_list(when(isBench, col("doc_id")))).as("bids"))))
+    // one shingle pass over DISTINCT texts (rep scan: the gated rep-id
+    // broadcast keeps the documents scan map-side; checkpointed — both
+    // sides of the shingle match read it)
+    val sh = Sampling.trackScratch(Sampling.countedCheckpoint(
+      Tables.documents(spark, sfDir)
+        .join(Sampling.gatedBroadcast(groups.select(
+          col("rep_id").as("doc_id"), col("tkey"),
+          (size(col("cids")) > 0).as("hasC"), (size(col("bids")) > 0).as("hasB"))),
+          "doc_id")
+        .select(col("tkey"), col("hasC"), col("hasB"),
           explode(wordShingles(col("text"), ContamN)).as("s"))))
-    val corpus = docs.filter(col("doc_id") % BenchMod =!= 0)
-      .select(col("doc_id"), explode(wordShingles(col("text"), ContamN)).as("s"))
-    corpus.join(Sampling.gatedBroadcast(bench), "s")
-      .groupBy(col("doc_id"), col("bench_id"))
+    val textPairs = sh.filter(col("hasC")).select(col("tkey").as("ck"), col("s"))
+      .join(Sampling.gatedBroadcast(
+        sh.filter(col("hasB")).select(col("tkey").as("bk"), col("s"))), "s")
+      .groupBy(col("ck"), col("bk"))
       .agg(count(lit(1)).as("n_shared"))
+    // doc-level expansion: output-bound explodes from the compact frame
+    textPairs
+      .join(Sampling.gatedBroadcast(groups.select(col("tkey").as("ck"),
+        col("cids"))), "ck")
+      .join(Sampling.gatedBroadcast(groups.select(col("tkey").as("bk"),
+        col("bids"))), "bk")
+      .select(explode(col("cids")).as("doc_id"), col("bids"), col("n_shared"))
+      .select(col("doc_id"), explode(col("bids")).as("bench_id"), col("n_shared"))
       .orderBy(col("doc_id"), col("bench_id"))
   }
 
@@ -800,20 +822,59 @@ object TextOps {
     boilerplate(docsOrdered(spark, sfDir))
 
   /** [[txBoilerplate]] over any (doc_id, text) frame (fixture-testable
-    * form). */
+    * form).
+    *
+    * r17 array-domain rewrite (guide §2.3 "shuffle keys, not payloads",
+    * §2.4): the relational form shuffled the corpus's block TEXT three
+    * times — the per-doc distinct (full bytes), its df count, and the
+    * reassembly groupBy(doc_id) (full bytes again). The block texts of
+    * a document never need to leave their scan task: per-doc block
+    * arrays are computed once and checkpointed; the per-doc DISTINCT is
+    * a map-side first-occurrence filter over the row's own array (no
+    * shuffle); the df count shuffles map-side-combined (bt, count)
+    * partials; and the scrub re-attaches only the heavy-hit block
+    * INDICES per doc (ints — a few rows per affected doc), so
+    * reassembly is an in-row array filter instead of a corpus-wide
+    * collect_list. Outputs are identical: n_boiler counts heavy
+    * OCCURRENCES (one hit row per occurrence), kept blocks stay in
+    * block-index order (the array order), and n_kept_tokens =
+    * tokenCount(text_clean) because blocks are single-space joins of
+    * non-empty tokens. BoilerCollapseSpec differentials this form
+    * against the relational one ([[boilerScrub]], kept for the
+    * artifact path) on a replica-dense fixture and the real table. */
   private[graft] def boilerplate(docs: DataFrame): DataFrame = {
-    // Materialized once: the heavy-set aggregation and the scrub join
-    // both read the blockified corpus (two lazy branches would re-scan
-    // and re-tokenize the documents table — the Dedup cands pattern).
-    // At artifact-split deployment scale the train half runs separately
-    // (writeBoilerplateArtifact), so this single-session checkpoint
-    // never holds more than one corpus's blocks.
-    val blocks = Sampling.trackScratch(blockify(docs).localCheckpoint(true))
-    // heavy set checkpointed too (it is the trainable artifact —
-    // df-filtered, far smaller than the block table) so boilerScrub's
-    // size-gated broadcast can count it for free.
-    boilerScrub(blocks,
-      Sampling.trackScratch(Sampling.countedCheckpoint(boilerHeavy(blocks))))
+    val base = Sampling.trackScratch(Sampling.countedCheckpoint(
+      docs.select(col("doc_id"), blockTexts(tokens(col("text"))).as("__bts"))))
+    // one row per block occurrence, with its in-doc index and a
+    // first-occurrence flag (the per-doc distinct, decided in-row)
+    def occ = base
+      .select(col("doc_id"), col("__bts"),
+        posexplode(col("__bts")).as(Seq("bi", "bt")))
+      .withColumn("__fst", array_position(col("__bts"), col("bt")) === col("bi") + 1)
+      .drop("__bts")
+    val heavy = Sampling.trackScratch(Sampling.countedCheckpoint(
+      occ.filter(col("__fst")).groupBy(col("bt"))
+        .agg(count(lit(1)).as("df"))
+        .filter(col("df") >= BoilerMinDf)
+        .select(col("bt"))))
+    // heavy-hit block indices per doc — ints, rows ∝ heavy occurrences
+    val hits = Sampling.trackScratch(Sampling.countedCheckpoint(
+      occ.join(Sampling.gatedBroadcast(heavy), "bt")
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("bi"))).as("__hidx"))))
+    val scrubbed = base
+      .join(Sampling.gatedBroadcast(hits), Seq("doc_id"), "left")
+      .withColumn("__hidx",
+        coalesce(col("__hidx"), array().cast("array<int>")))
+      .withColumn("__kept",
+        filter(col("__bts"), (b, i) => !array_contains(col("__hidx"), i)))
+      .withColumn("text_clean", array_join(col("__kept"), " "))
+      .select(col("doc_id"),
+        size(col("__bts")).cast("long").as("n_blocks"),
+        size(col("__hidx")).cast("long").as("n_boiler"),
+        tokenCount(col("text_clean")).cast("long").as("n_kept_tokens"),
+        col("text_clean"))
+    Sampling.presentSorted(scrubbed, col("doc_id"))
   }
 
   /** The disjoint [[BoilerBlock]]-token block texts of a token array —
