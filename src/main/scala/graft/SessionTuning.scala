@@ -27,8 +27,10 @@ object SessionTuning {
       ("\"on\" adds the learned quality classifier as a fifth conjunct " +
         "in cur_verdict (the CCNet-style second stage)"),
     graft.operators.Dedup.BloomMinScanBytesKey ->
-      ("minimum scan size before dd_incremental builds its corpus-side " +
-        "Bloom prune; smaller corpora skip the extra pass"),
+      ("minimum documents-scan size at which the large-corpus shapes " +
+        "engage: the minhash verify rescan's Bloom prune and " +
+        "dd_incremental's distinct-text (replica-collapsed) increment; " +
+        "smaller corpora keep the plain single-checkpoint plans"),
     graft.operators.Sampling.BroadcastMaxRowsKey ->
       ("maximum measured row count at which a corpus-cardinality frame " +
         "(simhash fp table, minhash rep-id set, boilerplate heavy set, " +

@@ -551,32 +551,41 @@ object Dedup {
     * exact path; this adds the near-dup increment. */
   def ddIncremental(spark: SparkSession, sfDir: String): DataFrame = {
     val newP = col("doc_id") % 10 === 0
+    // Shape decision from MEASURED replica density (the r5 "decide from
+    // data" rule): one map-side-combinable probe aggregate — count +
+    // approx distinct of the text hash, no shuffle of ids, no text
+    // moved — tells us whether texts repeat. The r16 gate keyed the
+    // large-corpus path on docScanBytes, which a verbatim-replica
+    // corpus DEFEATS: 100 identical copies compress ~100×, so the 100×
+    // stress corpus (5M docs) read as 55 MB and the scale path stayed
+    // dark exactly where it mattered. Density is the signal the
+    // collapse actually trades on.
+    val probe = Tables.documents(spark, sfDir)
+      .agg(count(lit(1)).as("n"),
+        approx_count_distinct(md5(col("text"))).as("d")).head
+    val (nDocs, nDistinct) = (probe.getLong(0), math.max(probe.getLong(1), 1L))
     val bloomOn = docScanBytes(spark, sfDir) >= spark.conf
       .getOption(BloomMinScanBytesKey).map(_.toLong)
       .getOrElse(BloomMinScanBytesDefault)
-    if (!bloomOn) {
-      // ONE text pass (the [[ddMinhashEstimate]] lesson): fingerprint +
-      // shingles + signatures checkpointed together; both increment sides
-      // derive from the materialized table, so the band join and the two
+    if (nDocs < 2L * nDistinct && !bloomOn) {
+      // Low-duplication, small-corpus path — ONE text pass (the
+      // [[ddMinhashEstimate]] lesson): fingerprint + shingles +
+      // signatures checkpointed together; both increment sides derive
+      // from the materialized table, so the band join and the two
       // verify joins never re-tokenize. Below the bloom threshold the
-      // whole table (shingles included) fits executor storage easily and
-      // the extra rescan machinery would only add driver sync points.
+      // whole table (shingles included) fits executor storage easily
+      // and the extra rescan machinery would only add driver sync
+      // points.
       val sig = Sampling.trackScratch(signatureDf(spark, sfDir).localCheckpoint(true))
       incrementalAgainst(sig.filter(newP),
         sig.filter(!newP).withColumnRenamed("doc_id", "b_id"))
-    } else {
-      // Large-corpus path (r17, same [[BloomMinScanBytesKey]] gate as
-      // the minhash verify prune): the full-signature checkpoint stored
-      // the SHINGLE ARRAYS of every corpus document (~10× the text
-      // bytes) only for the verify join to read a candidate-sized
-      // fraction of them — the r16 verdict's 144.9 s standalone cold
-      // pass at the 100× corpus was mostly that materialization. The
-      // corpus-wide checkpoint now keeps fp + sigs only (16 longs + a
-      // hash per doc); candidates are found on signatures alone, and a
-      // Bloom filter over the candidate ids prunes one documents rescan
-      // so ONLY candidate docs are re-tokenized for verification —
-      // non-candidates never pay shingling twice, and the checkpoint
-      // never holds a corpus of arrays.
+    } else if (nDocs < 2L * nDistinct) {
+      // Low-duplication LARGE corpus (scan past [[BloomMinScanBytesKey]]
+      // with nothing to collapse): keep the per-document shape but never
+      // materialize a corpus of shingle arrays — the checkpoint holds
+      // fp + sigs only, candidates come from signatures alone, and a
+      // Bloom over candidate ids prunes the one verification rescan so
+      // only candidate docs are re-tokenized.
       val slim = Sampling.trackScratch(Sampling.countedCheckpoint(
         signatureDf(spark, sfDir).select(col("doc_id"), col("fp"), col("sigs"))))
       val batch = slim.filter(newP)
@@ -597,6 +606,77 @@ object Dedup {
         candSh.select(col("doc_id"), col("sh").as("sh_n")),
         candSh.select(col("doc_id").as("b_id"), col("sh").as("sh_b")))
       incrementalVerdicts(batch.select(col("doc_id")), exact, nearAll)
+    } else {
+      // Duplicate-heavy path (avg ≥ 2 copies per text): REPLICA
+      // COLLAPSE. Every verdict ingredient is a function of the TEXT —
+      // fp, sigs, and shingles all derive from it — and on a
+      // duplicate-heavy corpus the per-document band join generates
+      // batch×corpus candidates QUADRATIC in replica count (every
+      // batch member of an R-clique banded against every corpus
+      // member: the r16 verdict's 144.9 s standalone cold pass, and
+      // the full-signature checkpoint additionally materialized every
+      // document's shingle arrays). Each DISTINCT text is
+      // tokenized/signed once; banding, exact matching and Jaccard
+      // verification run over distinct texts; and per-doc verdicts
+      // expand at the end through the SHARED [[incrementalVerdicts]]
+      // assembly. Doc-level equivalence of the best-candidate pick:
+      // all corpus docs of a text T' share one j_ppm, so the doc-level
+      // (j desc, b_id asc) winner is the max over matching texts of
+      // (j, -min_corpus_id) — the exact struct max below
+      // (IncrementalCollapseSpec pins it against the naive form).
+      val groups = Sampling.trackScratch(Sampling.countedCheckpoint(
+        Tables.documents(spark, sfDir)
+          .groupBy(md5(col("text")).as("tkey"))
+          .agg(min(col("doc_id")).as("rep_id"),
+            sort_array(collect_list(when(newP, col("doc_id")))).as("batch_ids"),
+            min(when(!newP, col("doc_id"))).as("min_corpus_id"))))
+      // one text pass over DISTINCT texts (gated rep-id broadcast keeps
+      // the scan map-side); distinct-content-sized, so storing the
+      // shingle arrays is cheap here — unlike the corpus-sized per-doc
+      // checkpoint this path replaces
+      val sig = Sampling.trackScratch(Sampling.countedCheckpoint(
+        Tables.documents(spark, sfDir)
+          .join(Sampling.gatedBroadcast(groups.select(
+            col("rep_id").as("doc_id"), col("tkey"),
+            (size(col("batch_ids")) > 0).as("hasBatch"), col("min_corpus_id"))),
+            "doc_id")
+          .select(col("tkey"), col("hasBatch"), col("min_corpus_id"),
+            fingerprint(col("text")).as("fp"),
+            NativeExpressions.wordShingles(col("text"), 3).as("sh"))
+          .withColumn("sigs", NativeExpressions.minHashSigs(col("sh"), K, P))))
+      val batchT = sig.filter(col("hasBatch"))
+      val corpusT = sig.filter(col("min_corpus_id").isNotNull)
+      // exact: smallest corpus holder per normalized fingerprint
+      // (fp-equal TEXTS can differ, so the min runs across the fp group)
+      val exactT = batchT.select(col("tkey"), col("fp"))
+        .join(corpusT.groupBy(col("fp"))
+          .agg(min(col("min_corpus_id")).as("exact_match")), "fp")
+        .select(col("tkey"), col("exact_match"))
+      // banding + verification over distinct texts; each matching
+      // corpus text is represented by its smallest corpus doc id
+      val candT = batchT.select(col("tkey").as("doc_id"), col("sigs"))
+        .select(col("doc_id"), explode(minhashBandKeys).as("bk"))
+        .join(corpusT.select(col("tkey").as("b_id"), col("sigs"))
+          .select(col("b_id"), explode(minhashBandKeys).as("bk")), "bk")
+        .select(col("doc_id"), col("b_id")).distinct()
+      val nearT = incrementalNear(candT,
+          batchT.select(col("tkey").as("doc_id"), col("sh").as("sh_n")),
+          corpusT.select(col("tkey").as("b_id"), col("sh").as("sh_b"),
+            col("min_corpus_id")))
+        .groupBy(col("doc_id"))
+        .agg(max(struct(col("j_ppm"), (-col("min_corpus_id")).as("nb"))).as("best"))
+        .select(col("doc_id").as("tkey"),
+          (-col("best.nb")).as("b_id"), col("best.j_ppm").as("j_ppm"))
+      // per-doc expansion through the shared verdict assembly (one near
+      // row per batch doc, so its window picks it trivially)
+      val batchGroups = groups.filter(size(col("batch_ids")) > 0)
+      def expand(tcols: DataFrame, out: Seq[String]): DataFrame =
+        batchGroups.select(col("tkey"), col("batch_ids")).join(tcols, "tkey")
+          .select(explode(col("batch_ids")).as("doc_id") +: out.map(col): _*)
+      incrementalVerdicts(
+        batchGroups.select(explode(col("batch_ids")).as("doc_id")),
+        expand(exactT, Seq("exact_match")),
+        expand(nearT, Seq("b_id", "j_ppm")))
     }
   }
 

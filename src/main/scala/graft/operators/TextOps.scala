@@ -824,57 +824,78 @@ object TextOps {
   /** [[txBoilerplate]] over any (doc_id, text) frame (fixture-testable
     * form).
     *
-    * r17 array-domain rewrite (guide §2.3 "shuffle keys, not payloads",
-    * §2.4): the relational form shuffled the corpus's block TEXT three
-    * times — the per-doc distinct (full bytes), its df count, and the
-    * reassembly groupBy(doc_id) (full bytes again). The block texts of
-    * a document never need to leave their scan task: per-doc block
-    * arrays are computed once and checkpointed; the per-doc DISTINCT is
-    * a map-side first-occurrence filter over the row's own array (no
-    * shuffle); the df count shuffles map-side-combined (bt, count)
-    * partials; and the scrub re-attaches only the heavy-hit block
-    * INDICES per doc (ints — a few rows per affected doc), so
-    * reassembly is an in-row array filter instead of a corpus-wide
-    * collect_list. Outputs are identical: n_boiler counts heavy
-    * OCCURRENCES (one hit row per occurrence), kept blocks stay in
-    * block-index order (the array order), and n_kept_tokens =
-    * tokenCount(text_clean) because blocks are single-space joins of
-    * non-empty tokens. BoilerCollapseSpec differentials this form
-    * against the relational one ([[boilerScrub]], kept for the
-    * artifact path) on a replica-dense fixture and the real table. */
+    * r17 rewrite, two ideas composed (guide §2.3 "shuffle keys, not
+    * payloads", §2.4, §8):
+    *
+    * 1. REPLICA COLLAPSE — every output column is a function of the
+    *    TEXT (given the heavy set), and a block's document frequency is
+    *    Σ group-size over the distinct texts containing it, so each
+    *    DISTINCT text is tokenized/blockified exactly once and per-doc
+    *    rows expand at the end from the (tkey, ids) group table. The
+    *    group shuffle moves (tkey, doc_id) — never text.
+    * 2. ARRAY-DOMAIN SCRUB — the relational form shuffled block TEXT
+    *    three times (per-doc distinct, df count, reassembly
+    *    collect_list). Per-text block arrays are checkpointed once; the
+    *    per-text distinct is an in-row first-occurrence test
+    *    (array_position == index, no shuffle); the df count ships
+    *    map-combined (block, Σg) partials; the scrub re-attaches only
+    *    heavy-hit block INDICES per text, so reassembly is an in-row
+    *    array filter.
+    *
+    * Outputs are identical: df ≥ MinDf over Σg equals the per-doc
+    * distinct count (replicas contain the same blocks), n_boiler counts
+    * heavy OCCURRENCES, kept blocks stay in block-index order, and
+    * n_kept_tokens = tokenCount(text_clean) because blocks are
+    * single-space joins of non-empty tokens. BoilerArtifactSpec
+    * differentials this form against the relational scrub (kept for
+    * the artifact path) and the streaming gate. */
   private[graft] def boilerplate(docs: DataFrame): DataFrame = {
-    val base = Sampling.trackScratch(Sampling.countedCheckpoint(
-      docs.select(col("doc_id"), blockTexts(tokens(col("text"))).as("__bts"))))
-    // one row per block occurrence, with its in-doc index and a
-    // first-occurrence flag (the per-doc distinct, decided in-row)
+    val groups = Sampling.trackScratch(Sampling.countedCheckpoint(docs
+      .groupBy(md5(col("text")).as("tkey"))
+      .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("g"),
+        sort_array(collect_list(col("doc_id"))).as("ids"))))
+    // one blockify pass over DISTINCT texts (gated rep-id broadcast
+    // keeps the docs scan map-side)
+    val base = Sampling.trackScratch(Sampling.countedCheckpoint(docs
+      .join(Sampling.gatedBroadcast(
+        groups.select(col("rep_id").as("doc_id"), col("tkey"), col("g"))), "doc_id")
+      .select(col("tkey"), col("g"), blockTexts(tokens(col("text"))).as("__bts"))))
+    // one row per block occurrence of a distinct text, with its in-text
+    // index and a first-occurrence flag (the per-text distinct, in-row)
     def occ = base
-      .select(col("doc_id"), col("__bts"),
+      .select(col("tkey"), col("g"), col("__bts"),
         posexplode(col("__bts")).as(Seq("bi", "bt")))
       .withColumn("__fst", array_position(col("__bts"), col("bt")) === col("bi") + 1)
       .drop("__bts")
     val heavy = Sampling.trackScratch(Sampling.countedCheckpoint(
       occ.filter(col("__fst")).groupBy(col("bt"))
-        .agg(count(lit(1)).as("df"))
+        .agg(sum(col("g")).as("df"))
         .filter(col("df") >= BoilerMinDf)
         .select(col("bt"))))
-    // heavy-hit block indices per doc — ints, rows ∝ heavy occurrences
+    // heavy-hit block indices per distinct text — ints
     val hits = Sampling.trackScratch(Sampling.countedCheckpoint(
       occ.join(Sampling.gatedBroadcast(heavy), "bt")
-        .groupBy(col("doc_id"))
+        .groupBy(col("tkey"))
         .agg(sort_array(collect_list(col("bi"))).as("__hidx"))))
-    val scrubbed = base
-      .join(Sampling.gatedBroadcast(hits), Seq("doc_id"), "left")
+    val scrubText = base
+      .join(Sampling.gatedBroadcast(hits), Seq("tkey"), "left")
       .withColumn("__hidx",
         coalesce(col("__hidx"), array().cast("array<int>")))
       .withColumn("__kept",
         filter(col("__bts"), (b, i) => !array_contains(col("__hidx"), i)))
       .withColumn("text_clean", array_join(col("__kept"), " "))
-      .select(col("doc_id"),
+      .select(col("tkey"),
         size(col("__bts")).cast("long").as("n_blocks"),
         size(col("__hidx")).cast("long").as("n_boiler"),
         tokenCount(col("text_clean")).cast("long").as("n_kept_tokens"),
         col("text_clean"))
-    Sampling.presentSorted(scrubbed, col("doc_id"))
+    // doc-level expansion from the compact frames; the ORDER BY's range
+    // sampling re-runs only this cheap join+explode, never the scrub
+    scrubText
+      .join(Sampling.gatedBroadcast(groups.select(col("tkey"), col("ids"))), "tkey")
+      .select(explode(col("ids")).as("doc_id"),
+        col("n_blocks"), col("n_boiler"), col("n_kept_tokens"), col("text_clean"))
+      .orderBy(col("doc_id"))
   }
 
   /** The disjoint [[BoilerBlock]]-token block texts of a token array —

@@ -2,13 +2,17 @@ package graft
 
 import graft.operators.Dedup
 
-/** Differential guard for the r17 dd_incremental slim-signature path:
-  * above [[Dedup.BloomMinScanBytesKey]] the operator checkpoints
-  * fp + sigs only and re-tokenizes CANDIDATE docs through a Bloom-pruned
-  * rescan, where the small-corpus path checkpoints the full signature
-  * table (shingles included). The two paths must emit identical
-  * verdicts — the bloom's false positives may only waste a shingle
-  * computation, never change a row.
+/** Differential guard for the r17 dd_incremental large-corpus path:
+  * above [[Dedup.BloomMinScanBytesKey]] the operator REPLICA-COLLAPSES —
+  * each distinct text is tokenized/signed once, banding + exact match +
+  * Jaccard verification run over distinct texts (a matching corpus text
+  * represented by its smallest corpus doc id), and per-doc verdicts
+  * expand at the end — where the small-corpus path checkpoints the full
+  * per-document signature table. The two paths must emit identical
+  * verdicts, including the best-candidate tie-break: the doc-level
+  * (j desc, b_id asc) winner must equal the text-level
+  * max(struct(j, -min_corpus_id)) pick on a fixture with replica
+  * cliques straddling the batch split.
   */
 class IncrementalSlimSpec extends SparkSpec {
 
