@@ -560,10 +560,7 @@ object Dedup {
     // stress corpus (5M docs) read as 55 MB and the scale path stayed
     // dark exactly where it mattered. Density is the signal the
     // collapse actually trades on.
-    val probe = Tables.documents(spark, sfDir)
-      .agg(count(lit(1)).as("n"),
-        approx_count_distinct(md5(col("text"))).as("d")).head
-    val (nDocs, nDistinct) = (probe.getLong(0), math.max(probe.getLong(1), 1L))
+    val (nDocs, nDistinct) = Sampling.textDensity(Tables.documents(spark, sfDir))
     val bloomOn = docScanBytes(spark, sfDir) >= spark.conf
       .getOption(BloomMinScanBytesKey).map(_.toLong)
       .getOrElse(BloomMinScanBytesDefault)

@@ -246,6 +246,19 @@ object Sampling {
     else df
   }
 
+  /** Measured replica density of a (…, text) frame: (row count, approx
+    * distinct text count) from ONE map-side-combinable aggregate — no
+    * ids shuffled, no text moved. The replica-collapse operators decide
+    * their shape from this (the r5 "decide from data" rule): a
+    * scan-bytes gate is DEFEATED by exactly the corpus class the
+    * collapse exists for, because verbatim replicas compress ~linearly
+    * in the replica factor. */
+  def textDensity(docs: DataFrame): (Long, Long) = {
+    val r = docs.agg(count(lit(1)).as("n"),
+      approx_count_distinct(md5(col("text"))).as("d")).head
+    (r.getLong(0), math.max(r.getLong(1), 1L))
+  }
+
   /** Adds `__h` (the hash) and `__b` (its first-two-hex-chars bucket). */
   def withBuckets(df: DataFrame, hashCol: Column): DataFrame =
     df.withColumn("__h", hashCol)

@@ -295,6 +295,29 @@ object TextOps {
     import graft.functions.NativeExpressions.wordShingles
     val docs = docsOrdered(spark, sfDir)
     val isBench = col("doc_id") % BenchMod === 0
+    // Shape decision from MEASURED replica density (the ddIncremental
+    // probe): the collapse's fixed costs (group shuffle, two extra
+    // checkpoints, expansion joins) only pay when texts actually repeat
+    // — at density ~1 it measured a flat +0.5 s on the sf0.1 row for
+    // nothing, while at the 100× replica corpus (density 100) the
+    // per-document form is R²-quadratic in the match join.
+    val (nDocs, nDistinct) = Sampling.textDensity(Tables.documents(spark, sfDir))
+    if (nDocs < 2L * nDistinct) {
+      // per-document form — the r16 shape: the gated benchmark-shingle
+      // broadcast keeps the corpus side a map-only scan + explode
+      // feeding a map-side-combinable pair count; above the gate the
+      // join shuffles ∝ benchmark size, never ∝ corpus.
+      val bench = Sampling.trackScratch(Sampling.countedCheckpoint(
+        docs.filter(isBench)
+          .select(col("doc_id").as("bench_id"),
+            explode(wordShingles(col("text"), ContamN)).as("s"))))
+      val corpus = docs.filter(!isBench)
+        .select(col("doc_id"), explode(wordShingles(col("text"), ContamN)).as("s"))
+      return corpus.join(Sampling.gatedBroadcast(bench), "s")
+        .groupBy(col("doc_id"), col("bench_id"))
+        .agg(count(lit(1)).as("n_shared"))
+        .orderBy(col("doc_id"), col("bench_id"))
+    }
     val groups = Sampling.trackScratch(Sampling.countedCheckpoint(docs
       .groupBy(md5(col("text")).as("tkey"))
       .agg(min(col("doc_id")).as("rep_id"),
